@@ -1,0 +1,339 @@
+"""Posting-list compression codecs (pure Python/numpy, Arrow-UDF-friendly).
+
+Reference analog: the reference delegates posting lists entirely to
+Elasticsearch and only tunes its codec knob (`codec=best_compression`,
+hail_scripts/shared/elasticsearch_client_v7.py:87-93).  We build the
+postings natively, so the codecs live here.  Its closest structural
+analog in the reference is the reversible field-name codec with
+round-trip tests (hail_scripts/shared/elasticsearch_utils.py:21-85) —
+we keep the same test discipline (randomized round-trips).
+
+Two codecs over strictly-ascending doc-id arrays + aligned tf arrays:
+
+* ``VARINT``   — delta + LEB128 varint (simple, the baseline)
+* ``PFOR``     — block-wise (128 docs) patched frame-of-reference:
+                 per block choose a bit width covering ~90% of values,
+                 bit-pack the low bits, store outliers as (pos, high)
+                 varint exception pairs.  Block header carries the
+                 absolute first doc id so blocks are independently
+                 decodable → WAND can skip blocks without decoding.
+
+Block-max metadata (per block: last doc id, max tf, byte offset) is
+returned at encode time and stored as plain parquet arrays next to the
+blob — the skip index for block-max WAND.
+
+Everything is numpy-vectorized: these functions run inside
+mapInPandas/applyInPandas over thousands of terms per partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_VERSION_PFOR = 1
+_VERSION_VARINT = 2
+_ALLOWED_WIDTHS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 20, 24, 32)
+
+
+# ---------------------------------------------------------------- varint
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (vectorized)."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return b""
+    # bit length via shift halving (float log2 is lossy past 2**53)
+    tmp = vals.copy()
+    bl = np.ones(vals.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = tmp >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        tmp[big] >>= np.uint64(shift)
+    nbytes = (bl + 6) // 7  # ceil(bitlength / 7) bytes per value
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    work = vals.copy()
+    max_b = int(nbytes.max())
+    for i in range(max_b):
+        mask = nbytes > i
+        pos = offsets[:-1][mask] + i
+        byte = (work[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
+        out[pos] = byte | cont
+        work[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Decode `count` varints from buf starting at offset."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty(count, dtype=np.uint64)
+    pos = offset
+    for i in range(count):
+        val = 0
+        shift = 0
+        while True:
+            b = arr[pos]
+            pos += 1
+            val |= (int(b) & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        out[i] = val
+    return out, pos
+
+
+# ------------------------------------------------------------ bit packing
+
+def _pack_bits(vals: np.ndarray, width: int) -> bytes:
+    """Pack vals (< 2**width) into a little-endian bitstream."""
+    if width == 0 or vals.size == 0:
+        return b""
+    v = np.asarray(vals, dtype=np.uint64)
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: bytes, count: int, width: int, offset: int = 0) -> tuple[np.ndarray, int]:
+    if width == 0 or count == 0:
+        return np.zeros(count, dtype=np.uint64), offset
+    nbytes = (count * width + 7) // 8
+    raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=offset)
+    bits = np.unpackbits(raw, bitorder="little")[: count * width].reshape(count, width)
+    powers = (np.uint64(1) << np.arange(width, dtype=np.uint64))
+    return (bits.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64), offset + nbytes
+
+
+def _choose_width(vals: np.ndarray) -> int:
+    """Bit width covering the ~90th percentile (NewPFD-style)."""
+    if vals.size == 0:
+        return 0
+    q = np.quantile(vals, 0.90)
+    need = int(max(q, 0)).bit_length()
+    cap = int(vals.max()).bit_length()
+    for w in _ALLOWED_WIDTHS:
+        if w >= need:
+            # don't bother with exceptions if full width is nearly as small
+            full = next(x for x in _ALLOWED_WIDTHS if x >= cap)
+            return full if full <= w + 2 else w
+    return 32
+
+
+def _encode_pfor_chunk(vals: np.ndarray) -> bytes:
+    """width byte + n_exceptions varint + packed low bits + exceptions."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    w = _choose_width(vals)
+    if w >= 32:
+        w = 32
+    if w == 32:
+        exc_idx = np.array([], dtype=np.int64)
+    else:
+        exc_idx = np.nonzero(vals >> np.uint64(w))[0] if w else np.nonzero(vals)[0]
+    lows = vals & ((np.uint64(1) << np.uint64(w)) - np.uint64(1)) if w else np.zeros_like(vals)
+    parts = [bytes([w]), varint_encode(np.array([len(exc_idx)], dtype=np.uint64))]
+    parts.append(_pack_bits(lows, w))
+    if len(exc_idx):
+        highs = vals[exc_idx] >> np.uint64(w)
+        inter = np.empty(2 * len(exc_idx), dtype=np.uint64)
+        inter[0::2] = exc_idx.astype(np.uint64)
+        inter[1::2] = highs
+        parts.append(varint_encode(inter))
+    return b"".join(parts)
+
+
+def _decode_pfor_chunk(buf: bytes, count: int, offset: int) -> tuple[np.ndarray, int]:
+    w = buf[offset]
+    offset += 1
+    (n_exc,), offset = varint_decode(buf, 1, offset)
+    vals, offset = _unpack_bits(buf, count, w, offset)
+    if n_exc:
+        inter, offset = varint_decode(buf, int(n_exc) * 2, offset)
+        idx = inter[0::2].astype(np.int64)
+        highs = inter[1::2]
+        vals[idx] |= highs << np.uint64(w)
+    return vals, offset
+
+
+# --------------------------------------------------------- posting codec
+
+_FLAG_DLS = 0x04  # version byte bit: blocks carry a doc-length stream
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray | None = None,
+    block_size: int = BLOCK_SIZE,
+    codec: str = "pfor",
+) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode one term's postings (optionally with aligned doc lengths —
+    the Lucene-norms analog, stored exactly so BM25 needs no doclens
+    join at query time).
+
+    Returns (blob, block_last_doc[int64], block_max_tf[int32],
+    block_offsets[int32]) — the latter three are the block-max skip
+    index, stored as parquet arrays beside the blob.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = doc_ids.size
+    assert tfs.size == n
+    if dls is not None:
+        dls = np.asarray(dls, dtype=np.int64)
+        assert dls.size == n
+    if n > 1 and not (np.diff(doc_ids) > 0).all():
+        raise ValueError("doc_ids must be strictly ascending")
+    if n and tfs.min() < 1:
+        raise ValueError("tfs must be >= 1")
+    version = _VERSION_PFOR if codec == "pfor" else _VERSION_VARINT
+    if dls is not None:
+        version |= _FLAG_DLS
+    n_blocks = (n + block_size - 1) // block_size if n else 0
+    head = (
+        bytes([version])
+        + varint_encode(np.array([n], dtype=np.uint64))
+        + varint_encode(np.array([n_blocks], dtype=np.uint64))
+    )
+    body: list[bytes] = []
+    block_last, block_maxtf, block_off = [], [], []
+    pos = len(head)
+    base_codec = version & 0x03
+    for bi in range(n_blocks):
+        lo, hi = bi * block_size, min((bi + 1) * block_size, n)
+        d = doc_ids[lo:hi]
+        t = tfs[lo:hi]
+        gaps = (np.diff(d) - 1).astype(np.uint64)
+        streams = [gaps, (t - 1).astype(np.uint64)]
+        if dls is not None:
+            streams.append(dls[lo:hi].astype(np.uint64))
+        chunk = [varint_encode(np.array([hi - lo, d[0]], dtype=np.uint64))]
+        for s in streams:
+            if base_codec == _VERSION_PFOR:
+                chunk.append(_encode_pfor_chunk(s))
+            else:
+                chunk.append(varint_encode(np.array([s.size], dtype=np.uint64)) + varint_encode(s))
+        cb = b"".join(chunk)
+        block_off.append(pos)
+        block_last.append(int(d[-1]))
+        block_maxtf.append(int(t.max()))
+        body.append(cb)
+        pos += len(cb)
+    blob = head + b"".join(body)
+    return (
+        blob,
+        np.asarray(block_last, dtype=np.int64),
+        np.asarray(block_maxtf, dtype=np.int32),
+        np.asarray(block_off, dtype=np.int32),
+    )
+
+
+def decode_block(blob: bytes, offset: int) -> tuple[np.ndarray, np.ndarray, np.ndarray | None, int]:
+    """Decode one block at byte `offset` →
+    (doc_ids, tfs, dls_or_None, next_offset)."""
+    version = blob[0]
+    base_codec = version & 0x03
+    has_dls = bool(version & _FLAG_DLS)
+    hdr, offset = varint_decode(blob, 2, offset)
+    count, first_doc = int(hdr[0]), int(hdr[1])
+
+    def _read(cnt: int, off: int) -> tuple[np.ndarray, int]:
+        if base_codec == _VERSION_PFOR:
+            return _decode_pfor_chunk(blob, cnt, off)
+        (k,), off = varint_decode(blob, 1, off)
+        return varint_decode(blob, int(k), off)
+
+    gaps, offset = _read(count - 1, offset)
+    tfs1, offset = _read(count, offset)
+    dls = None
+    if has_dls:
+        dls_u, offset = _read(count, offset)
+        dls = dls_u.astype(np.int64)
+    docs = np.empty(count, dtype=np.int64)
+    docs[0] = first_doc
+    if count > 1:
+        docs[1:] = first_doc + np.cumsum(gaps.astype(np.int64) + 1)
+    return docs, (tfs1.astype(np.int64) + 1), dls, offset
+
+
+def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Full decode → (doc_ids int64 ascending, tfs int64, dls|None)."""
+    empty = np.array([], dtype=np.int64)
+    if not blob:
+        return empty, empty, None
+    (n,), off = varint_decode(blob, 1, 1)
+    (n_blocks,), off = varint_decode(blob, 1, off)
+    docs_parts, tf_parts, dl_parts = [], [], []
+    for _ in range(int(n_blocks)):
+        d, t, dl, off = decode_block(blob, off)
+        docs_parts.append(d)
+        tf_parts.append(t)
+        if dl is not None:
+            dl_parts.append(dl)
+    if not docs_parts:
+        return empty, empty, None
+    return (
+        np.concatenate(docs_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts) if dl_parts else None,
+    )
+
+
+def merge_encoded(parts: list[tuple[bytes, np.ndarray, np.ndarray, np.ndarray]]) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+    """Merge partial posting blobs whose doc-id ranges are DISJOINT and
+    given in ascending order (guaranteed because the index build range-
+    partitions documents by doc_id).  O(bytes): no decode — block bodies
+    are independently decodable (absolute first_doc per block), so the
+    merge is header rewrite + byte concatenation.
+
+    Reference analog: gather step of scatter/gather
+    (batch_seqr_loader/vqsr.py:393-471) — merge without recompute.
+    """
+    total_n = 0
+    total_blocks = 0
+    bodies: list[bytes] = []
+    last_doc_parts, maxtf_parts, off_parts = [], [], []
+    version = None
+    prev_last = -1
+    for blob, block_last, block_maxtf, block_off in parts:
+        if not blob:
+            continue
+        v = blob[0]
+        version = v if version is None else version
+        if v != version:
+            raise ValueError("cannot merge blobs with mixed codecs")
+        (n,), off = varint_decode(blob, 1, 1)
+        (nb,), off = varint_decode(blob, 1, off)
+        if int(n):
+            hdr, _ = varint_decode(blob, 2, off)  # first block: count, first_doc
+            if int(hdr[1]) <= prev_last:
+                raise ValueError("merge_encoded requires disjoint ascending doc ranges")
+            prev_last = int(block_last[-1])
+        body = blob[off:]
+        base_shift = off  # old body start within old blob
+        bodies.append(body)
+        total_n += int(n)
+        total_blocks += int(nb)
+        last_doc_parts.append(block_last)
+        maxtf_parts.append(block_maxtf)
+        off_parts.append((block_off - base_shift, len(body)))
+    if version is None:
+        return b"", np.array([], np.int64), np.array([], np.int32), np.array([], np.int32)
+    head = (
+        bytes([version])
+        + varint_encode(np.array([total_n], dtype=np.uint64))
+        + varint_encode(np.array([total_blocks], dtype=np.uint64))
+    )
+    blob = head + b"".join(bodies)
+    # rebase block offsets onto the merged blob
+    offs = []
+    base = len(head)
+    for rel, blen in off_parts:
+        offs.append(rel.astype(np.int64) + base)
+        base += blen
+    block_last = np.concatenate(last_doc_parts) if last_doc_parts else np.array([], np.int64)
+    block_maxtf = np.concatenate(maxtf_parts) if maxtf_parts else np.array([], np.int32)
+    block_off = np.concatenate(offs).astype(np.int32) if offs else np.array([], np.int32)
+    if block_last.size > 1 and not (np.diff(block_last) > 0).all():
+        raise ValueError("merge_encoded requires disjoint ascending doc ranges")
+    return blob, block_last, block_maxtf, block_off

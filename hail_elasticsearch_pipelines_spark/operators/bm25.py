@@ -1,0 +1,300 @@
+"""BM25 top-k query engine over the segmented inverted index.
+
+The reference delegates this entirely to Elasticsearch (the index it
+exports serves the queries; settings at hail_scripts/shared/
+elasticsearch_client_v7.py:84-99).  Here it is native:
+
+  * term lookup prunes to the term's bucket (parquet partition column
+    `term_bucket` → partition pruning; at 10^12 docs a query touches
+    1/n_buckets of the index files, and parquet min/max stats on the
+    sorted `term` column prune row groups further)
+  * per-segment scoring in Arrow UDFs (segments have disjoint doc-id
+    ranges → a doc's full score is computed in exactly one task; the
+    segment axis is also the query-time parallelism)
+  * global top-k = orderBy(score desc, doc_id asc).limit(k) over at
+    most n_segments × k candidate rows (tiny)
+
+Determinism contract (rank-identity, north rule): a doc's score is the
+sum of per-term contributions accumulated in ASCENDING TERM order,
+float64 throughout; ties break by doc_id asc.  The exhaustive scorer,
+the block-max scorer, and the pure-Python oracle all follow the same
+accumulation order, so scores are bit-identical.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import codecs
+from .index_build import BM25_B, BM25_K1, bm25_idf, bm25_tf_weight, term_bucket
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def _score_union_exhaustive(
+    postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    terms_sorted: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Union scoring: accumulate idf*w per term in sorted-term order."""
+    present = [t for t in terms_sorted if t in postings]
+    if not present:
+        return np.array([], np.int64), np.array([], np.float64)
+    all_docs = reduce(np.union1d, (postings[t][0] for t in present))
+    scores = np.zeros(len(all_docs), dtype=np.float64)
+    for t in present:
+        d, tf, dl = postings[t]
+        idx = np.searchsorted(all_docs, d)
+        scores[idx] += idf[t] * bm25_tf_weight(tf, dl, avgdl)
+    return all_docs, scores
+
+
+def _score_intersection(
+    postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    terms_sorted: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunctive (AND) scoring: every term must match."""
+    if any(t not in postings for t in terms_sorted):
+        return np.array([], np.int64), np.array([], np.float64)
+    common = reduce(
+        lambda a, b: np.intersect1d(a, b, assume_unique=True),
+        (postings[t][0] for t in terms_sorted),
+    )
+    if common.size == 0:
+        return common, np.array([], np.float64)
+    scores = np.zeros(len(common), dtype=np.float64)
+    for t in terms_sorted:
+        d, tf, dl = postings[t]
+        idx = np.searchsorted(d, common)
+        scores += idf[t] * bm25_tf_weight(tf[idx], dl[idx], avgdl)
+    return common, scores
+
+
+def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """k best by (score desc, doc_id asc)."""
+    if docs.size == 0:
+        return docs, scores
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+def _score_union_blockmax(
+    blobs: dict[str, bytes],
+    blocks: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],  # last, ub, off
+    terms_sorted: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND, block-at-a-time (vectorized within windows).
+
+    Windows = merged block boundaries across query terms, processed in
+    ascending doc order.  A window whose summed block upper bounds
+    cannot strictly beat the current kth score is skipped WITHOUT
+    decoding (safe: score <= ub <= theta can never win — later doc ids
+    lose BM25 ties).  Surviving windows decode only the overlapping
+    blocks and score vectorized with the standard sorted-term
+    accumulation, so scores stay bit-identical to the exhaustive path.
+    """
+    present = [t for t in terms_sorted if t in blobs]
+    if not present:
+        return np.array([], np.int64), np.array([], np.float64)
+    # window boundaries = union of block last-doc ids
+    bounds = reduce(np.union1d, (blocks[t][0] for t in present))
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of size k
+    theta = -np.inf
+    out_docs, out_scores = [], []
+    cursors = {t: 0 for t in present}  # next block index per term
+    decoded: dict[tuple[str, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    lo_doc = 0
+    for w_hi in bounds:
+        # blocks overlapping window [lo_doc, w_hi]
+        ub = 0.0
+        active: list[tuple[str, int]] = []
+        for t in present:
+            bl, b_ub, _ = blocks[t]
+            ci = cursors[t]
+            if ci < len(bl) and bl[ci] >= lo_doc:
+                # this term's current block overlaps iff its first doc <= w_hi;
+                # conservative: include if block range intersects window
+                prev_last = bl[ci - 1] if ci > 0 else -1
+                if prev_last < w_hi:
+                    ub += b_ub[ci]
+                    active.append((t, ci))
+        if active and (len(heap) < k or ub > theta):
+            # decode + score this window
+            win_post: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+            for t, ci in active:
+                key = (t, ci)
+                if key not in decoded:
+                    _, _, b_off = blocks[t]
+                    decoded[key] = codecs.decode_block(blobs[t], int(b_off[ci]))[:3]
+                d, tf, dl = decoded[key]
+                m = (d >= lo_doc) & (d <= w_hi)
+                if m.any():
+                    win_post[t] = (d[m], tf[m], dl[m])
+            docs_w, scores_w = _score_union_exhaustive(win_post, terms_sorted, idf, avgdl)
+            for doc, sc in zip(docs_w.tolist(), scores_w.tolist()):
+                if len(heap) < k:
+                    heapq.heappush(heap, (sc, -doc))
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                elif sc > theta or (sc == theta and -doc > heap[0][1]):
+                    heapq.heapreplace(heap, (sc, -doc))
+                    theta = heap[0][0]
+        # advance cursors whose current block ends at this boundary
+        for t in present:
+            bl = blocks[t][0]
+            ci = cursors[t]
+            if ci < len(bl) and bl[ci] == w_hi:
+                cursors[t] = ci + 1
+        lo_doc = int(w_hi) + 1
+    if not heap:
+        return np.array([], np.int64), np.array([], np.float64)
+    items = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return (
+        np.array([-d for _, d in items], dtype=np.int64),
+        np.array([s for s, _ in items], dtype=np.float64),
+    )
+
+
+class IndexSearcher:
+    """Query-side entry point over a published index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.n_docs = self.manifest["globals"]["n_docs"]
+        self.avgdl = self.manifest["globals"]["avgdl"]
+        self.n_term_buckets = self.manifest["params"]["n_term_buckets"]
+        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+
+    def _term_rows(self, terms: list[str]) -> DataFrame:
+        buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
+        return self._postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def global_dfs(self, terms: list[str]) -> dict[str, int]:
+        rows = (
+            self._term_rows(terms)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def search(
+        self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "exhaustive"
+    ) -> DataFrame:
+        """Top-k BM25.  Returns DataFrame(doc_id, score) already sorted
+        by (score desc, doc_id asc), exactly k rows or fewer."""
+        terms_sorted = sorted(set(terms))
+        dfs = self.global_dfs(terms_sorted)
+        if mode.upper() == "AND" and any(t not in dfs for t in terms_sorted):
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        if not dfs:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        avgdl = self.avgdl
+        mode_u = mode.upper()
+
+        def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            if mode_u == "OR" and algo == "bmw":
+                blobs = {r.term: bytes(r.blob) for r in pdf.itertuples()}
+                blocks = {
+                    r.term: (
+                        np.asarray(r.block_last, dtype=np.int64),
+                        np.asarray(r.block_max_score, dtype=np.float64) * idf[r.term],
+                        np.asarray(r.block_off, dtype=np.int32),
+                    )
+                    for r in pdf.itertuples()
+                }
+                docs, scores = _score_union_blockmax(
+                    blobs, blocks, terms_sorted, idf, avgdl, k
+                )
+                return pd.DataFrame({"doc_id": docs, "score": scores})
+            postings = {}
+            for r in pdf.itertuples():
+                d, tf, dl = codecs.decode_postings(bytes(r.blob))
+                postings[r.term] = (d, tf, dl)
+            if mode_u == "AND":
+                docs, scores = _score_intersection(postings, terms_sorted, idf, avgdl)
+            else:
+                docs, scores = _score_union_exhaustive(postings, terms_sorted, idf, avgdl)
+            docs, scores = _topk(docs, scores, k)
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        rows = self._term_rows(terms_sorted)
+        per_segment = rows.groupBy("segment").applyInPandas(
+            score_segment, schema=RESULT_SCHEMA
+        )
+        return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_exhaustive_df(
+    docs: DataFrame,
+    terms: list[str],
+    mode: str = "OR",
+    k: int = 10,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Pure-DataFrame BM25 (no index): the Catalyst-only baseline used
+    as correctness anchor and for ad-hoc scoring of un-indexed tables.
+
+    `docs` must have (id_col, tokens_col: array<string>).  Shuffle
+    profile: one explode + two aggs + one broadcast join — fine at any
+    scale, but reads the whole corpus per query (that is exactly the
+    cost the inverted index removes)."""
+    terms_sorted = sorted(set(terms))
+    spark = docs.sparkSession
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size(tokens_col)).alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 0.0)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens_col).alias("dl"), F.col(tokens_col).alias("toks")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms_sorted))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf_rows = [(t, bm25_idf(n_docs, d)) for t, d in ((r["term"], r["df"]) for r in dfs.collect())]
+    if not idf_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    idf_df = F.broadcast(spark.createDataFrame(idf_rows, schema="term string, idf double"))
+    w = (F.lit(BM25_K1 + 1.0) * F.col("tf")) / (
+        F.col("tf") + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+    )
+    scored = tf.join(idf_df, "term").withColumn("contrib", F.col("idf") * w)
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score"), F.count("*").alias("n_terms_hit")
+    )
+    if mode.upper() == "AND":
+        agg = agg.filter(F.col("n_terms_hit") == len(terms_sorted))
+    return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

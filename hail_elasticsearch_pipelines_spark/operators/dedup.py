@@ -1,0 +1,294 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents
+table.  The reference's only dedup is `distinct()` on keyed tables
+(write_combined_reference_data_ht.py:278) and latest-crawl-wins
+(our sources/readers.dedupe_latest); these operators extend that to
+content-level near-dup detection.
+
+Scale notes (100 TB):
+  * exact: one hash-groupBy shuffle; map-side combine collapses dups
+  * shingle self-join (n-gram Jaccard): the candidate join explodes on
+    hot shingles → common shingles capped by `max_shingle_df`
+    (equivalent of dropping stopword shingles — standard practice)
+  * MinHash: signatures via one vectorized pandas_udf over xxhash64
+    shingles (JVM-side hashing); LSH banding turns all-pairs into a
+    per-bucket join; verification joins signatures only for candidate
+    pairs
+  * SimHash: 64-bit fingerprint per doc, banded into 4×16-bit chunks →
+    Hamming-distance candidates
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokenize import tokenize_col
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct text (hash groupBy — one
+    shuffle, combiner-friendly).  Returns (id_col, text_col, group_size)."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("group_size"),
+        )
+        .select(id_col, text_col, "group_size")
+    )
+
+
+def token_shingles(col, n: int = 3):
+    """Distinct token n-gram shingles as array<string> (JVM-side)."""
+    toks = tokenize_col(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All pairs (a < b) with token-n-gram Jaccard >= threshold, exactly,
+    via a shingle inverted-index self-join:
+        |A ∩ B| from the join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+    `max_shingle_df` drops ubiquitous shingles from candidate generation
+    ONLY as a join-explosion guard; pass None for exact semantics."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(token_shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- MinHash
+
+def _minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERSENNE_P, n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_perm: int = 64,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash over xxhash64(shingle).
+
+    Shingle hashing stays JVM-side (xxhash64); the n_perm universal-hash
+    min-reduction is one Arrow-vectorized pandas_udf (numpy outer-mod),
+    no per-row Python."""
+    A, B = _minhash_params(n_perm, seed)
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(token_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
+            "shash"
+        ),
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ser in batches:
+            out = []
+            for arr in ser:
+                if arr is None or len(arr) == 0:
+                    out.append(np.full(n_perm, MERSENNE_P, dtype=np.int64))
+                    continue
+                with np.errstate(over="ignore"):
+                    x = np.asarray(arr, dtype=np.uint64) & np.uint64(MERSENNE_P)
+                    hv = (x[:, None] * A[None, :] + B[None, :]) % np.uint64(MERSENNE_P)
+                out.append(hv.min(axis=0).astype(np.int64))
+            yield pd.Series(out)
+
+    return shingled.select("id", sig_udf("shash").alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: pairs sharing >= 1 band bucket.  Band hash is
+    xxhash64 of the band's signature slice (JVM-side).  Returns
+    (id_a < id_b) distinct candidate pairs."""
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidates via LSH, then EXACT n-gram-Jaccard verification of the
+    candidate pairs only (join back to shingle sets).  Output:
+    (id_a, id_b, jaccard) with jaccard >= threshold."""
+    rows_per_band = n_perm // n_bands
+    sigs = minhash_signatures(df, n_perm, shingle_n, text_col, id_col)
+    cand = minhash_lsh_candidates(sigs, n_bands, rows_per_band)
+    sh = df.select(
+        F.col(id_col).alias("id"), token_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+@F.pandas_udf(T.LongType())
+def _simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-bit SimHash over per-token xxhash64 values weighted by tf."""
+    for ser in batches:
+        out = np.zeros(len(ser), dtype=np.int64)
+        for i, arr in enumerate(ser):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.uint64)
+            uniq, tf = np.unique(h, return_counts=True)
+            bits = ((uniq[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            v = ((bits * 2 - 1) * tf[:, None]).sum(axis=0)
+            fp = np.uint64(0)
+            for j in np.nonzero(v > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(fp.astype(np.int64))
+        yield pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: long)."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokenize_col(text_col), lambda t: F.xxhash64(t)).alias("th"),
+    )
+    return hashed.select("id", _simhash_udf("th").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    4×16-bit band blocking (any pair within distance 3 shares at least
+    one exact 16-bit band — pigeonhole)."""
+    fps = simhash(df, text_col, id_col)
+    bands = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.chunk")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

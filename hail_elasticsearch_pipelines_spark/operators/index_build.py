@@ -1,0 +1,275 @@
+"""Distributed inverted-index build: the graft of the reference's
+annotate → aggregate-entries → export-to-Elasticsearch flow
+(luigi_pipeline/seqr_loading.py:64-90 → hail_scripts/v02/utils/
+elasticsearch_client.py:26-214), built natively on Spark.
+
+Dataflow (all stages resumable via plans/pipeline.py):
+
+  normalize   dedupe by url (latest warc_ts wins) + extract text from
+              html where null (Arrow UDF) — reference's split/validate
+              ingest stage
+  docs        deterministic dense doc_id by url order + doc_len;
+              globals N/avgdl (reference: count_rows + shard sizing,
+              hail_tasks.py:247-251)
+  partial     range-partition by doc_id → per-partition inverted index
+              built inside mapInPandas (vectorized factorize/unique, no
+              per-row Python) → (term, segment, compressed blob) rows.
+              The analog of per-row genotype aggregation
+              (seqr_mt_schema.py:255-305) with the axis INVERTED.
+  merge       shuffle-merge partials by (term, segment_group): because
+              doc ranges are disjoint+ordered across partials, merging
+              is O(bytes) concatenation (codecs.merge_encoded) — the
+              scatter/gather of batch_seqr_loader/vqsr.py:393-471.
+              The segment dimension is the SALT: a high-DF stopword's
+              postings never hit one reducer; they stay split across
+              num_segments keys (explicit skew handling per north rule).
+  publish     parquet/Iceberg tables partitioned by term_bucket (term
+              lookups prune to 1/N of files) + manifest JSON with
+              globals and metrics (docs indexed, postings emitted,
+              bytes compressed) — the ES index-create/forcemerge analog
+              (elasticsearch_client_v7.py:84-107).
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import codecs
+from ..functions.extract import extracted_text_col
+from ..functions.tokenize import token_count_col, tokenize_col
+from ..sources.readers import assign_dense_ids, dedupe_latest
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("part", T.IntegerType(), False),
+        T.StructField("segment", T.IntegerType(), False),
+        T.StructField("min_doc", T.LongType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("cf", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+        T.StructField("block_last", T.ArrayType(T.LongType()), False),
+        T.StructField("block_max_tf", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_max_score", T.ArrayType(T.DoubleType()), False),
+        T.StructField("block_off", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [f for f in PARTIAL_SCHEMA.fields if f.name != "part"]
+    + [T.StructField("n_bytes", T.LongType(), False)]
+)
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    """Lucene-style BM25 idf: ln(1 + (N - df + .5)/(df + .5))."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_tf_weight(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """(k1+1)*tf / (tf + k1*(1 - b + b*dl/avgdl)) — float64 throughout."""
+    tf = tf.astype(np.float64)
+    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl)
+    return (BM25_K1 + 1.0) * tf / (tf + norm)
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def normalize_pages(pages: DataFrame, lang_filter: list[str] | None = None) -> DataFrame:
+    """Dedupe to latest crawl per url, fill missing text from html."""
+    df = dedupe_latest(pages, key="url", ts="warc_ts")
+    if lang_filter:
+        df = df.filter(F.col("lang").isin(lang_filter))
+    return df.select(
+        "url",
+        extracted_text_col("text", "html").alias("text"),
+        "lang",
+        "warc_ts",
+    )
+
+
+def docs_with_ids(normalized: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Dense doc_id in url order + doc_len (BM25 `dl`)."""
+    return assign_dense_ids(
+        normalized.select("url", "text"), key="url", num_partitions=num_partitions
+    ).withColumn("doc_len", token_count_col("text"))
+
+
+def corpus_stats(docs: DataFrame) -> dict:
+    row = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_len").alias("total_tokens"),
+    ).collect()[0]
+    n = int(row["n_docs"])
+    total = int(row["total_tokens"] or 0)
+    return {"n_docs": n, "total_tokens": total, "avgdl": (total / n) if n else 0.0}
+
+
+def _build_partial_index(pdf: pd.DataFrame, avgdl: float, seg_group: int) -> pd.DataFrame:
+    """Inverted index for one doc-range part: vectorized (factorize /
+    unique / reduceat), no per-row Python.
+
+    `part` is a deterministic function of doc_id (doc_id // width), NOT
+    a task/partition id — the index content is therefore byte-identical
+    under any physical partitioning (merge-determinism contract)."""
+    empty = pd.DataFrame({f.name: pd.Series(dtype=object) for f in PARTIAL_SCHEMA})
+    if pdf.empty:
+        return empty
+    pdf = pdf.sort_values("doc_id")
+    part = int(pdf["part"].iloc[0])
+    toks = pdf["tokens"]
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        return empty
+    terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    docs = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+    dls = np.repeat(pdf["doc_len"].to_numpy(np.int64), lens)
+
+    tcodes, uniq_terms = pd.factorize(terms, sort=True)
+    dcodes, uniq_docs = pd.factorize(docs, sort=False)  # appearance==ascending
+    uniq_docs = np.asarray(uniq_docs, dtype=np.int64)
+    first_idx = np.unique(dcodes, return_index=True)[1]
+    dl_by_doc = dls[first_idx]  # aligned with uniq_docs
+
+    n_docs_local = len(uniq_docs)
+    key = tcodes.astype(np.int64) * n_docs_local + dcodes
+    ukey, counts = np.unique(key, return_counts=True)
+    u_t = (ukey // n_docs_local).astype(np.int64)
+    u_d = (ukey % n_docs_local).astype(np.int64)
+    bounds = np.searchsorted(u_t, np.arange(len(uniq_terms) + 1))
+
+    rows = []
+    for ti in range(len(uniq_terms)):
+        lo, hi = bounds[ti], bounds[ti + 1]
+        if lo == hi:
+            continue
+        d_idx = u_d[lo:hi]
+        doc_arr = uniq_docs[d_idx]
+        tf_arr = counts[lo:hi].astype(np.int64)
+        dl_arr = dl_by_doc[d_idx]
+        blob, blast, bmaxtf, boff = codecs.encode_postings(doc_arr, tf_arr, dls=dl_arr)
+        w = bm25_tf_weight(tf_arr, dl_arr, avgdl)
+        starts = np.arange(0, len(doc_arr), codecs.BLOCK_SIZE)
+        bmax_score = np.maximum.reduceat(w, starts)
+        rows.append(
+            (
+                str(uniq_terms[ti]),
+                part,
+                part // seg_group,
+                int(doc_arr[0]),
+                int(len(doc_arr)),
+                int(tf_arr.sum()),
+                blob,
+                blast.tolist(),
+                bmaxtf.tolist(),
+                bmax_score.tolist(),
+                boff.tolist(),
+            )
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in PARTIAL_SCHEMA])
+
+
+def build_partials(
+    docs: DataFrame, avgdl: float, docs_per_part: int, seg_group: int
+) -> DataFrame:
+    """Stage `partial`: assign each doc to a fixed-width doc-id range
+    (`part = doc_id // docs_per_part` — deterministic, dense ids make it
+    balanced with NO sampling-dependent boundaries), tokenize JVM-side,
+    and build each part's inverted index in one Arrow group.
+
+    `applyInPandas` over `part` is the UDAF shape the reference never
+    needed (SURVEY §2.9 U5): partition → (term, postings blob) rows."""
+    tokenized = docs.select(
+        "doc_id",
+        "doc_len",
+        tokenize_col("text").alias("tokens"),
+        (F.col("doc_id") / F.lit(docs_per_part)).cast("int").alias("part"),
+    )
+    return tokenized.groupBy("part").applyInPandas(
+        lambda pdf: _build_partial_index(pdf, avgdl, seg_group),
+        schema=PARTIAL_SCHEMA,
+    )
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge partial postings of one (term, segment) group.  Partials
+    have disjoint ascending doc ranges → byte-level concat merge."""
+    pdf = pdf.sort_values("min_doc")
+    parts = [
+        (
+            row.blob,
+            np.asarray(row.block_last, dtype=np.int64),
+            np.asarray(row.block_max_tf, dtype=np.int32),
+            np.asarray(row.block_off, dtype=np.int32),
+        )
+        for row in pdf.itertuples()
+    ]
+    blob, blast, bmaxtf, boff = codecs.merge_encoded(parts)
+    bmax_score = np.concatenate([np.asarray(s, dtype=np.float64) for s in pdf["block_max_score"]])
+    return pd.DataFrame(
+        [
+            (
+                pdf["term"].iloc[0],
+                int(pdf["segment"].iloc[0]),
+                int(pdf["min_doc"].min()),
+                int(pdf["df"].sum()),
+                int(pdf["cf"].sum()),
+                blob,
+                blast.tolist(),
+                bmaxtf.tolist(),
+                bmax_score.tolist(),
+                boff.tolist(),
+                len(blob),
+            )
+        ],
+        columns=[f.name for f in POSTINGS_SCHEMA],
+    )
+
+
+def merge_partials(partials: DataFrame) -> DataFrame:
+    """Stage `merge`: shuffle partials by (term, segment) and concat-
+    merge.  segment = part // seg_group keeps every term's postings
+    split across ~num_parts/seg_group keys — the explicit salt that
+    stops stopword skew from serializing on one reducer (north rule)
+    and bounds the largest single row at 10^12 docs."""
+    return partials.groupBy("term", "segment").applyInPandas(
+        lambda pdf: _merge_group(pdf), schema=POSTINGS_SCHEMA
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    docs_per_part: int | None = None,
+    seg_group: int = 4,
+    n_term_buckets: int = 16,
+    lang_filter: list[str] | None = None,
+    n_chunks: int = 1,
+) -> dict:
+    """One-shot build via the resumable staged pipeline
+    (plans/pipeline.py).  Returns the manifest dict."""
+    from ..plans.pipeline import IndexBuildPipeline
+
+    pipe = IndexBuildPipeline(
+        spark,
+        out_dir,
+        docs_per_part=docs_per_part,
+        seg_group=seg_group,
+        n_term_buckets=n_term_buckets,
+        lang_filter=lang_filter,
+        n_chunks=n_chunks,
+    )
+    return pipe.run(pages)

@@ -1,0 +1,77 @@
+"""Single-process reference implementation ("the reference engine").
+
+This is the graft's analog of the reference's golden-data strategy: a
+deterministic, dependency-free implementation whose outputs define
+correctness (like `DERIVED_DATA` in luigi_pipeline/tests/data/
+sample_vep.py and the exact-aggregation assertions in
+tests/model/test_seqr_mt_schema.py:35-119).  The distributed engine
+must match it:
+
+  * posting lists: exactly (term → ascending doc_ids, tfs)
+  * BM25 top-k: rank-identical AND score-bit-identical (same float64
+    accumulation order: ascending term order per doc)
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from .functions.tokenize import py_tokenize
+from .operators.index_build import BM25_B, BM25_K1, bm25_idf
+
+
+class OracleIndex:
+    def __init__(self, docs: dict[int, str]):
+        """docs: doc_id -> text (doc_ids dense, text already extracted)."""
+        self.doc_tokens = {d: py_tokenize(t) for d, t in docs.items()}
+        self.doc_len = {d: len(tk) for d, tk in self.doc_tokens.items()}
+        self.n_docs = len(docs)
+        total = sum(self.doc_len.values())
+        self.avgdl = total / self.n_docs if self.n_docs else 0.0
+        self.postings: dict[str, list[tuple[int, int]]] = {}
+        for d in sorted(self.doc_tokens):
+            for term, tf in sorted(Counter(self.doc_tokens[d]).items()):
+                self.postings.setdefault(term, []).append((d, tf))
+
+    def posting(self, term: str) -> tuple[list[int], list[int]]:
+        pl = self.postings.get(term, [])
+        return [d for d, _ in pl], [tf for _, tf in pl]
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def score(self, terms: list[str], mode: str = "OR") -> dict[int, float]:
+        """Full scoring (no k cutoff).  float64, ascending-term-order
+        accumulation — the determinism contract."""
+        terms_sorted = sorted(set(terms))
+        present = [t for t in terms_sorted if t in self.postings]
+        if mode.upper() == "AND":
+            if len(present) != len(terms_sorted):
+                return {}
+            docsets = [set(d for d, _ in self.postings[t]) for t in present]
+            candidates = set.intersection(*docsets) if docsets else set()
+        else:
+            candidates = set()
+            for t in present:
+                candidates.update(d for d, _ in self.postings[t])
+        scores: dict[int, float] = {d: np.float64(0.0) for d in candidates}
+        for t in present:
+            idf = bm25_idf(self.n_docs, self.df(t))
+            for d, tf in self.postings[t]:
+                if d not in scores:
+                    continue
+                dl = self.doc_len[d]
+                w = (
+                    (BM25_K1 + 1.0)
+                    * np.float64(tf)
+                    / (np.float64(tf) + BM25_K1 * (1.0 - BM25_B + BM25_B * np.float64(dl) / self.avgdl))
+                )
+                scores[d] = scores[d] + idf * w
+        return {d: float(s) for d, s in scores.items()}
+
+    def topk(self, terms: list[str], mode: str = "OR", k: int = 10) -> list[tuple[int, float]]:
+        scores = self.score(terms, mode)
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+        return ranked[:k]

@@ -1,0 +1,264 @@
+"""Resumable staged index-build pipeline.
+
+Reference analogs, re-expressed:
+  * Luigi task graph with marker-file `complete()` checks — `_SUCCESS`
+    (luigi_pipeline/lib/hail_tasks.py:66-70) and `_EXPORTED_TO_ES`
+    (seqr_loading.py:174,198-211) → per-stage `_SUCCESS` +
+    `_INDEX_PUBLISHED` markers
+  * `can_reuse(path)` skip-if-complete (batch_seqr_loader/seqr_loader/
+    utils.py:81-94) → `can_reuse()` with an input-fingerprint check
+  * deterministic artifact identity `samples_hash = sha256(sorted ids)`
+    (batch_workflow.py:417-418, utils.py:97-105) → stage fingerprints =
+    sha256 of (params, upstream fingerprint)
+  * per-interval scatter with per-unit skip-or-schedule
+    (batch_workflow.py:318-406) → doc-range CHUNKS: the partial-index
+    stage runs as n_chunks independent Spark jobs over disjoint doc-id
+    ranges, each with its own marker — kill the build mid-way and the
+    re-run skips completed chunks (per-partition checkpoint resume,
+    north rule)
+  * metrics into the index `_meta` (elasticsearch_client.py:183-187) →
+    manifest.json: docs indexed, postings emitted, bytes compressed +
+    per-chunk lineage rows (FIXTURES.md F6 schema)
+
+Layout under out_dir/:
+    stages/normalize/        url,text,lang,warc_ts parquet
+    stages/docs/             doc_id,url,text,doc_len parquet + globals
+    stages/partials/chunk=K/ partial postings parquet per chunk
+    lineage/                 per-chunk/per-part metric rows (F6)
+    postings/                final index, partitioned by term_bucket
+    doclens/                 doc_id,url,doc_len
+    manifest.json            globals + metrics + lineage summary
+    _INDEX_PUBLISHED         publish marker
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import index_build as ib
+from . import sizing
+
+
+def _fingerprint(obj) -> str:
+    return hashlib.sha256(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:32]
+
+
+def can_reuse(path: str, fingerprint: str) -> bool:
+    """Stage output is reusable iff its completion marker exists AND it
+    was produced from the same inputs/params (fingerprint match)."""
+    fp_file = os.path.join(path, "_FINGERPRINT")
+    if not (os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(fp_file)):
+        return False
+    with open(fp_file) as f:
+        return f.read().strip() == fingerprint
+
+
+def mark_complete(path: str, fingerprint: str) -> None:
+    with open(os.path.join(path, "_FINGERPRINT"), "w") as f:
+        f.write(fingerprint)
+
+
+class IndexBuildPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        docs_per_part: int | None = None,
+        seg_group: int = 4,
+        n_term_buckets: int = 16,
+        lang_filter: list[str] | None = None,
+        n_chunks: int = 1,
+        input_fingerprint: str | None = None,
+    ):
+        self.spark = spark
+        self.out = out_dir
+        self.docs_per_part = docs_per_part
+        self.seg_group = seg_group
+        self.n_term_buckets = n_term_buckets
+        self.lang_filter = lang_filter
+        self.n_chunks = max(1, n_chunks)
+        self.input_fingerprint = input_fingerprint or "unfingerprinted-input"
+        self.params_fp = _fingerprint(
+            {
+                "docs_per_part": docs_per_part,
+                "seg_group": seg_group,
+                "n_term_buckets": n_term_buckets,
+                "lang_filter": lang_filter,
+                "n_chunks": n_chunks,
+                "input": self.input_fingerprint,
+            }
+        )
+
+    # -- paths ---------------------------------------------------------
+    def _p(self, *parts: str) -> str:
+        return os.path.join(self.out, *parts)
+
+    # -- stages --------------------------------------------------------
+    def run(self, pages: DataFrame) -> dict:
+        os.makedirs(self.out, exist_ok=True)
+        self._stage_normalize(pages)
+        globals_ = self._stage_docs()
+        self._stage_partials(globals_)
+        manifest = self._stage_publish(globals_)
+        return manifest
+
+    def _stage_normalize(self, pages: DataFrame) -> None:
+        path = self._p("stages", "normalize")
+        fp = _fingerprint(["normalize", self.params_fp])
+        if can_reuse(path, fp):
+            return
+        ib.normalize_pages(pages, self.lang_filter).write.mode("overwrite").parquet(path)
+        mark_complete(path, fp)
+
+    def _stage_docs(self) -> dict:
+        path = self._p("stages", "docs")
+        fp = _fingerprint(["docs", self.params_fp])
+        gpath = self._p("stages", "docs", "_GLOBALS.json")
+        if can_reuse(path, fp):
+            with open(gpath) as f:
+                return json.load(f)
+        normalized = self.spark.read.parquet(self._p("stages", "normalize"))
+        docs = ib.docs_with_ids(normalized)
+        docs.write.mode("overwrite").parquet(path)
+        docs = self.spark.read.parquet(path)
+        globals_ = ib.corpus_stats(docs)
+        if self.docs_per_part is None:
+            self.docs_per_part = max(
+                1,
+                min(
+                    sizing.TARGET_DOCS_PER_BUILD_PARTITION,
+                    math.ceil(
+                        globals_["n_docs"]
+                        / max(self.spark.sparkContext.defaultParallelism, 1)
+                    ),
+                ),
+            )
+        globals_["docs_per_part"] = self.docs_per_part
+        globals_["n_parts"] = math.ceil(globals_["n_docs"] / self.docs_per_part) if globals_["n_docs"] else 0
+        with open(gpath, "w") as f:
+            json.dump(globals_, f)
+        mark_complete(path, fp)
+        return globals_
+
+    def _chunk_ranges(self, n_docs: int) -> list[tuple[int, int, int]]:
+        """(chunk_id, lo_doc, hi_doc) — disjoint doc-id ranges aligned to
+        part boundaries so a chunk re-run regenerates whole parts."""
+        parts_total = math.ceil(n_docs / self.docs_per_part) if n_docs else 0
+        per_chunk = math.ceil(parts_total / self.n_chunks) if parts_total else 0
+        out = []
+        for c in range(self.n_chunks):
+            lo_part = c * per_chunk
+            hi_part = min((c + 1) * per_chunk, parts_total)
+            if lo_part >= hi_part:
+                continue
+            out.append((c, lo_part * self.docs_per_part, hi_part * self.docs_per_part))
+        return out
+
+    def _stage_partials(self, globals_: dict) -> None:
+        self.docs_per_part = globals_["docs_per_part"]
+        docs = self.spark.read.parquet(self._p("stages", "docs"))
+        for chunk_id, lo, hi in self._chunk_ranges(globals_["n_docs"]):
+            cpath = self._p("stages", "partials", f"chunk={chunk_id}")
+            fp = _fingerprint(["partials", self.params_fp, chunk_id, lo, hi, globals_["avgdl"]])
+            if can_reuse(cpath, fp):
+                continue
+            chunk_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            partials = ib.build_partials(
+                chunk_docs, globals_["avgdl"], self.docs_per_part, self.seg_group
+            )
+            partials.write.mode("overwrite").parquet(cpath)
+            # per-part lineage + metrics (FIXTURES.md F6)
+            lineage = (
+                self.spark.read.parquet(cpath)
+                .groupBy("part")
+                .agg(
+                    F.sum("df").alias("postings_emitted"),
+                    F.sum(F.length("blob")).alias("bytes_compressed"),
+                )
+                .withColumn("stage", F.lit("partial_index"))
+                .withColumn("chunk", F.lit(chunk_id))
+                .withColumn("input_fingerprint", F.lit(fp))
+                .withColumnRenamed("part", "partition_id")
+            )
+            docs_per = chunk_docs.groupBy(
+                (F.col("doc_id") / F.lit(self.docs_per_part)).cast("int").alias("partition_id")
+            ).agg(F.count("*").alias("docs_indexed"))
+            lineage = lineage.join(docs_per, "partition_id", "left")
+            lineage.write.mode("overwrite").parquet(
+                self._p("lineage", f"stage=partial_index", f"chunk={chunk_id}")
+            )
+            mark_complete(cpath, fp)
+
+    def _stage_publish(self, globals_: dict) -> dict:
+        marker = self._p("_INDEX_PUBLISHED")
+        fp = _fingerprint(["publish", self.params_fp, globals_])
+        manifest_path = self._p("manifest.json")
+        if os.path.exists(marker) and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            if m.get("fingerprint") == fp:
+                return m
+        partials = self.spark.read.parquet(self._p("stages", "partials"))
+        merged = ib.merge_partials(partials).withColumn(
+            "term_bucket",
+            F.crc32(F.col("term").cast("binary")) % F.lit(self.n_term_buckets),
+        )
+        # staging-then-swap: the ES "loading nodes then hand-off" analog
+        staging = self._p("postings__staging")
+        (
+            merged.repartition(self.n_term_buckets, "term_bucket")
+            .sortWithinPartitions("term", "segment")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(staging)
+        )
+        final = self._p("postings")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(staging, final)
+
+        docs = self.spark.read.parquet(self._p("stages", "docs"))
+        docs.select("doc_id", "url", "doc_len").write.mode("overwrite").parquet(
+            self._p("doclens")
+        )
+
+        postings = self.spark.read.parquet(final)
+        metrics_row = postings.agg(
+            F.sum("df").alias("postings_emitted"),
+            F.sum("n_bytes").alias("bytes_compressed"),
+            F.count("*").alias("posting_rows"),
+            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("segment").alias("n_segments"),
+        ).collect()[0]
+        manifest = {
+            "fingerprint": fp,
+            "params": {
+                "docs_per_part": self.docs_per_part,
+                "seg_group": self.seg_group,
+                "n_term_buckets": self.n_term_buckets,
+                "lang_filter": self.lang_filter,
+                "n_chunks": self.n_chunks,
+            },
+            "globals": globals_,
+            "metrics": {
+                "docs_indexed": globals_["n_docs"],
+                "postings_emitted": int(metrics_row["postings_emitted"] or 0),
+                "bytes_compressed": int(metrics_row["bytes_compressed"] or 0),
+                "posting_rows": int(metrics_row["posting_rows"]),
+                "n_terms": int(metrics_row["n_terms"]),
+                "n_segments": int(metrics_row["n_segments"]),
+            },
+            "bm25": {"k1": ib.BM25_K1, "b": ib.BM25_B},
+        }
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+        with open(marker, "w") as f:
+            f.write(fp)
+        return manifest

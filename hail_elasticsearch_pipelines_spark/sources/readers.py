@@ -1,0 +1,120 @@
+"""Table readers + ingest-side operators.
+
+Reference analogs:
+  * `hl.import_vcf` / `hl.read_table` with explicit schemas and
+    min_partitions (luigi_pipeline/lib/hail_tasks.py:77-89,
+    hail_scripts/v02/utils/hail_utils.py:9-32) → `read_pages` /
+    `import_typed_tsv`
+  * path-existence fail-fast (luigi_pipeline/seqr_loading.py:16-18,46-56)
+    → `check_inputs_exist`
+  * `distinct()` before join (write_combined_reference_data_ht.py:278) →
+    `dedupe_latest` (latest warc_ts wins, per BASELINE.json)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def check_inputs_exist(paths: list[str]) -> None:
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(f"input paths do not exist: {missing}")
+
+
+def read_pages(spark: SparkSession, source: str, min_partitions: int | None = None) -> DataFrame:
+    """Read the pages corpus from an Iceberg table name or a parquet path.
+
+    Iceberg is used when the session has a catalog with the table
+    (production path per BASELINE.json); parquet is the sandbox
+    fallback — same DataFrame either way, Catalyst handles pushdown for
+    both."""
+    if os.path.exists(source) or source.startswith(("file:", "hdfs:", "s3:")):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.read.table(source)
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
+    return df
+
+
+def import_typed_tsv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    comment: str = "#",
+    null_value: str = ".",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """`hl.import_table` analog: typed TSV with comment/missing handling."""
+    reader = (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .option("comment", comment)
+        .option("nullValue", null_value)
+    )
+    df = reader.csv(path, schema=schema) if schema is not None else reader.option("inferSchema", "true").csv(path)
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
+    return df
+
+
+def dedupe_latest(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
+    """Keep the newest crawl row per key (latest `warc_ts` wins).
+
+    Implemented as `max_by` aggregation (partial-agg/combiner friendly —
+    one shuffle, no sort, no window) rather than a row_number window:
+    at 10^12 rows the map-side combine collapses duplicate urls before
+    the shuffle.  Ties (same ts) break deterministically by html size
+    then html bytes."""
+    payload = F.struct(*[c for c in df.columns if c != key])
+    order = F.struct(F.col(ts), F.length("html").alias("_sz"), F.col("html"))
+    out = df.groupBy(key).agg(F.max_by(payload, order).alias("_row"))
+    return out.select(key, "_row.*")
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    key: str = "url",
+    num_partitions: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic dense 0..N-1 ids in global `key` order, without any
+    single-partition bottleneck or driver collect of data rows.
+
+    Two-pass scheme (the scalable zipWithIndex): range-partition by key,
+    count rows per range partition (a P-row driver collect), then
+    id = partition_offset + (row_number within partition ordered by key).
+    Range partitions are ordered by key, so the result is the global
+    rank regardless of where the sampled range boundaries fall.
+
+    Reference analog: docId assignment at export
+    (luigi_pipeline/lib/model/seqr_mt_schema.py:71-73) — but theirs is a
+    content-derived string; ours must be dense ints for delta-encoded
+    posting lists."""
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(num_partitions, key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, schema="_pid int, _offset long")
+    )
+    w = Window.partitionBy("_pid").orderBy(key)
+    out = (
+        ranged.join(off_df, "_pid")
+        .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset")
+    )
+    return out

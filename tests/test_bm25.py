@@ -1,0 +1,78 @@
+"""Rank-identical (and score-bit-identical) BM25 top-k vs the oracle —
+the north-rule correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+    IndexSearcher,
+    bm25_exhaustive_df,
+)
+from hail_elasticsearch_pipelines_spark.functions.tokenize import tokenize_col
+from hail_elasticsearch_pipelines_spark.sources.corpus import reference_queries
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, small_index):
+    index_dir, _ = small_index
+    return IndexSearcher(spark, index_dir)
+
+
+def _assert_identical(got_rows, expected):
+    got = [(r["doc_id"], r["score"]) for r in got_rows]
+    assert [d for d, _ in got] == [d for d, _ in expected], "rank mismatch"
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gs == es, f"score not bit-identical for doc {gd}: {gs} != {es}"
+
+
+@pytest.mark.parametrize("q", reference_queries(), ids=lambda q: q["query_id"])
+def test_reference_query_set_exhaustive(searcher, small_oracle, q):
+    oracle, _ = small_oracle
+    expected = oracle.topk(q["terms"], q["mode"], q["k"])
+    got = searcher.search(q["terms"], q["mode"], q["k"], algo="exhaustive").collect()
+    _assert_identical(got, expected)
+
+
+@pytest.mark.parametrize("q", [q for q in reference_queries() if q["mode"] == "OR"], ids=lambda q: q["query_id"])
+def test_reference_query_set_blockmax(searcher, small_oracle, q):
+    oracle, _ = small_oracle
+    expected = oracle.topk(q["terms"], q["mode"], q["k"])
+    got = searcher.search(q["terms"], q["mode"], q["k"], algo="bmw").collect()
+    _assert_identical(got, expected)
+
+
+def test_and_absent_term_empty(searcher):
+    assert searcher.search(["zzznotaterm", "the"], "AND", 10).count() == 0
+
+
+def test_duplicate_query_terms_collapse(searcher, small_oracle):
+    oracle, _ = small_oracle
+    a = searcher.search(["the", "the", "of"], "OR", 5).collect()
+    b = searcher.search(["the", "of"], "OR", 5).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_k_edge_cases(searcher, small_oracle):
+    oracle, _ = small_oracle
+    got1 = searcher.search(["the"], "OR", 1).collect()
+    _assert_identical(got1, oracle.topk(["the"], "OR", 1))
+    big = searcher.search(["term4999"], "OR", 10_000).collect()
+    _assert_identical(big, oracle.topk(["term4999"], "OR", 10_000))
+
+
+def test_exhaustive_df_matches_oracle_ranks(spark, small_index, small_oracle):
+    """Catalyst-only BM25 path: ranks match; scores match to 1e-9 (sum
+    order inside groupBy is engine-side, so bit-identity isn't
+    contractual here)."""
+    oracle, pdf = small_oracle
+    index_dir, _ = small_index
+    docs = spark.read.parquet(f"{index_dir}/stages/docs").select(
+        "doc_id", tokenize_col("text").alias("tokens")
+    )
+    for q in reference_queries()[:4]:
+        expected = oracle.topk(q["terms"], q["mode"], q["k"])
+        got = bm25_exhaustive_df(docs, q["terms"], q["mode"], q["k"]).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in expected], q["query_id"]
+        for r, (d, s) in zip(got, expected):
+            assert r["score"] == pytest.approx(s, abs=1e-9)

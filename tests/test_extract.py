@@ -1,0 +1,69 @@
+"""Byte-identical HTML→text extraction (BASELINE.json per-row invariant).
+
+Reference analog: deterministic dummy-annotator tests
+(tests/model/test_seqr_mt_schema.py against VEP_DATA)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hail_elasticsearch_pipelines_spark.functions.extract import (
+    extract_text_udf,
+    extracted_text_col,
+    py_extract_text,
+)
+
+RULE_CASES = [
+    ("<p>hello</p>", "hello"),
+    ("<html><body>a  b</body></html>", "a b"),
+    ("<script>var x = '<p>not text</p>';</script>visible", "visible"),
+    ("<style>p { color: red }</style>styled", "styled"),
+    ("<!-- comment -->after", "after"),
+    ("a&amp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end", "a&b <tag> \"q\" 's' end"),
+    ("&amp;lt;stays-encoded&amp;gt;", "&lt;stays-encoded&gt;"),
+    ("<div><span>nested</span> <b>tags</b></div>", "nested tags"),
+    ("", ""),
+    ("no tags at all", "no tags at all"),
+    ("<p>multi\n\nline\twhitespace</p>", "multi line whitespace"),
+    ("<SCRIPT>UPPER.case()</SCRIPT>kept", "kept"),
+]
+
+
+def test_extraction_rules():
+    for html, expected in RULE_CASES:
+        assert py_extract_text(html) == expected, html
+        assert py_extract_text(html.encode("utf-8")) == expected
+
+
+def test_none_and_bytes():
+    assert py_extract_text(None) == ""
+    assert py_extract_text(b"<p>bytes</p>") == "bytes"
+
+
+def test_udf_matches_pure_function(spark, small_pages_pdf):
+    df = spark.createDataFrame(small_pages_pdf[["url", "html"]])
+    got = {r["url"]: r["t"] for r in df.select("url", extract_text_udf("html").alias("t")).collect()}
+    # byte-identical per url (sha256, FIXTURES.md F5)
+    for _, row in small_pages_pdf.iterrows():
+        expected = py_extract_text(row["html"])
+        assert got[row["url"]] == expected
+        assert (
+            hashlib.sha256(got[row["url"]].encode()).hexdigest()
+            == hashlib.sha256(expected.encode()).hexdigest()
+        )
+
+
+def test_null_text_fallback(spark, small_pages_pdf):
+    df = spark.createDataFrame(small_pages_pdf)
+    nulls = small_pages_pdf[small_pages_pdf["text"].isna()]
+    assert len(nulls) > 0, "fixture must contain null-text rows"
+    got = {
+        r["url"]: r["t"]
+        for r in df.select("url", extracted_text_col("text", "html").alias("t")).collect()
+    }
+    for _, row in nulls.iterrows():
+        assert got[row["url"]] == py_extract_text(row["html"])
+    assert not any(v is None for v in got.values())
