@@ -44,14 +44,20 @@ def test_none_and_bytes():
 
 
 def test_udf_matches_pure_function(spark, small_pages_pdf):
+    # key by (url, sha256(html)): recrawled urls appear twice with
+    # different html, and each row must extract byte-identically
     df = spark.createDataFrame(small_pages_pdf[["url", "html"]])
-    got = {r["url"]: r["t"] for r in df.select("url", extract_text_udf("html").alias("t")).collect()}
+    got = {
+        (r["url"], hashlib.sha256(bytes(r["html"])).hexdigest()): r["t"]
+        for r in df.select("url", "html", extract_text_udf("html").alias("t")).collect()
+    }
     # byte-identical per url (sha256, FIXTURES.md F5)
     for _, row in small_pages_pdf.iterrows():
         expected = py_extract_text(row["html"])
-        assert got[row["url"]] == expected
+        key = (row["url"], hashlib.sha256(bytes(row["html"])).hexdigest())
+        assert got[key] == expected
         assert (
-            hashlib.sha256(got[row["url"]].encode()).hexdigest()
+            hashlib.sha256(got[key].encode()).hexdigest()
             == hashlib.sha256(expected.encode()).hexdigest()
         )
 
@@ -61,9 +67,10 @@ def test_null_text_fallback(spark, small_pages_pdf):
     nulls = small_pages_pdf[small_pages_pdf["text"].isna()]
     assert len(nulls) > 0, "fixture must contain null-text rows"
     got = {
-        r["url"]: r["t"]
-        for r in df.select("url", extracted_text_col("text", "html").alias("t")).collect()
+        (r["url"], hashlib.sha256(bytes(r["html"])).hexdigest()): r["t"]
+        for r in df.select("url", "html", extracted_text_col("text", "html").alias("t")).collect()
     }
     for _, row in nulls.iterrows():
-        assert got[row["url"]] == py_extract_text(row["html"])
+        key = (row["url"], hashlib.sha256(bytes(row["html"])).hexdigest())
+        assert got[key] == py_extract_text(row["html"])
     assert not any(v is None for v in got.values())
