@@ -1,38 +1,548 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: build the inverted index over the sf0.001
+documents table and answer a BM25 top-k query from the index.
+
+`queries()` / `oracle_sql()` — one entry per implemented operator from
+SURVEY.md §2, each with its DuckDB-ANSI-SQL twin where the semantics
+are SQL-expressible.  Float-valued outputs are emitted as
+``floor(x * 1e6 + 0.5)`` micro-ints in BOTH engines so the driver's
+value-hash is insensitive to sub-1e-6 accumulation-order noise.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hail_elasticsearch_pipelines_spark.functions import text_quality as tq
+from hail_elasticsearch_pipelines_spark.functions.tokenize import (
+    token_count_col,
+    tokenize_col,
+)
+from hail_elasticsearch_pipelines_spark.operators import dedup as dd
+from hail_elasticsearch_pipelines_spark.operators import multimodal as mm
+from hail_elasticsearch_pipelines_spark.operators import similarity as sim
+from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+    IndexSearcher,
+    bm25_exhaustive_df,
+)
+from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+
+# ---------------------------------------------------------------- helpers
+
+OR_TERMS = ["fast", "key", "table"]
+AND_TERMS = ["dup", "join", "window"]
+INDEX_ROOT = "/tmp/spark_graft_entry_indexes"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _micro(col) -> F.Column:
+    """floor(x*1e6 + 0.5) as bigint — the float-stable output encoding."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table (doc_id,text,...) to the engine's page
+    schema.  Zero-padded url preserves doc_id order so the engine's dense
+    url-ordered ids coincide with the table's own (dense) doc_id."""
+    return docs.select(
+        F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2025-01-14 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Build (or reuse — the pipeline's per-stage markers make re-entry
+    cheap) the index over sf_dir's documents table."""
+    out = os.path.join(INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(out, "_INDEX_PUBLISHED")):
+        pages = _docs_as_pages(_read(spark, sf_dir, "documents"))
+        build_index(spark, pages, out, n_term_buckets=8)
+    return IndexSearcher(spark, out)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index the sf0.001 documents table, BM25 OR top-10."""
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    return s.search(OR_TERMS, mode="OR", k=10, algo="bmw").select(
+        "doc_id", _micro(F.col("score")).alias("score_micro")
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_token_count(spark, sf):
+    return (
+        _read(spark, sf, "documents")
+        .select("doc_id", token_count_col("text").cast("long").alias("n_tokens"))
+    )
+
+
+def _q_text_quality(spark, sf):
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col("text").cast("long").alias("n_tokens"),
+        _micro(tq.mean_token_len("text")).alias("mean_tok_len_micro"),
+        _micro(tq.alnum_ratio("text")).alias("alnum_micro"),
+        _micro(tq.stopword_ratio("text")).alias("stopword_micro"),
+        _micro(tq.quality_score("text")).alias("quality_micro"),
+    )
+
+
+def _q_lang_id(spark, sf):
+    return _read(spark, sf, "documents").select(
+        "doc_id", tq.lang_id("text").alias("lang_pred")
+    )
+
+
+def _q_fingerprint(spark, sf):
+    return _read(spark, sf, "documents").select(
+        "doc_id", tq.token_fingerprint("text").alias("fp")
+    )
+
+
+def _q_dedup_exact(spark, sf):
+    d = _read(spark, sf, "documents")
+    return dd.dedup_exact(d).select("doc_id", "group_size")
+
+
+def _q_ngram_jaccard(spark, sf):
+    d = _read(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=0.8, n=3, max_shingle_df=None)
+    return pairs.select("id_a", "id_b", _micro(F.col("jaccard")).alias("jaccard_micro"))
+
+
+def _q_minhash_dedup(spark, sf):
+    d = _read(spark, sf, "documents")
+    pairs = dd.minhash_dedup_pairs(d, threshold=0.8)
+    return pairs.select("id_a", "id_b", _micro(F.col("jaccard")).alias("jaccard_micro"))
+
+
+def _q_simhash_pairs(spark, sf):
+    d = _read(spark, sf, "documents")
+    return dd.simhash_near_pairs(d, max_hamming=3)
+
+
+def _q_bm25_or(spark, sf):
+    d = _read(spark, sf, "documents").select("doc_id", tokenize_col("text").alias("toks"))
+    r = bm25_exhaustive_df(d, OR_TERMS, mode="OR", k=20, tokens_col="toks")
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_bm25_and(spark, sf):
+    d = _read(spark, sf, "documents").select("doc_id", tokenize_col("text").alias("toks"))
+    r = bm25_exhaustive_df(d, AND_TERMS, mode="AND", k=20, tokens_col="toks")
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_bm25_index_or(spark, sf):
+    r = _searcher(spark, sf).search(OR_TERMS, mode="OR", k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_bm25_index_and(spark, sf):
+    r = _searcher(spark, sf).search(AND_TERMS, mode="AND", k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_bm25_index_bmw(spark, sf):
+    r = _searcher(spark, sf).search(OR_TERMS, mode="OR", k=20, algo="bmw")
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _query_vec(spark, sf) -> list[float]:
+    row = (
+        _read(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _q_cosine_topk(spark, sf):
+    e = _read(spark, sf, "embeddings")
+    r = sim.cosine_topk(e, _query_vec(spark, sf), k=20)
+    return r.select(
+        F.col("id").alias("vec_id"), _micro(F.col("cosine")).alias("cosine_micro")
+    )
+
+
+def _q_ann_lsh_topk(spark, sf):
+    e = _read(spark, sf, "embeddings")
+    r = sim.ann_lsh_topk(e, _query_vec(spark, sf), k=10, n_planes=8, multiprobe=2)
+    return r.select(
+        F.col("id").alias("vec_id"), _micro(F.col("cosine")).alias("cosine_micro")
+    )
+
+
+def _q_embedding_pairs(spark, sf):
+    e = _read(spark, sf, "embeddings")
+    r = sim.embedding_cosine_pairs(e, threshold=0.9, n_planes=4)
+    return r.select("id_a", "id_b", _micro(F.col("cosine")).alias("cosine_micro"))
+
+
+def _q_media_meta(spark, sf):
+    d = _read(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    m = mm.media_metadata(d)
+    return m.select(
+        "doc_id",
+        F.col("media_meta.size_bytes").alias("size_bytes"),
+        F.col("media_meta.sha256").alias("sha_hex"),
+        F.col("media_meta.mime_guess").alias("mime_guess"),
+    )
+
+
+def _q_frame_sample(spark, sf):
+    d = _read(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return mm.frame_sample_stub(d, every_n=30)
+
+
+def _q_pricing_summary(spark, sf):
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            _micro(F.sum("l_extendedprice") / F.lit(1000.0)).alias("sum_base_milli"),
+            _micro(F.avg("l_discount")).alias("avg_disc_micro"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_customers(spark, sf):
+    o = _read(spark, sf, "orders")
+    c = _read(spark, sf, "customer")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            _micro(F.col("revenue") / F.lit(1000.0)).alias("revenue_milli"),
+        )
+        .orderBy(F.desc("revenue_milli"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def _q_customers_no_orders(spark, sf):
+    o = _read(spark, sf, "orders")
+    c = _read(spark, sf, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def _q_nations_with_customers(spark, sf):
+    n = _read(spark, sf, "nation")
+    c = _read(spark, sf, "customer")
+    return n.join(c, n.n_nationkey == c.c_nationkey, "left_semi").select(
+        "n_nationkey", "n_name"
+    )
+
+
+def _q_union_nationkeys(spark, sf):
+    c = _read(spark, sf, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = _read(spark, sf, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+def _q_top_event_per_user(spark, sf):
+    from pyspark.sql import Window
+
+    e = _read(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", _micro(F.col("value") / F.lit(1000.0)).alias("value_milli"))
+    )
+
+
+def _q_hourly_events(spark, sf):
+    e = _read(spark, sf, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        _micro(F.sum("value") / F.lit(1000.0)).alias("sum_value_milli"),
+    )
+
+
+def _q_json_props(spark, sf):
+    e = _read(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "token_count": _q_token_count,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "bm25_or": _q_bm25_or,
+        "bm25_and": _q_bm25_and,
+        "bm25_index_or": _q_bm25_index_or,
+        "bm25_index_and": _q_bm25_index_and,
+        "bm25_index_bmw": _q_bm25_index_bmw,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_pairs": _q_embedding_pairs,
+        "media_meta": _q_media_meta,
+        "frame_sample": _q_frame_sample,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "customers_no_orders": _q_customers_no_orders,
+        "nations_with_customers": _q_nations_with_customers,
+        "union_nationkeys": _q_union_nationkeys,
+        "top_event_per_user": _q_top_event_per_user,
+        "hourly_events": _q_hourly_events,
+        "json_props": _q_json_props,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+SW = ", ".join(f"'{w}'" for w in tq.EN_STOPWORDS)
+
+
+def _micro_sql(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _bm25_sql(terms: list[str], mode: str, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    n_terms = len(set(terms))
+    having = f"HAVING count(*) = {n_terms}" if mode == "AND" else ""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), dl AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl FROM tok
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ({tlist})
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (2.2 * tf.tf) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS contrib
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id {having}
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id, {TOK} AS toks FROM documents
+), sh AS (
+  SELECT id,
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                             for i in range(1, len(toks) - 2 + 1)])
+    END AS shs
+  FROM tok
+), e AS (
+  SELECT id, unnest(shs) AS s FROM sh
+), c AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS common
+  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT id, len(shs)::BIGINT AS sz FROM sh
+)
+SELECT id_a, id_b,
+       {_micro_sql('common / (sa.sz + sb.sz - common)')} AS jaccard_micro
+FROM c JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+WHERE common / (sa.sz + sb.sz - common) >= 0.8
+"""
+
+_QUALITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text, {TOK} AS toks FROM documents
+), base AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN list_sum([length(t) for t in toks]) / len(toks) ELSE 0.0 END AS mtl,
+    CASE WHEN length(lower(text)) > 0
+         THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) / length(lower(text))
+         ELSE 0.0 END AS alnum,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, t -> t IN ({SW}))) / len(toks) ELSE 0.0 END AS sw
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+  {_micro_sql('mtl')} AS mean_tok_len_micro,
+  {_micro_sql('alnum')} AS alnum_micro,
+  {_micro_sql('sw')} AS stopword_micro,
+  {_micro_sql(
+      "0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * alnum"
+      " + 0.2 * greatest(0.0, 1.0 - abs(mtl - 5.0) / 10.0)"
+      " + 0.1 * least(sw * 5.0, 1.0)"
+  )} AS quality_micro
+FROM base
+"""
+
+
+def _lang_sql() -> str:
+    ratio = {
+        lang: (
+            f"CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> t IN "
+            f"({', '.join(repr(w) for w in words)}))) / len(toks) ELSE 0.0 END"
+        )
+        for lang, words in tq.LANG_MARKERS.items()
+    }
+    cols = ", ".join(f"({v}) AS r_{k}" for k, v in ratio.items())
+    return f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+r AS (SELECT doc_id, {cols} FROM tok),
+b AS (SELECT *, greatest(r_en, r_de, r_es, r_fr) AS best FROM r)
+SELECT doc_id,
+  CASE WHEN best > 0 AND r_en >= best THEN 'en'
+       WHEN best > 0 AND r_de >= best THEN 'de'
+       WHEN best > 0 AND r_es >= best THEN 'es'
+       WHEN best > 0 AND r_fr >= best THEN 'fr'
+       ELSE 'unknown' END AS lang_pred
+FROM b
+"""
+
+
+_FINGERPRINT_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents)
+SELECT doc_id,
+  CASE WHEN len(toks) = 0 THEN 0 ELSE
+    list_sum([
+      (i * list_reduce(
+            list_prepend(0::BIGINT,
+              [ascii(c)::BIGINT for c in list_filter(string_split(toks[i], ''), c -> c <> '')]),
+            (a, b) -> (a * 131 + b) % 2147483647))
+      for i in range(1, len(toks) + 1)
+    ]) % 2147483647
+  END AS fp
+FROM tok
+"""
+
+_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+    / (sqrt(list_sum([ (x::DOUBLE) * (x::DOUBLE) for x in e.embedding]))
+       * sqrt(list_sum([ (x::DOUBLE) * (x::DOUBLE) for x in q.qv]))) AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, {micro} AS cosine_micro
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 20
+""".format(micro=_micro_sql("cosine"))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    or_sql = _bm25_sql(OR_TERMS, "OR", 20)
+    and_sql = _bm25_sql(AND_TERMS, "AND", 20)
+    return {
+        "token_count": f"SELECT doc_id, len({TOK})::BIGINT AS n_tokens FROM documents",
+        "text_quality": _QUALITY_SQL,
+        "lang_id": _lang_sql(),
+        "fingerprint": _FINGERPRINT_SQL,
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS group_size "
+            "FROM documents GROUP BY text"
+        ),
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "minhash_dedup": _NGRAM_JACCARD_SQL,
+        # simhash_pairs / ann_lsh_topk / embedding_pairs / frame_sample:
+        # hash-seeded / LSH-approximate — rows-only checks by design.
+        "bm25_or": or_sql,
+        "bm25_and": and_sql,
+        "bm25_index_or": or_sql,
+        "bm25_index_and": and_sql,
+        "bm25_index_bmw": or_sql,
+        "cosine_topk": _COSINE_SQL,
+        "media_meta": (
+            "SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes, "
+            "sha256(text) AS sha_hex, CAST(NULL AS VARCHAR) AS mime_guess "
+            "FROM documents"
+        ),
+        "pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+  {_micro_sql('sum(l_extendedprice) / 1000.0')} AS sum_base_milli,
+  {_micro_sql('avg(l_discount)')} AS avg_disc_micro,
+  count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_customers": f"""
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS revenue FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, {_micro_sql('revenue / 1000.0')} AS revenue_milli
+FROM rev JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue_milli DESC, c_custkey ASC LIMIT 10
+""",
+        "customers_no_orders": (
+            "SELECT c_custkey FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "nations_with_customers": (
+            "SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_nationkey IN (SELECT c_nationkey FROM customer)"
+        ),
+        "union_nationkeys": (
+            "SELECT c_nationkey::BIGINT AS nationkey FROM customer "
+            "UNION SELECT s_nationkey::BIGINT FROM supplier"
+        ),
+        "top_event_per_user": f"""
+SELECT user_id, event_id, event_type, {_micro_sql('value / 1000.0')} AS value_milli
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "hourly_events": f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*)::BIGINT AS n_events, {_micro_sql('sum(value) / 1000.0')} AS sum_value_milli
+FROM events GROUP BY 1, 2
+""",
+        "json_props": (
+            "SELECT event_type, "
+            "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k "
+            "FROM events GROUP BY event_type"
+        ),
+    }

@@ -1,0 +1,141 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Measures (a) inverted-index build throughput (docs/sec) over the
+deterministic generated web corpus, (b) BM25 top-k latency p50/p99 over
+the reference query set against the built index, (c) headline operator
+queries over $SPARK_GRAFT_SF_DIR testdata.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_DOCS (default 20000, corpus size for the build).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hail_elasticsearch_pipelines_spark.functions.tokenize import tokenize_col
+from hail_elasticsearch_pipelines_spark.operators import dedup as dd
+from hail_elasticsearch_pipelines_spark.operators import similarity as sim
+from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+    IndexSearcher,
+    bm25_exhaustive_df,
+)
+from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+from hail_elasticsearch_pipelines_spark.session import get_spark
+from hail_elasticsearch_pipelines_spark.sources.corpus import (
+    pages_df,
+    reference_queries,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def _read(spark, table):
+    return spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+
+
+def timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main():
+    t_start = time.time()
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    q: dict[str, float] = {}
+
+    # -- index build over the generated corpus (fresh dir each run) -----
+    idx_dir = f"/tmp/spark_graft_bench_index_{CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    pages = pages_df(spark, N_DOCS, n_partitions=max(CPUS * 2, 8))
+    t0 = time.time()
+    manifest = build_index(spark, pages, idx_dir, n_term_buckets=16)
+    build_sec = time.time() - t0
+    q["index_build"] = round(build_sec, 3)
+    docs_per_sec = manifest["metrics"]["docs_indexed"] / build_sec
+
+    # -- BM25 query latency over the reference query set ----------------
+    searcher = IndexSearcher(spark, idx_dir)
+    lat_ms = []
+    for rep in range(3):
+        for spec in reference_queries():
+            t0 = time.time()
+            searcher.search(spec["terms"], mode=spec["mode"], k=spec["k"]).collect()
+            dt = (time.time() - t0) * 1000
+            lat_ms.append(dt)
+            if rep == 0:
+                q[f"bm25_{spec['query_id']}"] = round(dt / 1000, 3)
+    p50 = float(np.percentile(lat_ms, 50))
+    p99 = float(np.percentile(lat_ms, 99))
+
+    # -- headline operator queries over SF_DIR testdata -----------------
+    docs = _read(spark, "documents")
+    toks = docs.select("doc_id", tokenize_col("text").alias("toks"))
+    q["bm25_exhaustive_sf"] = round(
+        timed(lambda: bm25_exhaustive_df(toks, ["fast", "key", "table"], "OR", 20, tokens_col="toks").collect()),
+        3,
+    )
+    q["minhash_dedup_sf"] = round(
+        timed(lambda: dd.minhash_dedup_pairs(docs, threshold=0.8).collect()), 3
+    )
+    emb = _read(spark, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    q["cosine_topk_sf"] = round(timed(lambda: sim.cosine_topk(emb, qvec, k=20).collect()), 3)
+    li = _read(spark, "lineitem")
+    q["pricing_summary_sf"] = round(
+        timed(
+            lambda: li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_discount"), F.count("*"))
+            .collect()
+        ),
+        3,
+    )
+    o, c = _read(spark, "orders"), _read(spark, "customer")
+    q["top_customers_sf"] = round(
+        timed(
+            lambda: o.groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("rev"))
+            .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+            .orderBy(F.desc("rev"))
+            .limit(10)
+            .collect()
+        ),
+        3,
+    )
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_query_bench",
+                "value": round(time.time() - t_start, 3),
+                "unit": "sec",
+                "queries": q,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "index_build_docs_per_sec": round(docs_per_sec, 1),
+                "bench_corpus_docs": manifest["metrics"]["docs_indexed"],
+                "bm25_p50_ms": round(p50, 1),
+                "bm25_p99_ms": round(p99, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
