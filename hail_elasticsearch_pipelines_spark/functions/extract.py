@@ -76,7 +76,13 @@ def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 def extracted_text_col(text_col: Column | str, html_col: Column | str) -> Column:
     """`text` if present, else extract from `html` (FIXTURES.md F1: ~3%
-    of rows have null text and must fall back to html extraction)."""
+    of rows have null text and must fall back to html extraction).
+
+    The UDF input is nulled out when `text` exists: Catalyst pulls
+    Python UDFs into an ArrowEvalPython node that runs for EVERY row, so
+    without the `when` guard the full html bytes of all rows would cross
+    the Arrow boundary just to be discarded by coalesce."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     h = F.col(html_col) if isinstance(html_col, str) else html_col
-    return F.coalesce(t, extract_text_udf(h))
+    guarded = F.when(t.isNull(), h)
+    return F.coalesce(t, extract_text_udf(guarded))

@@ -203,29 +203,52 @@ def build_partials(
     )
 
 
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Merge partial postings of one (term, segment) group.  Partials
-    have disjoint ascending doc ranges → byte-level concat merge."""
-    pdf = pdf.sort_values("min_doc")
-    parts = [
-        (
-            row.blob,
-            np.asarray(row.block_last, dtype=np.int64),
-            np.asarray(row.block_max_tf, dtype=np.int32),
-            np.asarray(row.block_off, dtype=np.int32),
-        )
-        for row in pdf.itertuples()
-    ]
-    blob, blast, bmaxtf, boff = codecs.merge_encoded(parts)
-    bmax_score = np.concatenate([np.asarray(s, dtype=np.float64) for s in pdf["block_max_score"]])
-    return pd.DataFrame(
-        [
+def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge all (term, segment) groups of one merge bucket.  Grouping
+    happens in-pandas (sort + boundary scan): one Arrow round-trip per
+    BUCKET, not per term — per-group applyInPandas costs ~0.4ms of
+    pandas construction overhead each, which at millions of terms
+    dominates the whole merge stage."""
+    if pdf.empty:
+        return pd.DataFrame({f.name: pd.Series(dtype=object) for f in POSTINGS_SCHEMA})
+    pdf = pdf.sort_values(["term", "segment", "min_doc"], kind="stable")
+    terms = pdf["term"].to_numpy()
+    segs = pdf["segment"].to_numpy()
+    new_grp = np.empty(len(pdf), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (terms[1:] != terms[:-1]) | (segs[1:] != segs[:-1])
+    starts = np.flatnonzero(new_grp)
+    ends = np.append(starts[1:], len(pdf))
+    blobs = pdf["blob"].to_numpy()
+    blasts = pdf["block_last"].to_numpy()
+    bmaxtfs = pdf["block_max_tf"].to_numpy()
+    bmaxscores = pdf["block_max_score"].to_numpy()
+    boffs = pdf["block_off"].to_numpy()
+    min_docs = pdf["min_doc"].to_numpy()
+    dfs = pdf["df"].to_numpy()
+    cfs = pdf["cf"].to_numpy()
+    rows = []
+    for lo, hi in zip(starts, ends):
+        parts = [
             (
-                pdf["term"].iloc[0],
-                int(pdf["segment"].iloc[0]),
-                int(pdf["min_doc"].min()),
-                int(pdf["df"].sum()),
-                int(pdf["cf"].sum()),
+                blobs[i],
+                np.asarray(blasts[i], dtype=np.int64),
+                np.asarray(bmaxtfs[i], dtype=np.int32),
+                np.asarray(boffs[i], dtype=np.int32),
+            )
+            for i in range(lo, hi)
+        ]
+        blob, blast, bmaxtf, boff = codecs.merge_encoded(parts)
+        bmax_score = np.concatenate(
+            [np.asarray(bmaxscores[i], dtype=np.float64) for i in range(lo, hi)]
+        )
+        rows.append(
+            (
+                terms[lo],
+                int(segs[lo]),
+                int(min_docs[lo:hi].min()),
+                int(dfs[lo:hi].sum()),
+                int(cfs[lo:hi].sum()),
                 blob,
                 blast.tolist(),
                 bmaxtf.tolist(),
@@ -233,19 +256,32 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 boff.tolist(),
                 len(blob),
             )
-        ],
-        columns=[f.name for f in POSTINGS_SCHEMA],
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA])
+
+
+def merge_partials(partials: DataFrame, num_buckets: int | None = None) -> DataFrame:
+    """Stage `merge`: shuffle partials by hash(term, segment) into coarse
+    merge buckets and concat-merge each (term, segment) group inside its
+    bucket.  The segment dimension is the SALT: segment = part //
+    seg_group keeps every term's postings split across ~num_parts/
+    seg_group keys, so a high-DF stopword never serializes on one
+    reducer (north rule) and the largest single row stays bounded at
+    10^12 docs.  num_buckets bounds per-task memory: a bucket holds
+    ~total_index_bytes / num_buckets."""
+    spark = partials.sparkSession
+    if num_buckets is None:
+        num_buckets = max(spark.sparkContext.defaultParallelism * 4, 16)
+    bucketed = partials.withColumn(
+        "merge_bucket",
+        F.pmod(F.hash("term", "segment"), F.lit(num_buckets)),
     )
-
-
-def merge_partials(partials: DataFrame) -> DataFrame:
-    """Stage `merge`: shuffle partials by (term, segment) and concat-
-    merge.  segment = part // seg_group keeps every term's postings
-    split across ~num_parts/seg_group keys — the explicit salt that
-    stops stopword skew from serializing on one reducer (north rule)
-    and bounds the largest single row at 10^12 docs."""
-    return partials.groupBy("term", "segment").applyInPandas(
-        lambda pdf: _merge_group(pdf), schema=POSTINGS_SCHEMA
+    return (
+        bucketed.groupBy("merge_bucket")
+        .applyInPandas(
+            lambda pdf: _merge_bucket(pdf.drop(columns=["merge_bucket"])),
+            schema=POSTINGS_SCHEMA,
+        )
     )
 
 

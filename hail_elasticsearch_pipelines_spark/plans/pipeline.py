@@ -210,11 +210,16 @@ class IndexBuildPipeline:
             "term_bucket",
             F.crc32(F.col("term").cast("binary")) % F.lit(self.n_term_buckets),
         )
-        # staging-then-swap: the ES "loading nodes then hand-off" analog
+        # staging-then-swap: the ES "loading nodes then hand-off" analog.
+        # Range-partition on (term_bucket, term) → write parallelism is
+        # the cluster's, not n_term_buckets; each task covers a contiguous
+        # term range so files land sorted (parquet min/max row-group
+        # pruning on `term` at query time).
+        n_out = max(self.spark.sparkContext.defaultParallelism, self.n_term_buckets)
         staging = self._p("postings__staging")
         (
-            merged.repartition(self.n_term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "segment")
+            merged.repartitionByRange(n_out, "term_bucket", "term", "segment")
+            .sortWithinPartitions("term_bucket", "term", "segment")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(staging)
