@@ -60,9 +60,17 @@ def main():
     q: dict[str, float] = {}
 
     # -- index build over the generated corpus (fresh dir each run) -----
+    # The corpus is materialized to parquet FIRST so the timer measures
+    # the engine (read -> normalize -> ids -> partials -> merge ->
+    # publish), not the synthetic generator.
+    pages_path = f"/tmp/spark_graft_bench_pages_{N_DOCS}"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        pages_df(spark, N_DOCS, n_partitions=max(CPUS * 2, 8)).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
     idx_dir = f"/tmp/spark_graft_bench_index_{CPUS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    pages = pages_df(spark, N_DOCS, n_partitions=max(CPUS * 2, 8))
     t0 = time.time()
     manifest = build_index(spark, pages, idx_dir, n_term_buckets=16)
     build_sec = time.time() - t0

@@ -30,7 +30,7 @@ from functools import reduce
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -39,6 +39,15 @@ from .index_build import BM25_B, BM25_K1, bm25_idf, bm25_tf_weight, term_bucket
 
 RESULT_SCHEMA = T.StructType(
     [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+MULTI_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("rank", T.IntegerType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("score", T.DoubleType(), False),
     ]
@@ -187,6 +196,24 @@ class IndexSearcher:
         self.avgdl = self.manifest["globals"]["avgdl"]
         self.n_term_buckets = self.manifest["params"]["n_term_buckets"]
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        td_path = os.path.join(index_dir, "termdict")
+        self._termdict = (
+            spark.read.parquet(td_path) if os.path.exists(td_path) else None
+        )
+
+    def reload_manifest(self) -> None:
+        """Re-read globals after extend_index/compact_index."""
+        with open(os.path.join(self.index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.n_docs = self.manifest["globals"]["n_docs"]
+        self.avgdl = self.manifest["globals"]["avgdl"]
+        self._postings = self.spark.read.parquet(
+            os.path.join(self.index_dir, "postings")
+        )
+        td_path = os.path.join(self.index_dir, "termdict")
+        self._termdict = (
+            self.spark.read.parquet(td_path) if os.path.exists(td_path) else None
+        )
 
     def _term_rows(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
@@ -195,6 +222,18 @@ class IndexSearcher:
         )
 
     def global_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global document frequency per term.  Scans the term DICTIONARY
+        (tiny, partition-pruned by term_bucket), never posting blobs."""
+        if self._termdict is not None:
+            buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
+            rows = (
+                self._termdict.filter(
+                    F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+                )
+                .select("term", "df")
+                .collect()
+            )
+            return {r["term"]: int(r["df"]) for r in rows}
         rows = (
             self._term_rows(terms)
             .groupBy("term")
@@ -223,10 +262,19 @@ class IndexSearcher:
                 return pd.DataFrame({"doc_id": [], "score": []})
             if mode_u == "OR" and algo == "bmw":
                 blobs = {r.term: bytes(r.blob) for r in pdf.itertuples()}
+                # block upper bound derived at query time from
+                # (max_tf, min_dl) and the CURRENT avgdl: stays a valid
+                # bound after incremental appends shift avgdl, unlike a
+                # score baked at build time.
                 blocks = {
                     r.term: (
                         np.asarray(r.block_last, dtype=np.int64),
-                        np.asarray(r.block_max_score, dtype=np.float64) * idf[r.term],
+                        idf[r.term]
+                        * bm25_tf_weight(
+                            np.asarray(r.block_max_tf, dtype=np.int64),
+                            np.asarray(r.block_min_dl, dtype=np.int64),
+                            avgdl,
+                        ),
                         np.asarray(r.block_off, dtype=np.int32),
                     )
                     for r in pdf.itertuples()
@@ -251,6 +299,78 @@ class IndexSearcher:
             score_segment, schema=RESULT_SCHEMA
         )
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_many(self, specs: list[dict]) -> DataFrame:
+        """Batch query execution: ONE Spark job scores every query in
+        `specs` (dicts with query_id, terms, mode, k).  Each segment's
+        posting blobs are decoded once and shared across queries —
+        this is the throughput path (the per-query `search` latency is
+        dominated by Spark job scheduling in local mode).
+
+        Returns DataFrame(query_id, rank, doc_id, score) with rank
+        1..k per query by (score desc, doc_id asc)."""
+        all_terms = sorted({t for s in specs for t in s["terms"]})
+        if not all_terms:
+            return self.spark.createDataFrame([], MULTI_RESULT_SCHEMA)
+        dfs = self.global_dfs(all_terms)
+        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        avgdl = self.avgdl
+        compiled = [
+            (
+                s["query_id"],
+                sorted(set(s["terms"])),
+                s.get("mode", "OR").upper(),
+                int(s.get("k", 10)),
+            )
+            for s in specs
+        ]
+
+        def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_q, out_d, out_s = [], [], []
+            if not pdf.empty:
+                postings = {}
+                for r in pdf.itertuples():
+                    d, tf, dl = codecs.decode_postings(bytes(r.blob))
+                    postings[r.term] = (d, tf, dl)
+                for qid, terms_sorted, mode, k in compiled:
+                    if mode == "AND":
+                        # a segment lacking any query term can hold no
+                        # conjunctive match (segments partition doc ids)
+                        if not all(t in postings for t in terms_sorted):
+                            continue
+                        docs, scores = _score_intersection(
+                            {t: postings[t] for t in terms_sorted},
+                            terms_sorted,
+                            idf,
+                            avgdl,
+                        )
+                    else:
+                        docs, scores = _score_union_exhaustive(
+                            postings, terms_sorted, idf, avgdl
+                        )
+                    docs, scores = _topk(docs, scores, k)
+                    out_q.extend([qid] * len(docs))
+                    out_d.extend(docs.tolist())
+                    out_s.extend(scores.tolist())
+            return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+        rows = self._term_rows(all_terms)
+        per_segment = rows.groupBy("segment").applyInPandas(
+            score_segment,
+            schema=T.StructType(
+                [T.StructField("query_id", T.StringType(), False)]
+                + RESULT_SCHEMA.fields
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        k_map = F.create_map(
+            *[x for qid, _, _, k in compiled for x in (F.lit(qid), F.lit(k))]
+        )
+        return (
+            per_segment.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_map[F.col("query_id")])
+            .select("query_id", "rank", "doc_id", "score")
+        )
 
 
 def bm25_exhaustive_df(

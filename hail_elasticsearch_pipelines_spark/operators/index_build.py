@@ -60,7 +60,11 @@ PARTIAL_SCHEMA = T.StructType(
         T.StructField("blob", T.BinaryType(), False),
         T.StructField("block_last", T.ArrayType(T.LongType()), False),
         T.StructField("block_max_tf", T.ArrayType(T.IntegerType()), False),
-        T.StructField("block_max_score", T.ArrayType(T.DoubleType()), False),
+        # min doc length per block: the block's BM25 upper bound is
+        # derived at QUERY time as weight(max_tf, min_dl, current avgdl)
+        # — unlike a baked max score, this stays a valid bound after
+        # incremental appends shift the corpus avgdl.
+        T.StructField("block_min_dl", T.ArrayType(T.LongType()), False),
         T.StructField("block_off", T.ArrayType(T.IntegerType()), False),
     ]
 )
@@ -117,7 +121,7 @@ def corpus_stats(docs: DataFrame) -> dict:
     return {"n_docs": n, "total_tokens": total, "avgdl": (total / n) if n else 0.0}
 
 
-def _build_partial_index(pdf: pd.DataFrame, avgdl: float, seg_group: int) -> pd.DataFrame:
+def _build_partial_index(pdf: pd.DataFrame, seg_group: int) -> pd.DataFrame:
     """Inverted index for one doc-range part: vectorized (factorize /
     unique / reduceat), no per-row Python.
 
@@ -160,9 +164,8 @@ def _build_partial_index(pdf: pd.DataFrame, avgdl: float, seg_group: int) -> pd.
         tf_arr = counts[lo:hi].astype(np.int64)
         dl_arr = dl_by_doc[d_idx]
         blob, blast, bmaxtf, boff = codecs.encode_postings(doc_arr, tf_arr, dls=dl_arr)
-        w = bm25_tf_weight(tf_arr, dl_arr, avgdl)
         starts = np.arange(0, len(doc_arr), codecs.BLOCK_SIZE)
-        bmax_score = np.maximum.reduceat(w, starts)
+        bmin_dl = np.minimum.reduceat(dl_arr, starts)
         rows.append(
             (
                 str(uniq_terms[ti]),
@@ -174,16 +177,14 @@ def _build_partial_index(pdf: pd.DataFrame, avgdl: float, seg_group: int) -> pd.
                 blob,
                 blast.tolist(),
                 bmaxtf.tolist(),
-                bmax_score.tolist(),
+                bmin_dl.tolist(),
                 boff.tolist(),
             )
         )
     return pd.DataFrame(rows, columns=[f.name for f in PARTIAL_SCHEMA])
 
 
-def build_partials(
-    docs: DataFrame, avgdl: float, docs_per_part: int, seg_group: int
-) -> DataFrame:
+def build_partials(docs: DataFrame, docs_per_part: int, seg_group: int) -> DataFrame:
     """Stage `partial`: assign each doc to a fixed-width doc-id range
     (`part = doc_id // docs_per_part` — deterministic, dense ids make it
     balanced with NO sampling-dependent boundaries), tokenize JVM-side,
@@ -198,7 +199,7 @@ def build_partials(
         (F.col("doc_id") / F.lit(docs_per_part)).cast("int").alias("part"),
     )
     return tokenized.groupBy("part").applyInPandas(
-        lambda pdf: _build_partial_index(pdf, avgdl, seg_group),
+        lambda pdf: _build_partial_index(pdf, seg_group),
         schema=PARTIAL_SCHEMA,
     )
 
@@ -222,7 +223,7 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     blobs = pdf["blob"].to_numpy()
     blasts = pdf["block_last"].to_numpy()
     bmaxtfs = pdf["block_max_tf"].to_numpy()
-    bmaxscores = pdf["block_max_score"].to_numpy()
+    bmindls = pdf["block_min_dl"].to_numpy()
     boffs = pdf["block_off"].to_numpy()
     min_docs = pdf["min_doc"].to_numpy()
     dfs = pdf["df"].to_numpy()
@@ -239,8 +240,8 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             for i in range(lo, hi)
         ]
         blob, blast, bmaxtf, boff = codecs.merge_encoded(parts)
-        bmax_score = np.concatenate(
-            [np.asarray(bmaxscores[i], dtype=np.float64) for i in range(lo, hi)]
+        bmin_dl = np.concatenate(
+            [np.asarray(bmindls[i], dtype=np.int64) for i in range(lo, hi)]
         )
         rows.append(
             (
@@ -252,7 +253,7 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
                 blob,
                 blast.tolist(),
                 bmaxtf.tolist(),
-                bmax_score.tolist(),
+                bmin_dl.tolist(),
                 boff.tolist(),
                 len(blob),
             )

@@ -46,6 +46,31 @@ from ..operators import index_build as ib
 from . import sizing
 
 
+def _write_termdict(spark: SparkSession, out_dir: str) -> None:
+    """Term dictionary: (term_bucket, term, df, cf, n_rows) aggregated
+    over the postings table.  The ES mapping/field-caps analog — query-
+    side idf lookups scan THIS small table (partition-pruned by
+    term_bucket) instead of touching posting blobs."""
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    td = postings.groupBy("term_bucket", "term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.count("*").alias("n_rows"),
+    )
+    staging = os.path.join(out_dir, "termdict__staging")
+    (
+        td.repartition("term_bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(staging)
+    )
+    final = os.path.join(out_dir, "termdict")
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(staging, final)
+
+
 def _fingerprint(obj) -> str:
     return hashlib.sha256(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:32]
 
@@ -166,13 +191,11 @@ class IndexBuildPipeline:
         docs = self.spark.read.parquet(self._p("stages", "docs"))
         for chunk_id, lo, hi in self._chunk_ranges(globals_["n_docs"]):
             cpath = self._p("stages", "partials", f"chunk={chunk_id}")
-            fp = _fingerprint(["partials", self.params_fp, chunk_id, lo, hi, globals_["avgdl"]])
+            fp = _fingerprint(["partials", self.params_fp, chunk_id, lo, hi])
             if can_reuse(cpath, fp):
                 continue
             chunk_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            partials = ib.build_partials(
-                chunk_docs, globals_["avgdl"], self.docs_per_part, self.seg_group
-            )
+            partials = ib.build_partials(chunk_docs, self.docs_per_part, self.seg_group)
             partials.write.mode("overwrite").parquet(cpath)
             # per-part lineage + metrics (FIXTURES.md F6)
             lineage = (
@@ -235,6 +258,7 @@ class IndexBuildPipeline:
         )
 
         postings = self.spark.read.parquet(final)
+        _write_termdict(self.spark, self.out)
         metrics_row = postings.agg(
             F.sum("df").alias("postings_emitted"),
             F.sum("n_bytes").alias("bytes_compressed"),

@@ -1,0 +1,144 @@
+"""Incremental append (extend_index), segment compaction (compact_index)
+and the batch query API (search_many): results must stay rank- and
+score-identical to a pure-Python oracle over the union corpus.
+
+Reference analogs: ES update/upsert write ops (hail_scripts/shared/
+elasticsearch_utils.py:11-17) and post-load forcemerge
+(hail_scripts/v02/utils/elasticsearch_client.py:214)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hail_elasticsearch_pipelines_spark.functions.extract import py_extract_text
+from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+from hail_elasticsearch_pipelines_spark.oracle import OracleIndex
+from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+    compact_index,
+    extend_index,
+)
+from hail_elasticsearch_pipelines_spark.sources.corpus import (
+    gen_pages_pdf,
+    reference_queries,
+)
+
+QUERIES = [q for q in reference_queries() if q["query_id"] in ("q001", "q002", "q005", "q010")]
+
+
+def _oracle_for(pdfs):
+    import pandas as pd
+
+    pdf = pd.concat(pdfs, ignore_index=True)
+    pdf = pdf.sort_values("warc_ts").drop_duplicates("url", keep="last")
+    pdf = pdf.sort_values("url").reset_index(drop=True)
+    return pdf
+
+
+def _assert_match(got_rows, expected):
+    got = [(r["doc_id"], r["score"]) for r in got_rows]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == es, f"score mismatch for doc {gd}"
+
+
+@pytest.fixture(scope="module")
+def extended_index(spark, tmp_path_factory):
+    """Index built on docs 0..199, then EXTENDED with docs 200..299."""
+    out = str(tmp_path_factory.mktemp("ext") / "idx")
+    base = gen_pages_pdf(np.arange(200))
+    extra = gen_pages_pdf(np.arange(200, 300))
+    build_index(
+        spark,
+        spark.createDataFrame(base),
+        out,
+        docs_per_part=37,
+        seg_group=2,
+        n_term_buckets=8,
+    )
+    manifest = extend_index(spark, out, spark.createDataFrame(extra))
+    return out, manifest, base, extra
+
+
+def _expected_topk(base, extra, base_n_urls, q):
+    """Oracle over the union corpus, with doc ids matching the engine's:
+    base urls keep their 0..N-1 url-order ids; appended urls get ids
+    id_base + (url rank within the new batch)."""
+    base_pdf = _oracle_for([base])
+    extra_pdf = _oracle_for([extra])
+    # drop urls already indexed (extend_index anti-joins them)
+    extra_pdf = extra_pdf[~extra_pdf["url"].isin(set(base_pdf["url"]))]
+    dpp = 37
+    id_base = ((base_n_urls - 1) // dpp + 1) * dpp
+    docs = {}
+    for i, row in base_pdf.reset_index(drop=True).iterrows():
+        t = row["text"] if row["text"] is not None else py_extract_text(row["html"])
+        docs[i] = t
+    for j, row in extra_pdf.sort_values("url").reset_index(drop=True).iterrows():
+        t = row["text"] if row["text"] is not None else py_extract_text(row["html"])
+        docs[id_base + j] = t
+    oracle = OracleIndex(docs)
+    return oracle.topk(q["terms"], q["mode"], q["k"])
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: q["query_id"])
+def test_extend_index_rank_identical(spark, extended_index, q):
+    out, manifest, base, extra = extended_index
+    base_n = len(_oracle_for([base]))
+    s = IndexSearcher(spark, out)
+    got = s.search(q["terms"], q["mode"], q["k"], algo="exhaustive").collect()
+    _assert_match(got, _expected_topk(base, extra, base_n, q))
+    # bmw path must stay identical too (query-time block bounds absorb
+    # the avgdl shift)
+    if q["mode"] == "OR":
+        got_bmw = s.search(q["terms"], q["mode"], q["k"], algo="bmw").collect()
+        _assert_match(got_bmw, _expected_topk(base, extra, base_n, q))
+
+
+def test_extend_index_globals(extended_index):
+    out, manifest, base, extra = extended_index
+    base_n = len(_oracle_for([base]))
+    extra_urls = set(_oracle_for([extra])["url"]) - set(_oracle_for([base])["url"])
+    assert manifest["globals"]["n_docs"] == base_n + len(extra_urls)
+    assert manifest["extensions"][0]["docs_added"] == len(extra_urls)
+
+
+def test_extend_is_idempotent_for_seen_urls(spark, extended_index):
+    out, manifest, base, extra = extended_index
+    before = manifest["globals"]["n_docs"]
+    m2 = extend_index(spark, out, spark.createDataFrame(gen_pages_pdf(np.arange(50))))
+    assert m2["globals"]["n_docs"] == before  # all urls already indexed
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: q["query_id"])
+def test_compact_preserves_results(spark, extended_index, q, tmp_path):
+    out, _, base, extra = extended_index
+    s = IndexSearcher(spark, out)
+    before = s.search(q["terms"], q["mode"], q["k"]).collect()
+    manifest = compact_index(spark, out, factor=4)
+    s.reload_manifest()
+    after = s.search(q["terms"], q["mode"], q["k"]).collect()
+    _assert_match(after, [(r["doc_id"], r["score"]) for r in before])
+    if q["mode"] == "OR":
+        after_bmw = s.search(q["terms"], q["mode"], q["k"], algo="bmw").collect()
+        _assert_match(after_bmw, [(r["doc_id"], r["score"]) for r in before])
+    assert manifest["metrics"]["n_segments"] <= max(
+        1, manifest["metrics"]["posting_rows"]
+    )
+
+
+def test_search_many_matches_per_query(spark, small_index, small_oracle):
+    index_dir, _ = small_index
+    oracle, _ = small_oracle
+    s = IndexSearcher(spark, index_dir)
+    res = s.search_many(reference_queries()).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for q in reference_queries():
+        expected = oracle.topk(q["terms"], q["mode"], q["k"])
+        got = by_q.get(q["query_id"], [])
+        assert [d for d, _ in got] == [d for d, _ in expected], q["query_id"]
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert gs == es, (q["query_id"], gd)
