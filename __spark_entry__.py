@@ -64,8 +64,21 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     """Build (or reuse — the pipeline's per-stage markers make re-entry
     cheap) the index over sf_dir's documents table."""
+    import json
+    import shutil
+
+    from hail_elasticsearch_pipelines_spark.plans.pipeline import (
+        INDEX_FORMAT_VERSION,
+    )
+
     out = os.path.join(INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    manifest_path = os.path.join(out, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            if json.load(f).get("format_version") != INDEX_FORMAT_VERSION:
+                shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(os.path.join(out, "_INDEX_PUBLISHED")):
+        shutil.rmtree(out, ignore_errors=True)
         pages = _docs_as_pages(_read(spark, sf_dir, "documents"))
         build_index(spark, pages, out, n_term_buckets=8)
     return IndexSearcher(spark, out)

@@ -91,6 +91,12 @@ def main():
     p50 = float(np.percentile(lat_ms, 50))
     p99 = float(np.percentile(lat_ms, 99))
 
+    # batch path: all reference queries in ONE Spark job (throughput)
+    t0 = time.time()
+    searcher.search_many(reference_queries()).collect()
+    batch_sec = time.time() - t0
+    q["bm25_batch_all"] = round(batch_sec, 3)
+
     # -- headline operator queries over SF_DIR testdata -----------------
     docs = _read(spark, "documents")
     toks = docs.select("doc_id", tokenize_col("text").alias("toks"))
@@ -139,6 +145,7 @@ def main():
                 "bench_corpus_docs": manifest["metrics"]["docs_indexed"],
                 "bm25_p50_ms": round(p50, 1),
                 "bm25_p99_ms": round(p99, 1),
+                "bm25_batch_qps": round(len(reference_queries()) / batch_sec, 2),
                 "cpus": CPUS,
             }
         )

@@ -46,6 +46,11 @@ from ..operators import index_build as ib
 from . import sizing
 
 
+# bump when the on-disk postings schema changes (readers refuse or
+# rebuild on mismatch — the ES index-version analog)
+INDEX_FORMAT_VERSION = 2
+
+
 def _write_termdict(spark: SparkSession, out_dir: str) -> None:
     """Term dictionary: (term_bucket, term, df, cf, n_rows) aggregated
     over the postings table.  The ES mapping/field-caps analog — query-
@@ -267,6 +272,7 @@ class IndexBuildPipeline:
             F.countDistinct("segment").alias("n_segments"),
         ).collect()[0]
         manifest = {
+            "format_version": INDEX_FORMAT_VERSION,
             "fingerprint": fp,
             "params": {
                 "docs_per_part": self.docs_per_part,
