@@ -1,0 +1,135 @@
+"""Low-latency serving path over a published index — no Spark jobs.
+
+The reference hands queries to Elasticsearch data nodes that read local
+segment files.  The analog here: a searcher process reads ONLY the
+query's term_bucket partition directories (hive pruning) and, within
+them, the term's rows (parquet row-group min/max on the sorted `term`
+column) via pyarrow — millisecond-scale for the lookup, then the SAME
+numpy scoring kernels as the distributed path, so results are
+bit-identical (tests/test_serve.py).
+
+Scale posture: the distributed `IndexSearcher` is the 10^12-doc path
+(per-segment scoring fans out across executors).  `LocalSearcher` is
+the latency path for small/medium indexes and the per-shard inner loop
+a real serving tier would run on each index node.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.dataset as ds
+
+from ..functions import codecs
+from .bm25 import (
+    _score_intersection,
+    _score_union_blockmax,
+    _score_union_exhaustive,
+    _topk,
+)
+from .index_build import bm25_idf, bm25_tf_weight, term_bucket
+
+
+class LocalSearcher:
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.n_docs = self.manifest["globals"]["n_docs"]
+        self.avgdl = self.manifest["globals"]["avgdl"]
+        self.n_term_buckets = self.manifest["params"]["n_term_buckets"]
+        self._postings = ds.dataset(
+            os.path.join(index_dir, "postings"), format="parquet", partitioning="hive"
+        )
+        td = os.path.join(index_dir, "termdict")
+        self._termdict = (
+            ds.dataset(td, format="parquet", partitioning="hive")
+            if os.path.exists(td)
+            else None
+        )
+
+    def _bucket_filter(self, terms: list[str]):
+        buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
+        return ds.field("term_bucket").isin(buckets) & ds.field("term").isin(terms)
+
+    def global_dfs(self, terms: list[str]) -> dict[str, int]:
+        src = self._termdict if self._termdict is not None else self._postings
+        tbl = src.to_table(filter=self._bucket_filter(terms), columns=["term", "df"])
+        out: dict[str, int] = {}
+        for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+            out[t] = out.get(t, 0) + int(d)
+        return out
+
+    def _term_rows(self, terms: list[str], columns: list[str]):
+        return self._postings.to_table(
+            filter=self._bucket_filter(terms), columns=columns
+        )
+
+    def search(
+        self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "exhaustive"
+    ) -> list[tuple[int, float]]:
+        """Top-k BM25 → [(doc_id, score)] by (score desc, doc_id asc).
+        Identical accumulation order to IndexSearcher → bit-identical."""
+        terms_sorted = sorted(set(terms))
+        dfs = self.global_dfs(terms_sorted)
+        mode_u = mode.upper()
+        if not dfs or (mode_u == "AND" and any(t not in dfs for t in terms_sorted)):
+            return []
+        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+
+        cols = ["term", "segment", "blob", "block_last", "block_max_tf", "block_min_dl", "block_off"]
+        tbl = self._term_rows(terms_sorted, cols)
+        seg_arr = np.asarray(tbl["segment"].to_pylist())
+        cand_docs, cand_scores = [], []
+        for seg in np.unique(seg_arr):
+            idxs = np.flatnonzero(seg_arr == seg)
+            if mode_u == "OR" and algo == "bmw":
+                blobs, blocks = {}, {}
+                for i in idxs:
+                    t = tbl["term"][int(i)].as_py()
+                    blobs[t] = tbl["blob"][int(i)].as_py()
+                    blocks[t] = (
+                        np.asarray(tbl["block_last"][int(i)].as_py(), dtype=np.int64),
+                        idf[t]
+                        * bm25_tf_weight(
+                            np.asarray(tbl["block_max_tf"][int(i)].as_py(), dtype=np.int64),
+                            np.asarray(tbl["block_min_dl"][int(i)].as_py(), dtype=np.int64),
+                            self.avgdl,
+                        ),
+                        np.asarray(tbl["block_off"][int(i)].as_py(), dtype=np.int32),
+                    )
+                docs, scores = _score_union_blockmax(
+                    blobs, blocks, terms_sorted, idf, self.avgdl, k
+                )
+            else:
+                postings = {}
+                for i in idxs:
+                    t = tbl["term"][int(i)].as_py()
+                    d, tf, dl = codecs.decode_postings(tbl["blob"][int(i)].as_py())
+                    postings[t] = (d, tf, dl)
+                if mode_u == "AND":
+                    if not all(t in postings for t in terms_sorted):
+                        continue
+                    docs, scores = _score_intersection(
+                        postings, terms_sorted, idf, self.avgdl
+                    )
+                else:
+                    docs, scores = _score_union_exhaustive(
+                        postings, terms_sorted, idf, self.avgdl
+                    )
+                docs, scores = _topk(docs, scores, k)
+            cand_docs.append(docs)
+            cand_scores.append(scores)
+        if not cand_docs:
+            return []
+        all_d = np.concatenate(cand_docs)
+        all_s = np.concatenate(cand_scores)
+        d, s = _topk(all_d, all_s, k)
+        return list(zip(d.tolist(), s.tolist()))
+
+    def search_many(self, specs: list[dict]) -> dict[str, list[tuple[int, float]]]:
+        return {
+            s["query_id"]: self.search(s["terms"], s.get("mode", "OR"), s.get("k", 10))
+            for s in specs
+        }

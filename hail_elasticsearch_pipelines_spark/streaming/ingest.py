@@ -1,0 +1,54 @@
+"""Structured Streaming ingestion → incremental index maintenance.
+
+The reference is batch-only (SURVEY §2.8); its incremental story is
+stage-level resumability plus ES ``update``/``upsert`` re-exports
+(hail_scripts/shared/elasticsearch_utils.py:11-17).  The Spark-first
+equivalent: a file-source stream of new crawl batches feeding
+``extend_index`` through ``foreachBatch``.
+
+Exactly-once posture: the streaming checkpoint dedupes micro-batches
+across restarts, and ``extend_index`` itself anti-joins already-indexed
+urls — so a replayed batch is a no-op (idempotent appends, the
+``create``-op semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..plans.maintenance import extend_index
+from ..sources.corpus import PAGES_SCHEMA
+
+
+def stream_extend_index(
+    spark: SparkSession,
+    index_dir: str,
+    source_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Watch ``source_path`` for new page parquet files and fold each
+    micro-batch into the published index at ``index_dir``.
+
+    ``available_now=True`` drains everything currently present and stops
+    (the backfill/catch-up mode); ``False`` runs continuously.  Returns
+    the StreamingQuery — caller owns awaitTermination/stop.
+    """
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def _fold(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        extend_index(spark, index_dir, batch_df)
+
+    writer = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
