@@ -38,8 +38,19 @@ from hail_elasticsearch_pipelines_spark.sources.corpus import (
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# bench artifacts on tmpfs when available (single-disk /tmp would
+# serialize the IO that a real cluster spreads across executors)
+BENCH_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_DIR",
+    "/dev/shm/spark_graft_bench" if os.access("/dev/shm", os.W_OK) else "/tmp",
+)
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+# pinned so the build is the SAME JOB at every parallelism level (the
+# scaling-efficiency comparison would be invalid if part sizing floated
+# with the core count) and parts stay small enough to balance
+DOCS_PER_PART = int(os.environ.get("SPARK_GRAFT_DPP", "4000"))
+BUILD_REPS = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "1"))
 
 
 def _read(spark, table):
@@ -63,17 +74,23 @@ def main():
     # The corpus is materialized to parquet FIRST so the timer measures
     # the engine (read -> normalize -> ids -> partials -> merge ->
     # publish), not the synthetic generator.
-    pages_path = f"/tmp/spark_graft_bench_pages_{N_DOCS}"
+    pages_path = f"{BENCH_DIR}/pages_{N_DOCS}"
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         pages_df(spark, N_DOCS, n_partitions=max(CPUS * 2, 8)).write.mode(
             "overwrite"
         ).parquet(pages_path)
     pages = spark.read.parquet(pages_path)
-    idx_dir = f"/tmp/spark_graft_bench_index_{CPUS}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.time()
-    manifest = build_index(spark, pages, idx_dir, n_term_buckets=16)
-    build_sec = time.time() - t0
+    idx_dir = f"{BENCH_DIR}/index_{CPUS}"
+    build_times = []
+    for _ in range(max(1, BUILD_REPS)):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        manifest = build_index(
+            spark, pages, idx_dir, docs_per_part=DOCS_PER_PART, n_term_buckets=16
+        )
+        build_times.append(time.time() - t0)
+    # best-of reps: the sandbox VM shows occasional noisy-neighbor bursts
+    build_sec = min(build_times)
     q["index_build"] = round(build_sec, 3)
     docs_per_sec = manifest["metrics"]["docs_indexed"] / build_sec
 
@@ -96,6 +113,20 @@ def main():
     searcher.search_many(reference_queries()).collect()
     batch_sec = time.time() - t0
     q["bm25_batch_all"] = round(batch_sec, 3)
+
+    # serving path: pyarrow LocalSearcher (no Spark jobs) — the
+    # per-index-node latency an ES data node would show
+    from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+    local = LocalSearcher(idx_dir)
+    local_ms = []
+    for rep in range(3):
+        for spec in reference_queries():
+            t0 = time.time()
+            local.search(spec["terms"], spec["mode"], spec["k"])
+            local_ms.append((time.time() - t0) * 1000)
+    local_p50 = float(np.percentile(local_ms, 50))
+    local_p99 = float(np.percentile(local_ms, 99))
 
     # -- headline operator queries over SF_DIR testdata -----------------
     docs = _read(spark, "documents")
@@ -146,6 +177,9 @@ def main():
                 "bm25_p50_ms": round(p50, 1),
                 "bm25_p99_ms": round(p99, 1),
                 "bm25_batch_qps": round(len(reference_queries()) / batch_sec, 2),
+                "bm25_local_p50_ms": round(local_p50, 2),
+                "bm25_local_p99_ms": round(local_p99, 2),
+                "build_reps_sec": [round(x, 2) for x in build_times],
                 "cpus": CPUS,
             }
         )

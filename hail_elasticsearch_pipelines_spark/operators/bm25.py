@@ -242,24 +242,53 @@ class IndexSearcher:
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def _rows_with_global_df(self, terms_sorted: list[str]) -> DataFrame | None:
+        """Pruned posting rows annotated with each term's GLOBAL df via a
+        broadcast join against the (pruned) term dictionary — so scoring
+        runs as ONE Spark job, no driver-side df-lookup job first.
+        Returns None when the index predates the termdict table."""
+        if self._termdict is None:
+            return None
+        buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms_sorted})
+        td = (
+            self._termdict.filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(terms_sorted)
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df_global"))
+        )
+        return self._term_rows(terms_sorted).join(F.broadcast(td), "term")
+
     def search(
         self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "exhaustive"
     ) -> DataFrame:
         """Top-k BM25.  Returns DataFrame(doc_id, score) already sorted
         by (score desc, doc_id asc), exactly k rows or fewer."""
         terms_sorted = sorted(set(terms))
-        dfs = self.global_dfs(terms_sorted)
-        if mode.upper() == "AND" and any(t not in dfs for t in terms_sorted):
-            return self.spark.createDataFrame([], RESULT_SCHEMA)
-        if not dfs:
-            return self.spark.createDataFrame([], RESULT_SCHEMA)
-        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
-        avgdl = self.avgdl
         mode_u = mode.upper()
+        avgdl = self.avgdl
+        n_docs = self.n_docs
+
+        rows = self._rows_with_global_df(terms_sorted)
+        if rows is None:
+            # legacy two-job path: collect dfs, then score
+            dfs = self.global_dfs(terms_sorted)
+            if not dfs or (mode_u == "AND" and any(t not in dfs for t in terms_sorted)):
+                return self.spark.createDataFrame([], RESULT_SCHEMA)
+            rows = self._term_rows(terms_sorted).withColumn(
+                "df_global",
+                F.create_map(
+                    *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
+                )[F.col("term")],
+            )
 
         def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:
                 return pd.DataFrame({"doc_id": [], "score": []})
+            idf = {
+                t: bm25_idf(n_docs, int(d))
+                for t, d in zip(pdf["term"], pdf["df_global"])
+            }
             if mode_u == "OR" and algo == "bmw":
                 blobs = {r.term: bytes(r.blob) for r in pdf.itertuples()}
                 # block upper bound derived at query time from
@@ -294,7 +323,6 @@ class IndexSearcher:
             docs, scores = _topk(docs, scores, k)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        rows = self._term_rows(terms_sorted)
         per_segment = rows.groupBy("segment").applyInPandas(
             score_segment, schema=RESULT_SCHEMA
         )

@@ -66,13 +66,13 @@ PARTIAL_SCHEMA = T.StructType(
         # incremental appends shift the corpus avgdl.
         T.StructField("block_min_dl", T.ArrayType(T.LongType()), False),
         T.StructField("block_off", T.ArrayType(T.IntegerType()), False),
+        # blob size as a plain column so lineage/metrics aggregate with
+        # parquet column pruning instead of re-reading every blob
+        T.StructField("n_bytes", T.LongType(), False),
     ]
 )
 
-POSTINGS_SCHEMA = T.StructType(
-    [f for f in PARTIAL_SCHEMA.fields if f.name != "part"]
-    + [T.StructField("n_bytes", T.LongType(), False)]
-)
+POSTINGS_SCHEMA = T.StructType([f for f in PARTIAL_SCHEMA.fields if f.name != "part"])
 
 
 def bm25_idf(n_docs: int, df: int) -> float:
@@ -92,15 +92,23 @@ def term_bucket(term: str, n_buckets: int) -> int:
 
 
 def normalize_pages(pages: DataFrame, lang_filter: list[str] | None = None) -> DataFrame:
-    """Dedupe to latest crawl per url, fill missing text from html."""
-    df = dedupe_latest(pages, key="url", ts="warc_ts")
+    """Dedupe to latest crawl per url, fill missing text from html.
+
+    Extraction runs BEFORE the dedupe shuffle so `html` bytes never
+    leave the scan stage (the UDF input is null-guarded — only the ~3%
+    null-text rows cross the Arrow boundary); the dedupe then shuffles
+    text only.  lang filter first → pushed into the parquet scan."""
+    df = pages
     if lang_filter:
         df = df.filter(F.col("lang").isin(lang_filter))
-    return df.select(
+    extracted = df.select(
         "url",
         extracted_text_col("text", "html").alias("text"),
         "lang",
         "warc_ts",
+    )
+    return dedupe_latest(extracted, key="url", ts="warc_ts", tiebreak="text").select(
+        "url", "text", "lang", "warc_ts"
     )
 
 
@@ -179,29 +187,67 @@ def _build_partial_index(pdf: pd.DataFrame, seg_group: int) -> pd.DataFrame:
                 bmaxtf.tolist(),
                 bmin_dl.tolist(),
                 boff.tolist(),
+                len(blob),
             )
         )
     return pd.DataFrame(rows, columns=[f.name for f in PARTIAL_SCHEMA])
 
 
-def build_partials(docs: DataFrame, docs_per_part: int, seg_group: int) -> DataFrame:
+def build_partials(
+    docs: DataFrame,
+    docs_per_part: int,
+    seg_group: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Stage `partial`: assign each doc to a fixed-width doc-id range
     (`part = doc_id // docs_per_part` — deterministic, dense ids make it
-    balanced with NO sampling-dependent boundaries), tokenize JVM-side,
-    and build each part's inverted index in one Arrow group.
+    balanced with NO sampling-dependent boundaries) and build each
+    part's inverted index in an Arrow stream.
 
-    `applyInPandas` over `part` is the UDAF shape the reference never
-    needed (SURVEY §2.9 U5): partition → (term, postings blob) rows."""
-    tokenized = docs.select(
-        "doc_id",
-        "doc_len",
-        tokenize_col("text").alias("tokens"),
-        (F.col("doc_id") / F.lit(docs_per_part)).cast("int").alias("part"),
+    Shuffle discipline: rows are exchanged as TEXT (repartition on
+    `part`), and tokenization happens JVM-side AFTER the exchange — the
+    token arrays (~3x the text bytes) only cross the executor-local
+    Arrow boundary, never the network shuffle.  `mapInPandas` streams
+    the sorted partition and flushes on part boundaries, so each part is
+    still built as one whole unit — the index bytes stay identical under
+    any physical partitioning (merge-determinism contract, tested).
+
+    This is the UDAF shape the reference never needed (SURVEY §2.9 U5):
+    doc range → (term, postings blob) rows."""
+    spark = docs.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    tokenized = (
+        docs.select(
+            "doc_id",
+            "doc_len",
+            "text",
+            (F.col("doc_id") / F.lit(docs_per_part)).cast("int").alias("part"),
+        )
+        .repartition(num_partitions, "part")
+        .sortWithinPartitions("doc_id")
+        .select("doc_id", "doc_len", tokenize_col("text").alias("tokens"), "part")
     )
-    return tokenized.groupBy("part").applyInPandas(
-        lambda pdf: _build_partial_index(pdf, seg_group),
-        schema=PARTIAL_SCHEMA,
-    )
+
+    def gen(batches):
+        buf: list[pd.DataFrame] = []
+        cur = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for part, grp in pdf.groupby("part", sort=True):
+                if cur is not None and part != cur:
+                    out = _build_partial_index(pd.concat(buf, ignore_index=True), seg_group)
+                    if len(out):
+                        yield out
+                    buf = []
+                cur = part
+                buf.append(grp)
+        if buf:
+            out = _build_partial_index(pd.concat(buf, ignore_index=True), seg_group)
+            if len(out):
+                yield out
+
+    return tokenized.mapInPandas(gen, schema=PARTIAL_SCHEMA)
 
 
 def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -87,6 +87,7 @@ def extend_index(
     )
     docs_path = os.path.join(index_dir, "stages", f"docs_ext_{id_base}")
     docs.write.mode("overwrite").parquet(docs_path)
+    spark.catalog.clearCache()  # free assign_dense_ids' persist
     docs = spark.read.parquet(docs_path)
     new_stats = ib.corpus_stats(docs)
     if new_stats["n_docs"] == 0:

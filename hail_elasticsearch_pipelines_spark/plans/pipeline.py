@@ -157,6 +157,7 @@ class IndexBuildPipeline:
         normalized = self.spark.read.parquet(self._p("stages", "normalize"))
         docs = ib.docs_with_ids(normalized)
         docs.write.mode("overwrite").parquet(path)
+        self.spark.catalog.clearCache()  # free assign_dense_ids' persist
         docs = self.spark.read.parquet(path)
         globals_ = ib.corpus_stats(docs)
         if self.docs_per_part is None:
@@ -208,7 +209,7 @@ class IndexBuildPipeline:
                 .groupBy("part")
                 .agg(
                     F.sum("df").alias("postings_emitted"),
-                    F.sum(F.length("blob")).alias("bytes_compressed"),
+                    F.sum("n_bytes").alias("bytes_compressed"),
                 )
                 .withColumn("stage", F.lit("partial_index"))
                 .withColumn("chunk", F.lit(chunk_id))
@@ -239,14 +240,14 @@ class IndexBuildPipeline:
             F.crc32(F.col("term").cast("binary")) % F.lit(self.n_term_buckets),
         )
         # staging-then-swap: the ES "loading nodes then hand-off" analog.
-        # Range-partition on (term_bucket, term) → write parallelism is
-        # the cluster's, not n_term_buckets; each task covers a contiguous
-        # term range so files land sorted (parquet min/max row-group
-        # pruning on `term` at query time).
+        # Hash-partition on (term_bucket, term) → write parallelism is
+        # the cluster's, not n_term_buckets, with no range-sampling job;
+        # sortWithinPartitions keeps each file term-sorted so parquet
+        # min/max row-group stats prune term lookups at query time.
         n_out = max(self.spark.sparkContext.defaultParallelism, self.n_term_buckets)
         staging = self._p("postings__staging")
         (
-            merged.repartitionByRange(n_out, "term_bucket", "term", "segment")
+            merged.repartition(n_out, "term_bucket", "term")
             .sortWithinPartitions("term_bucket", "term", "segment")
             .write.mode("overwrite")
             .partitionBy("term_bucket")

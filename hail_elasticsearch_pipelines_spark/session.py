@@ -29,6 +29,12 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if str(cpus).isdigit() else DEFAULT_SHUFFLE_PARTITIONS
+    # shuffle/spill to tmpfs when available: on a cluster this IO is
+    # spread across executor-local disks; on the single sandbox box the
+    # one data disk would otherwise serialize every parallelism level
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -42,7 +48,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan-split size: the 128 MB default packs a sandbox-sized corpus
+        # into ~3 input splits, capping every scan stage at 3 cores no
+        # matter the parallelism.  16 MB keeps #splits >= cores here; at
+        # real 100 TB scale override back up via SPARK_GRAFT_MAX_PART_BYTES
+        # (bigger splits amortize task overhead when there are millions
+        # of them anyway).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", str(16 * 1024 * 1024)),
+        )
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -63,16 +63,23 @@ def import_typed_tsv(
     return df
 
 
-def dedupe_latest(df: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
+def dedupe_latest(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    tiebreak: str = "html",
+) -> DataFrame:
     """Keep the newest crawl row per key (latest `warc_ts` wins).
 
     Implemented as `max_by` aggregation (partial-agg/combiner friendly —
     one shuffle, no sort, no window) rather than a row_number window:
     at 10^12 rows the map-side combine collapses duplicate urls before
-    the shuffle.  Ties (same ts) break deterministically by html size
-    then html bytes."""
+    the shuffle.  Exact-ts ties break deterministically by
+    (length(tiebreak), tiebreak bytes)."""
     payload = F.struct(*[c for c in df.columns if c != key])
-    order = F.struct(F.col(ts), F.length("html").alias("_sz"), F.col("html"))
+    order = F.struct(
+        F.col(ts), F.length(tiebreak).alias("_sz"), F.col(tiebreak).alias("_tb")
+    )
     out = df.groupBy(key).agg(F.max_by(payload, order).alias("_row"))
     return out.select(key, "_row.*")
 
@@ -117,4 +124,8 @@ def assign_dense_ids(
         .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"))
         .drop("_pid", "_offset")
     )
+    # NOTE: `ranged` stays persisted until the caller materializes `out`
+    # (callers checkpoint to parquet immediately); unpersisting earlier
+    # would re-trigger range sampling for the second pass.  Blocks are
+    # freed by the caller's session-level cache cleanup.
     return out
