@@ -129,7 +129,6 @@ def _score_union_blockmax(
     bounds = reduce(np.union1d, (blocks[t][0] for t in present))
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of size k
     theta = -np.inf
-    out_docs, out_scores = [], []
     cursors = {t: 0 for t in present}  # next block index per term
     decoded: dict[tuple[str, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     lo_doc = 0
