@@ -174,6 +174,14 @@ def _q_bm25_index_bmw(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+PHRASE = ["row", "scan"]
+
+
+def _q_phrase_search(spark, sf):
+    r = _searcher(spark, sf).search_phrase(PHRASE, k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _query_vec(spark, sf) -> list[float]:
     row = (
         _read(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
@@ -321,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_or": _q_bm25_index_or,
         "bm25_index_and": _q_bm25_index_and,
         "bm25_index_bmw": _q_bm25_index_bmw,
+        "phrase_search": _q_phrase_search,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_pairs": _q_embedding_pairs,
@@ -470,6 +479,43 @@ SELECT doc_id,
 FROM tok
 """
 
+def _phrase_sql(phrase: list[str], k: int) -> str:
+    """BM25 of the exact phrase as one pseudo-term: tf via an
+    adjacency self-join over (token, position)."""
+    joins, conds = [], [f"p0.term = '{phrase[0]}'"]
+    for i in range(1, len(phrase)):
+        joins.append(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i}"
+        )
+        conds.append(f"p{i}.term = '{phrase[i]}'")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+pos AS (
+  SELECT doc_id, u.t AS term, u.i AS i
+  FROM tok, UNNEST(list_transform(range(1, len(toks) + 1),
+                   i -> struct_pack(t := toks[i], i := i))) AS x(u)
+),
+m AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS tf
+  FROM pos p0 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY p0.doc_id
+),
+scored AS (
+  SELECT m.doc_id,
+    ln(1.0 + (stats.n_docs - (SELECT count(*) FROM m) + 0.5)
+           / ((SELECT count(*) FROM m) + 0.5))
+    * (2.2 * m.tf) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS score
+  FROM m JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 _COSINE_SQL = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
@@ -506,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_or": or_sql,
         "bm25_index_and": and_sql,
         "bm25_index_bmw": or_sql,
+        "phrase_search": _phrase_sql(PHRASE, 20),
         "cosine_topk": _COSINE_SQL,
         "media_meta": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes, "

@@ -300,7 +300,91 @@ def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray | N
     )
 
 
-def merge_encoded(parts: list[tuple[bytes, np.ndarray, np.ndarray, np.ndarray]]) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
+# ------------------------------------------------------- generic stream
+# (used for position lists: delta-encoded uint64 streams, PFor-chunked
+# so decode stays vectorized — the per-value varint decode loop would
+# be the slow path for high-frequency phrase terms)
+
+def encode_stream(vals: np.ndarray, block_size: int = BLOCK_SIZE) -> bytes:
+    """Encode a uint64 stream as varint(count) + [varint(chunk_count) +
+    PFor chunk]...  Chunks are self-delimiting so streams concatenate
+    (merge_streams) without re-chunking."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    parts = [varint_encode(np.array([vals.size], dtype=np.uint64))]
+    for lo in range(0, vals.size, block_size):
+        chunk = vals[lo : lo + block_size]
+        parts.append(_varint1(chunk.size))
+        parts.append(_encode_pfor_chunk(chunk))
+    return b"".join(parts)
+
+
+def decode_stream(blob: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Inverse of encode_stream → (values, next_offset)."""
+    (n,), offset = varint_decode(blob, 1, offset)
+    n = int(n)
+    out = np.empty(n, dtype=np.uint64)
+    done = 0
+    while done < n:
+        (cnt,), offset = varint_decode(blob, 1, offset)
+        vals, offset = _decode_pfor_chunk(blob, int(cnt), offset)
+        out[done : done + int(cnt)] = vals
+        done += int(cnt)
+    return out, offset
+
+
+def merge_streams(parts: list[bytes]) -> bytes:
+    """Concatenate encoded streams (each self-delimiting) — O(bytes),
+    matching merge_encoded's disjoint-range contract: position deltas
+    restart per doc, so no rebasing is needed."""
+    total = 0
+    bodies = []
+    for blob in parts:
+        if not blob:
+            continue
+        (n,), off = varint_decode(blob, 1, 0)
+        total += int(n)
+        bodies.append(blob[off:])
+    return varint_encode(np.array([total], dtype=np.uint64)) + b"".join(bodies)
+
+
+def encode_position_lists(positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode per-(doc) position lists for one term's postings.
+
+    `positions`: all token positions concatenated in doc order
+    (ascending within each doc); `tfs`: list length per doc.  Deltas
+    within a doc, absolute at each doc's first position."""
+    positions = np.asarray(positions, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    if positions.size == 0:
+        return encode_stream(np.array([], dtype=np.uint64))
+    deltas = np.empty_like(positions)
+    deltas[0] = positions[0]
+    deltas[1:] = positions[1:] - positions[:-1]
+    starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+    deltas[starts] = positions[starts]  # absolute restart per doc
+    return encode_stream(deltas.astype(np.uint64))
+
+
+def decode_position_lists(blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """→ (flat positions int64, per-doc start offsets int64[len(tfs)+1])."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    deltas, _ = decode_stream(blob)
+    pos = deltas.astype(np.int64)
+    if pos.size:
+        starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+        # prefix-sum within docs: cumsum then subtract carried baseline
+        csum = np.cumsum(pos)
+        base = np.zeros_like(pos)
+        base[starts[1:]] = csum[starts[1:] - 1]
+        np.maximum.accumulate(base, out=base)
+        pos = csum - base
+    offsets = np.concatenate(([0], np.cumsum(tfs)))
+    return pos, offsets
+
+
+def merge_encoded(
+    parts: list[tuple[bytes, np.ndarray, np.ndarray, np.ndarray]]
+) -> tuple[bytes, np.ndarray, np.ndarray, np.ndarray]:
     """Merge partial posting blobs whose doc-id ranges are DISJOINT and
     given in ascending order (guaranteed because the index build range-
     partitions documents by doc_id).  O(bytes): no decode — block bodies

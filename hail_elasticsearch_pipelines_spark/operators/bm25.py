@@ -327,6 +327,89 @@ class IndexSearcher:
         )
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_phrase(self, phrase: list[str], k: int = 10) -> DataFrame:
+        """Exact-phrase BM25 top-k: docs containing the terms at
+        consecutive positions, scored as one pseudo-term
+        (tf = adjacency count, df = matching docs).
+
+        Two jobs by necessity: the phrase's global df isn't known until
+        matches are found, so matches (doc_id, tf, dl — tiny relative to
+        postings) are materialized once, counted, then scored JVM-side
+        with the exact float64 expression the oracle uses."""
+        matches = self._phrase_matches(phrase)
+        matches.persist()
+        try:
+            df_count = matches.count()
+            if df_count == 0:
+                return self.spark.createDataFrame([], RESULT_SCHEMA)
+            idf = bm25_idf(self.n_docs, df_count)
+            w = (F.lit(BM25_K1 + 1.0) * F.col("tf")) / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(self.avgdl))
+            )
+            return (
+                matches.select("doc_id", (F.lit(idf) * w).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .localCheckpoint()  # cut lineage before unpersist
+            )
+        finally:
+            matches.unpersist()
+
+    def _phrase_matches(self, phrase: list[str]) -> DataFrame:
+        """DataFrame(doc_id, tf, dl) of exact-adjacency matches."""
+        terms_sorted = sorted(set(phrase))
+        phrase_t = list(phrase)
+
+        def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"doc_id": [], "tf": [], "dl": []}
+            if pdf.empty:
+                return pd.DataFrame(out)
+            post = {}
+            for r in pdf.itertuples():
+                d, tf, dl = codecs.decode_postings(bytes(r.blob))
+                pos, offs = codecs.decode_position_lists(bytes(r.pos_blob), tf)
+                post[r.term] = (d, dl, pos, offs)
+            if not all(t in post for t in phrase_t):
+                return pd.DataFrame(out)
+            common = reduce(
+                lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                (post[t][0] for t in dict.fromkeys(phrase_t)),
+            )
+            d0, dl0, _, _ = post[phrase_t[0]]
+            dl_idx = np.searchsorted(d0, common)
+            for j, doc in enumerate(common.tolist()):
+                starts = None
+                ok = True
+                for i, t in enumerate(phrase_t):
+                    d, _, pos, offs = post[t]
+                    r = int(np.searchsorted(d, doc))
+                    p = pos[offs[r] : offs[r + 1]]
+                    starts = p if starts is None else starts[np.isin(starts + i, p)]
+                    if starts.size == 0:
+                        ok = False
+                        break
+                if ok and starts.size:
+                    out["doc_id"].append(doc)
+                    out["tf"].append(int(starts.size))
+                    out["dl"].append(int(dl0[dl_idx[j]]))
+            return pd.DataFrame(out)
+
+        rows = self._term_rows(terms_sorted).select(
+            "segment", "term", "blob", "pos_blob"
+        )
+        return rows.groupBy("segment").applyInPandas(
+            match_segment,
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType(), False),
+                    T.StructField("tf", T.LongType(), False),
+                    T.StructField("dl", T.LongType(), False),
+                ]
+            ),
+        )
+
     def search_many(self, specs: list[dict]) -> DataFrame:
         """Batch query execution: ONE Spark job scores every query in
         `specs` (dicts with query_id, terms, mode, k).  Each segment's

@@ -66,6 +66,9 @@ PARTIAL_SCHEMA = T.StructType(
         # incremental appends shift the corpus avgdl.
         T.StructField("block_min_dl", T.ArrayType(T.LongType()), False),
         T.StructField("block_off", T.ArrayType(T.IntegerType()), False),
+        # per-(doc) token-position lists (delta + PFor stream) — decoded
+        # only by phrase queries; empty when positions are disabled
+        T.StructField("pos_blob", T.BinaryType(), False),
         # blob size as a plain column so lineage/metrics aggregate with
         # parquet column pruning instead of re-reading every blob
         T.StructField("n_bytes", T.LongType(), False),
@@ -129,7 +132,9 @@ def corpus_stats(docs: DataFrame) -> dict:
     return {"n_docs": n, "total_tokens": total, "avgdl": (total / n) if n else 0.0}
 
 
-def _build_partial_index(pdf: pd.DataFrame, seg_group: int) -> pd.DataFrame:
+def _build_partial_index(
+    pdf: pd.DataFrame, seg_group: int, with_positions: bool = True
+) -> pd.DataFrame:
     """Inverted index for one doc-range part: vectorized (factorize /
     unique / reduceat), no per-row Python.
 
@@ -148,6 +153,10 @@ def _build_partial_index(pdf: pd.DataFrame, seg_group: int) -> pd.DataFrame:
     terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
     docs = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
     dls = np.repeat(pdf["doc_len"].to_numpy(np.int64), lens)
+    # token position within its doc (phrase-query support)
+    pos_all = np.arange(lens.sum(), dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
 
     tcodes, uniq_terms = pd.factorize(terms, sort=True)
     dcodes, uniq_docs = pd.factorize(docs, sort=False)  # appearance==ascending
@@ -157,10 +166,15 @@ def _build_partial_index(pdf: pd.DataFrame, seg_group: int) -> pd.DataFrame:
 
     n_docs_local = len(uniq_docs)
     key = tcodes.astype(np.int64) * n_docs_local + dcodes
-    ukey, counts = np.unique(key, return_counts=True)
-    u_t = (ukey // n_docs_local).astype(np.int64)
+    # stable sort keeps positions ascending within each (term, doc)
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    pos_sorted = pos_all[order] if with_positions else None
+    ukey, counts = np.unique(skey, return_counts=True)
     u_d = (ukey % n_docs_local).astype(np.int64)
+    u_t = (ukey // n_docs_local).astype(np.int64)
     bounds = np.searchsorted(u_t, np.arange(len(uniq_terms) + 1))
+    inst_offsets = np.concatenate(([0], np.cumsum(counts)))
 
     rows = []
     for ti in range(len(uniq_terms)):
@@ -174,6 +188,12 @@ def _build_partial_index(pdf: pd.DataFrame, seg_group: int) -> pd.DataFrame:
         blob, blast, bmaxtf, boff = codecs.encode_postings(doc_arr, tf_arr, dls=dl_arr)
         starts = np.arange(0, len(doc_arr), codecs.BLOCK_SIZE)
         bmin_dl = np.minimum.reduceat(dl_arr, starts)
+        if with_positions:
+            pos_blob = codecs.encode_position_lists(
+                pos_sorted[inst_offsets[lo] : inst_offsets[hi]], tf_arr
+            )
+        else:
+            pos_blob = b""
         rows.append(
             (
                 str(uniq_terms[ti]),
@@ -187,7 +207,8 @@ def _build_partial_index(pdf: pd.DataFrame, seg_group: int) -> pd.DataFrame:
                 bmaxtf.tolist(),
                 bmin_dl.tolist(),
                 boff.tolist(),
-                len(blob),
+                pos_blob,
+                len(blob) + len(pos_blob),
             )
         )
     return pd.DataFrame(rows, columns=[f.name for f in PARTIAL_SCHEMA])
@@ -198,6 +219,7 @@ def build_partials(
     docs_per_part: int,
     seg_group: int,
     num_partitions: int | None = None,
+    with_positions: bool = True,
 ) -> DataFrame:
     """Stage `partial`: assign each doc to a fixed-width doc-id range
     (`part = doc_id // docs_per_part` — deterministic, dense ids make it
@@ -236,14 +258,18 @@ def build_partials(
                 continue
             for part, grp in pdf.groupby("part", sort=True):
                 if cur is not None and part != cur:
-                    out = _build_partial_index(pd.concat(buf, ignore_index=True), seg_group)
+                    out = _build_partial_index(
+                        pd.concat(buf, ignore_index=True), seg_group, with_positions
+                    )
                     if len(out):
                         yield out
                     buf = []
                 cur = part
                 buf.append(grp)
         if buf:
-            out = _build_partial_index(pd.concat(buf, ignore_index=True), seg_group)
+            out = _build_partial_index(
+                pd.concat(buf, ignore_index=True), seg_group, with_positions
+            )
             if len(out):
                 yield out
 
@@ -271,6 +297,7 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     bmaxtfs = pdf["block_max_tf"].to_numpy()
     bmindls = pdf["block_min_dl"].to_numpy()
     boffs = pdf["block_off"].to_numpy()
+    pos_blobs = pdf["pos_blob"].to_numpy()
     min_docs = pdf["min_doc"].to_numpy()
     dfs = pdf["df"].to_numpy()
     cfs = pdf["cf"].to_numpy()
@@ -289,6 +316,9 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         bmin_dl = np.concatenate(
             [np.asarray(bmindls[i], dtype=np.int64) for i in range(lo, hi)]
         )
+        pos_blob = codecs.merge_streams(
+            [bytes(pos_blobs[i]) for i in range(lo, hi)]
+        )
         rows.append(
             (
                 terms[lo],
@@ -301,7 +331,8 @@ def _merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
                 bmaxtf.tolist(),
                 bmin_dl.tolist(),
                 boff.tolist(),
-                len(blob),
+                pos_blob,
+                len(blob) + len(pos_blob),
             )
         )
     return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA])
@@ -341,6 +372,7 @@ def build_index(
     n_term_buckets: int = 16,
     lang_filter: list[str] | None = None,
     n_chunks: int = 1,
+    with_positions: bool = True,
 ) -> dict:
     """One-shot build via the resumable staged pipeline
     (plans/pipeline.py).  Returns the manifest dict."""
@@ -354,5 +386,6 @@ def build_index(
         n_term_buckets=n_term_buckets,
         lang_filter=lang_filter,
         n_chunks=n_chunks,
+        with_positions=with_positions,
     )
     return pipe.run(pages)

@@ -133,3 +133,62 @@ class LocalSearcher:
             s["query_id"]: self.search(s["terms"], s.get("mode", "OR"), s.get("k", 10))
             for s in specs
         }
+
+    def search_phrase(self, phrase: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Exact-phrase BM25 top-k — same semantics/floats as
+        IndexSearcher.search_phrase (tested bit-identical)."""
+        import numpy as np
+
+        from .index_build import BM25_B, BM25_K1
+
+        terms_sorted = sorted(set(phrase))
+        tbl = self._term_rows(
+            terms_sorted, ["term", "segment", "blob", "pos_blob"]
+        )
+        seg_arr = np.asarray(tbl["segment"].to_pylist())
+        all_docs, all_tf, all_dl = [], [], []
+        for seg in np.unique(seg_arr):
+            idxs = np.flatnonzero(seg_arr == seg)
+            post = {}
+            for i in idxs:
+                t = tbl["term"][int(i)].as_py()
+                d, tf, dl = codecs.decode_postings(tbl["blob"][int(i)].as_py())
+                pos, offs = codecs.decode_position_lists(
+                    tbl["pos_blob"][int(i)].as_py(), tf
+                )
+                post[t] = (d, dl, pos, offs)
+            if not all(t in post for t in phrase):
+                continue
+            from functools import reduce
+
+            common = reduce(
+                lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                (post[t][0] for t in dict.fromkeys(phrase)),
+            )
+            d0, dl0, _, _ = post[phrase[0]]
+            dl_idx = np.searchsorted(d0, common)
+            for j, doc in enumerate(common.tolist()):
+                starts = None
+                for i2, t in enumerate(phrase):
+                    d, _, pos, offs = post[t]
+                    r = int(np.searchsorted(d, doc))
+                    p = pos[offs[r] : offs[r + 1]]
+                    starts = p if starts is None else starts[np.isin(starts + i2, p)]
+                    if starts.size == 0:
+                        break
+                if starts is not None and starts.size:
+                    all_docs.append(doc)
+                    all_tf.append(int(starts.size))
+                    all_dl.append(int(dl0[dl_idx[j]]))
+        if not all_docs:
+            return []
+        idf = bm25_idf(self.n_docs, len(all_docs))
+        tf = np.asarray(all_tf, dtype=np.float64)
+        dl = np.asarray(all_dl, dtype=np.float64)
+        w = ((BM25_K1 + 1.0) * tf) / (
+            tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / self.avgdl)
+        )
+        scores = idf * w
+        docs = np.asarray(all_docs, dtype=np.int64)
+        d, s = _topk(docs, scores, k)
+        return list(zip(d.tolist(), s.tolist()))

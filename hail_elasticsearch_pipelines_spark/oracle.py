@@ -75,3 +75,36 @@ class OracleIndex:
         scores = self.score(terms, mode)
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
+
+    def phrase_tfs(self, phrase: list[str]) -> dict[int, int]:
+        """Exact-adjacency phrase term frequency per doc (occurrences may
+        overlap: 'a a' occurs twice in 'a a a')."""
+        n = len(phrase)
+        out: dict[int, int] = {}
+        for d, toks in self.doc_tokens.items():
+            c = sum(
+                1
+                for i in range(len(toks) - n + 1)
+                if toks[i : i + n] == phrase
+            )
+            if c:
+                out[d] = c
+        return out
+
+    def phrase_topk(self, phrase: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """BM25 top-k treating the phrase as one pseudo-term:
+        tf = adjacency count, df = docs with tf > 0."""
+        tfs = self.phrase_tfs(phrase)
+        if not tfs:
+            return []
+        idf = bm25_idf(self.n_docs, len(tfs))
+        scores = {}
+        for d, tf in tfs.items():
+            dl = self.doc_len[d]
+            w = (
+                (BM25_K1 + 1.0)
+                * np.float64(tf)
+                / (np.float64(tf) + BM25_K1 * (1.0 - BM25_B + BM25_B * np.float64(dl) / self.avgdl))
+            )
+            scores[d] = float(idf * w)
+        return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]

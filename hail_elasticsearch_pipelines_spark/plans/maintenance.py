@@ -93,7 +93,9 @@ def extend_index(
     if new_stats["n_docs"] == 0:
         return manifest
 
-    partials = ib.build_partials(docs, dpp, seg_group)
+    partials = ib.build_partials(
+        docs, dpp, seg_group, with_positions=params.get("with_positions", True)
+    )
     merged = ib.merge_partials(partials).withColumn(
         "term_bucket",
         F.crc32(F.col("term").cast("binary")) % F.lit(n_term_buckets),

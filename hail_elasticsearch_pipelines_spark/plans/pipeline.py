@@ -48,7 +48,7 @@ from . import sizing
 
 # bump when the on-disk postings schema changes (readers refuse or
 # rebuild on mismatch — the ES index-version analog)
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
 
 
 def _write_termdict(spark: SparkSession, out_dir: str) -> None:
@@ -106,6 +106,7 @@ class IndexBuildPipeline:
         lang_filter: list[str] | None = None,
         n_chunks: int = 1,
         input_fingerprint: str | None = None,
+        with_positions: bool = True,
     ):
         self.spark = spark
         self.out = out_dir
@@ -114,6 +115,7 @@ class IndexBuildPipeline:
         self.n_term_buckets = n_term_buckets
         self.lang_filter = lang_filter
         self.n_chunks = max(1, n_chunks)
+        self.with_positions = with_positions
         self.input_fingerprint = input_fingerprint or "unfingerprinted-input"
         self.params_fp = _fingerprint(
             {
@@ -122,6 +124,7 @@ class IndexBuildPipeline:
                 "n_term_buckets": n_term_buckets,
                 "lang_filter": lang_filter,
                 "n_chunks": n_chunks,
+                "with_positions": with_positions,
                 "input": self.input_fingerprint,
             }
         )
@@ -201,7 +204,10 @@ class IndexBuildPipeline:
             if can_reuse(cpath, fp):
                 continue
             chunk_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            partials = ib.build_partials(chunk_docs, self.docs_per_part, self.seg_group)
+            partials = ib.build_partials(
+                chunk_docs, self.docs_per_part, self.seg_group,
+                with_positions=self.with_positions,
+            )
             partials.write.mode("overwrite").parquet(cpath)
             # per-part lineage + metrics (FIXTURES.md F6)
             lineage = (
@@ -281,6 +287,7 @@ class IndexBuildPipeline:
                 "n_term_buckets": self.n_term_buckets,
                 "lang_filter": self.lang_filter,
                 "n_chunks": self.n_chunks,
+                "with_positions": self.with_positions,
             },
             "globals": globals_,
             "metrics": {

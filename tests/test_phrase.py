@@ -1,0 +1,90 @@
+"""Positional index + exact-phrase BM25: rank- and score-identical to
+the oracle on the small corpus, across the distributed and local paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hail_elasticsearch_pipelines_spark.functions import codecs
+from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+PHRASES = [
+    ["the", "of"],
+    ["of", "the", "and"],
+    ["term0042", "the"],
+    ["the", "zzznotaterm"],
+    ["the", "the"],
+]
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, small_index):
+    return IndexSearcher(spark, small_index[0])
+
+
+@pytest.fixture(scope="module")
+def local_searcher(small_index):
+    return LocalSearcher(small_index[0])
+
+
+def test_positions_stored_exactly(spark, small_index, small_oracle):
+    """Decoded positions must equal the token positions in the oracle."""
+    oracle, _ = small_oracle
+    rows = spark.read.parquet(f"{small_index[0]}/postings").filter(
+        "term = 'term0042'"
+    ).collect()
+    got: dict[int, list[int]] = {}
+    for r in sorted(rows, key=lambda r: r["min_doc"]):
+        d, tf, _ = codecs.decode_postings(bytes(r["blob"]))
+        pos, offs = codecs.decode_position_lists(bytes(r["pos_blob"]), tf)
+        for i, doc in enumerate(d.tolist()):
+            got[doc] = pos[offs[i] : offs[i + 1]].tolist()
+    for doc, toks in oracle.doc_tokens.items():
+        expected = [i for i, t in enumerate(toks) if t == "term0042"]
+        assert got.get(doc, []) == expected, doc
+
+
+@pytest.mark.parametrize("phrase", PHRASES, ids=lambda p: "_".join(p))
+def test_phrase_matches_oracle_distributed(searcher, small_oracle, phrase):
+    oracle, _ = small_oracle
+    expected = oracle.phrase_topk(phrase, k=10)
+    got = [(r["doc_id"], r["score"]) for r in searcher.search_phrase(phrase, k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expected], phrase
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == es, (phrase, gd)
+
+
+@pytest.mark.parametrize("phrase", PHRASES, ids=lambda p: "_".join(p))
+def test_phrase_matches_oracle_local(local_searcher, small_oracle, phrase):
+    oracle, _ = small_oracle
+    expected = oracle.phrase_topk(phrase, k=10)
+    got = local_searcher.search_phrase(phrase, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected], phrase
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == es, (phrase, gd)
+
+
+def test_overlapping_phrase_occurrences(small_oracle):
+    """'a a' in 'a a a' counts twice (sliding window, not replace)."""
+    oracle, _ = small_oracle
+    tfs = oracle.phrase_tfs(["the", "the"])
+    # spot-check one doc by brute force
+    for d, tf in list(tfs.items())[:5]:
+        toks = oracle.doc_tokens[d]
+        brute = sum(1 for i in range(len(toks) - 1) if toks[i] == toks[i + 1] == "the")
+        assert tf == brute
+
+
+def test_position_stream_roundtrip_random():
+    rng = np.random.default_rng(42)
+    for _ in range(100):
+        tfs = rng.integers(1, 10, rng.integers(1, 25))
+        pos = np.concatenate(
+            [np.sort(rng.choice(3000, tf, replace=False)) for tf in tfs]
+        ).astype(np.int64)
+        blob = codecs.encode_position_lists(pos, tfs)
+        got, offs = codecs.decode_position_lists(blob, tfs)
+        np.testing.assert_array_equal(got, pos)
+        np.testing.assert_array_equal(offs, np.concatenate(([0], np.cumsum(tfs))))
