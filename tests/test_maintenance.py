@@ -128,6 +128,34 @@ def test_compact_preserves_results(spark, extended_index, q, tmp_path):
     )
 
 
+def test_phrase_after_extend(spark, extended_index):
+    """Positional postings from appended segments participate in phrase
+    queries; phrase results match the union-corpus oracle."""
+    out, _, base, extra = extended_index
+    base_n = len(_oracle_for([base]))
+    s = IndexSearcher(spark, out)
+    phrase = ["the", "of"]
+    got = [(r["doc_id"], r["score"]) for r in s.search_phrase(phrase, k=10).collect()]
+    # oracle over union corpus with engine doc ids
+    import pandas as pd
+
+    base_pdf = _oracle_for([base])
+    extra_pdf = _oracle_for([extra])
+    extra_pdf = extra_pdf[~extra_pdf["url"].isin(set(base_pdf["url"]))]
+    id_base = ((base_n - 1) // 37 + 1) * 37
+    docs = {}
+    for i, row in base_pdf.reset_index(drop=True).iterrows():
+        docs[i] = row["text"] if row["text"] is not None else py_extract_text(row["html"])
+    for j, row in extra_pdf.sort_values("url").reset_index(drop=True).iterrows():
+        docs[id_base + j] = (
+            row["text"] if row["text"] is not None else py_extract_text(row["html"])
+        )
+    expected = OracleIndex(docs).phrase_topk(phrase, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (gd, gs), (_, es) in zip(got, expected):
+        assert gs == es, gd
+
+
 def test_search_many_matches_per_query(spark, small_index, small_oracle):
     index_dir, _ = small_index
     oracle, _ = small_oracle
