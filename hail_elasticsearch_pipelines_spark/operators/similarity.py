@@ -125,6 +125,37 @@ def write_lsh_partitioned(
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
+def ann_lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 11,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN over a `write_lsh_partitioned` layout: the bucket predicate is
+    a PARTITION filter, so only the probed buckets' files are read (the
+    IVF scale path — at 10^12 vectors a query touches
+    (1 + multiprobe-neighborhood)/2^n_planes of the data)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qsigns = (planes @ q) > 0
+    qbucket = int((qsigns * (1 << np.arange(n_planes))).sum())
+    probes = {qbucket}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probes.add(qbucket ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    cand = spark.read.parquet(path).filter(F.col("bucket").isin(sorted(probes)))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,
