@@ -307,6 +307,34 @@ def _q_hourly_events(spark, sf):
     )
 
 
+def _q_order_values_sorted(spark, sf):
+    """W1/W2 analog: per-customer array of order totals sorted desc,
+    emitted as a joined string so the value-hash is format-stable."""
+    o = _read(spark, sf, "orders")
+    arr = F.array_sort(
+        F.collect_list(F.floor("o_totalprice").cast("long")),
+        lambda a, b: F.when(a > b, -1).when(a < b, 1).otherwise(0),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.array_join(F.transform(arr, lambda x: x.cast("string")), ",").alias("totals_desc"))
+        .select(F.col("o_custkey").alias("custkey"), "totals_desc")
+    )
+
+
+def _q_nation_counts_full_outer(spark, sf):
+    """J2 analog: full-outer join of per-nation customer and supplier
+    counts (unmatched sides surface as nulls → coalesce to 0)."""
+    c = _read(spark, sf, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = _read(spark, sf, "supplier").groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).cast("long").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
 def _q_json_props(spark, sf):
     e = _read(spark, sf, "events")
     return e.groupBy("event_type").agg(
@@ -340,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": _q_customers_no_orders,
         "nations_with_customers": _q_nations_with_customers,
         "union_nationkeys": _q_union_nationkeys,
+        "order_values_sorted": _q_order_values_sorted,
+        "nation_counts_full_outer": _q_nation_counts_full_outer,
         "top_event_per_user": _q_top_event_per_user,
         "hourly_events": _q_hourly_events,
         "json_props": _q_json_props,
@@ -588,6 +618,19 @@ ORDER BY revenue_milli DESC, c_custkey ASC LIMIT 10
             "SELECT c_nationkey::BIGINT AS nationkey FROM customer "
             "UNION SELECT s_nationkey::BIGINT FROM supplier"
         ),
+        "order_values_sorted": (
+            "SELECT o_custkey AS custkey, "
+            "array_to_string(list(CAST(floor(o_totalprice) AS BIGINT) "
+            "ORDER BY CAST(floor(o_totalprice) AS BIGINT) DESC), ',') AS totals_desc "
+            "FROM orders GROUP BY o_custkey"
+        ),
+        "nation_counts_full_outer": """
+WITH c AS (SELECT c_nationkey, count(*)::BIGINT AS n_cust FROM customer GROUP BY c_nationkey),
+s AS (SELECT s_nationkey, count(*)::BIGINT AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c.c_nationkey, s.s_nationkey)::BIGINT AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.c_nationkey = s.s_nationkey
+""",
         "top_event_per_user": f"""
 SELECT user_id, event_id, event_type, {_micro_sql('value / 1000.0')} AS value_milli
 FROM (

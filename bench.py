@@ -45,7 +45,7 @@ BENCH_DIR = os.environ.get(
     "/dev/shm/spark_graft_bench" if os.access("/dev/shm", os.W_OK) else "/tmp",
 )
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 # pinned so the build is the SAME JOB at every parallelism level (the
 # scaling-efficiency comparison would be invalid if part sizing floated
 # with the core count) and parts stay small enough to balance
