@@ -327,6 +327,18 @@ class IndexSearcher:
         )
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def with_source(self, results: DataFrame) -> DataFrame:
+        """Join hit doc_ids back to their url (the ES ``_source`` fetch:
+        the index stores postings, the doc store serves the documents).
+        Broadcast of the tiny hit set against the doclens table keeps
+        this a map-side join at any corpus size."""
+        doclens = self.spark.read.parquet(os.path.join(self.index_dir, "doclens"))
+        return (
+            doclens.join(F.broadcast(results), "doc_id")
+            .select(*results.columns, "url")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def search_phrase(self, phrase: list[str], k: int = 10) -> DataFrame:
         """Exact-phrase BM25 top-k: docs containing the terms at
         consecutive positions, scored as one pseudo-term

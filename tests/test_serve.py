@@ -44,3 +44,19 @@ def test_local_global_dfs_matches_spark(local_searcher, spark, small_index):
     s = IndexSearcher(spark, index_dir)
     terms = ["the", "term0042", "zzznotaterm"]
     assert local_searcher.global_dfs(terms) == s.global_dfs(terms)
+
+
+def test_with_source_fetch(spark, small_index, small_oracle):
+    """ES _source analog: hits join back to their url, order preserved."""
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+
+    index_dir, _ = small_index
+    oracle, pdf = small_oracle
+    s = IndexSearcher(spark, index_dir)
+    hits = s.search(["term0042"], "OR", 5)
+    rows = s.with_source(hits).collect()
+    assert len(rows) == 5
+    assert [r["doc_id"] for r in rows] == [d for d, _ in oracle.topk(["term0042"], "OR", 5)]
+    urls = pdf.sort_values("url").reset_index(drop=True)["url"]
+    for r in rows:
+        assert r["url"] == urls[r["doc_id"]]
