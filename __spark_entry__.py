@@ -175,6 +175,12 @@ def _q_bm25_index_bmw(spark, sf):
 
 
 PHRASE = ["row", "scan"]
+BOOL_QUERY = "fast AND (key OR table) AND NOT dup"
+
+
+def _q_bool_search(spark, sf):
+    r = _searcher(spark, sf).search_bool(BOOL_QUERY, k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
 def _q_phrase_search(spark, sf):
@@ -358,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_and": _q_bm25_index_and,
         "bm25_index_bmw": _q_bm25_index_bmw,
         "phrase_search": _q_phrase_search,
+        "bool_search": _q_bool_search,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_pairs": _q_embedding_pairs,
@@ -583,6 +590,40 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_and": and_sql,
         "bm25_index_bmw": or_sql,
         "phrase_search": _phrase_sql(PHRASE, 20),
+        "bool_search": f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ('fast', 'key', 'table', 'dup')
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), flags AS (
+  SELECT doc_id,
+    bool_or(term = 'fast') AS has_fast,
+    bool_or(term = 'key') AS has_key,
+    bool_or(term = 'table') AS has_table,
+    bool_or(term = 'dup') AS has_dup
+  FROM tf GROUP BY doc_id
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (2.2 * tf.tf) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS contrib
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  WHERE tf.term <> 'dup'
+), agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+)
+SELECT agg.doc_id, {_micro_sql('score')} AS score_micro
+FROM agg JOIN flags USING (doc_id)
+WHERE has_fast AND (has_key OR has_table) AND NOT has_dup
+ORDER BY score DESC, agg.doc_id ASC LIMIT 20
+""",
         "cosine_topk": _COSINE_SQL,
         "media_meta": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes, "

@@ -1,0 +1,216 @@
+"""Boolean query language over the inverted index — the ES
+query-string analog (the reference delegates query parsing entirely to
+Elasticsearch; this is the native re-expression).
+
+Grammar (case-insensitive keywords, parens for grouping):
+
+    expr   := or
+    or     := and ( OR and )*
+    and    := unary ( AND unary )*
+    unary  := NOT unary | atom
+    atom   := TERM | '(' expr ')'
+
+Semantics (Lucene BooleanQuery-shaped):
+  * the boolean expression is a FILTER deciding which docs match;
+  * a doc's SCORE is the BM25 sum over the query's POSITIVE terms that
+    the doc contains (ascending term order, float64 — the same
+    determinism contract as everywhere else);
+  * NOT only excludes (pure negation has no candidates): a NOT that is
+    not intersected with something positive raises.
+
+Shared by the distributed searcher, the local searcher, and the oracle
+so all three evaluate queries identically.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from .tokenize import py_tokenize
+
+_TOKEN_RE = re.compile(r"\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+", re.IGNORECASE)
+
+
+@dataclass
+class Term:
+    term: str
+
+
+@dataclass
+class And:
+    parts: list
+
+
+@dataclass
+class Or:
+    parts: list
+
+
+@dataclass
+class Not:
+    part: object
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def parse(query: str):
+    """Parse a boolean query string into an AST of Term/And/Or/Not."""
+    toks = _TOKEN_RE.findall(query)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat(expected=None):
+        nonlocal pos
+        if pos >= len(toks):
+            raise QueryParseError(f"unexpected end of query: {query!r}")
+        t = toks[pos]
+        if expected and t.upper() != expected:
+            raise QueryParseError(f"expected {expected}, got {t!r}")
+        pos += 1
+        return t
+
+    def atom():
+        t = peek()
+        if t is None:
+            raise QueryParseError(f"unexpected end of query: {query!r}")
+        if t == "(":
+            eat()
+            node = or_()
+            eat(")")
+            return node
+        if t.upper() in ("AND", "OR", "NOT", ")"):
+            raise QueryParseError(f"unexpected {t!r} in {query!r}")
+        eat()
+        normalized = py_tokenize(t)
+        if len(normalized) != 1:
+            raise QueryParseError(f"not a single indexable term: {t!r}")
+        return Term(normalized[0])
+
+    def unary():
+        if peek() and peek().upper() == "NOT":
+            eat()
+            return Not(unary())
+        return atom()
+
+    def and_():
+        parts = [unary()]
+        while peek() and peek().upper() == "AND":
+            eat()
+            parts.append(unary())
+        return parts[0] if len(parts) == 1 else And(parts)
+
+    def or_():
+        parts = [and_()]
+        while peek() and peek().upper() == "OR":
+            eat()
+            parts.append(and_())
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    node = or_()
+    if pos != len(toks):
+        raise QueryParseError(f"trailing tokens in {query!r}: {toks[pos:]}")
+    return node
+
+
+def positive_terms(node) -> list[str]:
+    """Sorted positive (non-negated) terms — the scoring terms."""
+    out: set[str] = set()
+
+    def walk(n, negated: bool):
+        if isinstance(n, Term):
+            if not negated:
+                out.add(n.term)
+        elif isinstance(n, Not):
+            walk(n.part, not negated)
+        else:
+            for p in n.parts:
+                walk(p, negated)
+
+    walk(node, False)
+    return sorted(out)
+
+
+def all_terms(node) -> list[str]:
+    out: set[str] = set()
+
+    def walk(n):
+        if isinstance(n, Term):
+            out.add(n.term)
+        elif isinstance(n, Not):
+            walk(n.part)
+        else:
+            for p in n.parts:
+                walk(p)
+
+    walk(node)
+    return sorted(out)
+
+
+_NEG = "NEG"  # marker: (NEG, excluded_docs) — "everything except these"
+
+
+def eval_docs(node, doc_sets: dict[str, np.ndarray]):
+    """Evaluate the AST to a sorted doc-id array given each term's doc
+    set (absent term → empty).  Negations propagate as (NEG, docs)
+    markers and must be absorbed by an AND with a positive side."""
+    empty = np.array([], dtype=np.int64)
+    if isinstance(node, Term):
+        return doc_sets.get(node.term, empty)
+    if isinstance(node, Not):
+        inner = eval_docs(node.part, doc_sets)
+        if isinstance(inner, tuple):  # NOT NOT x == x
+            return inner[1]
+        return (_NEG, inner)
+    if isinstance(node, Or):
+        parts = [eval_docs(p, doc_sets) for p in node.parts]
+        if any(isinstance(p, tuple) for p in parts):
+            raise QueryParseError("pure negation in OR is unbounded; use AND NOT")
+        out = parts[0]
+        for p in parts[1:]:
+            out = np.union1d(out, p)
+        return out
+    if isinstance(node, And):
+        parts = [eval_docs(p, doc_sets) for p in node.parts]
+        pos = [p for p in parts if not isinstance(p, tuple)]
+        neg = [p[1] for p in parts if isinstance(p, tuple)]
+        if not pos:
+            raise QueryParseError("AND of pure negations is unbounded")
+        out = pos[0]
+        for p in pos[1:]:
+            out = np.intersect1d(out, p, assume_unique=True)
+        for n in neg:
+            out = np.setdiff1d(out, n, assume_unique=True)
+        return out
+    raise QueryParseError(f"unknown node {node!r}")
+
+
+def score_candidates(
+    candidates: np.ndarray,
+    postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    pos_terms_sorted: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+) -> np.ndarray:
+    """BM25 sum over positive terms present per candidate doc, ascending
+    term order (float64 determinism contract)."""
+    from ..operators.index_build import bm25_tf_weight
+
+    scores = np.zeros(len(candidates), dtype=np.float64)
+    for t in pos_terms_sorted:
+        if t not in postings or postings[t][0].size == 0:
+            continue
+        d, tf, dl = postings[t]
+        idx = np.searchsorted(d, candidates)
+        idx_c = np.clip(idx, 0, len(d) - 1)
+        hit = d[idx_c] == candidates
+        if hit.any():
+            w = bm25_tf_weight(tf[idx_c[hit]], dl[idx_c[hit]], avgdl)
+            scores[hit] += idf[t] * w
+    return scores

@@ -327,6 +327,52 @@ class IndexSearcher:
         )
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_bool(self, query: str, k: int = 10) -> DataFrame:
+        """Boolean query string (`a AND (b OR c) AND NOT d`) — the ES
+        query-string analog.  The expression filters; BM25 scores sum
+        over the positive terms each match contains (see
+        functions/boolquery.py).  Segment-local evaluation is globally
+        correct because a doc's full term set lives in one segment."""
+        from ..functions import boolquery as bq
+
+        ast = bq.parse(query)
+        terms = bq.all_terms(ast)
+        pos_terms = bq.positive_terms(ast)
+        if not pos_terms:
+            raise bq.QueryParseError("query has no positive terms")
+        avgdl, n_docs = self.avgdl, self.n_docs
+
+        rows = self._rows_with_global_df(terms)
+        if rows is None:
+            dfs = self.global_dfs(terms)
+            rows = self._term_rows(terms).withColumn(
+                "df_global",
+                F.create_map(
+                    *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
+                )[F.col("term")],
+            )
+
+        def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            postings, doc_sets, idf = {}, {}, {}
+            for r in pdf.itertuples():
+                d, tf, dl = codecs.decode_postings(bytes(r.blob))
+                postings[r.term] = (d, tf, dl)
+                doc_sets[r.term] = d
+                idf[r.term] = bm25_idf(n_docs, int(r.df_global))
+            cand = bq.eval_docs(ast, doc_sets)
+            if isinstance(cand, tuple) or cand.size == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            scores = bq.score_candidates(cand, postings, pos_terms, idf, avgdl)
+            d, s = _topk(cand, scores, k)
+            return pd.DataFrame({"doc_id": d, "score": s})
+
+        per_segment = rows.groupBy("segment").applyInPandas(
+            score_segment, schema=RESULT_SCHEMA
+        )
+        return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def with_source(self, results: DataFrame) -> DataFrame:
         """Join hit doc_ids back to their url (the ES ``_source`` fetch:
         the index stores postings, the doc store serves the documents).

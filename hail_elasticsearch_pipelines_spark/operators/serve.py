@@ -134,6 +134,43 @@ class LocalSearcher:
             for s in specs
         }
 
+    def search_bool(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Boolean query string — same semantics as
+        IndexSearcher.search_bool, no Spark jobs."""
+        import numpy as np
+
+        from ..functions import boolquery as bq
+
+        ast = bq.parse(query)
+        terms = bq.all_terms(ast)
+        pos_terms = bq.positive_terms(ast)
+        if not pos_terms:
+            raise bq.QueryParseError("query has no positive terms")
+        dfs = self.global_dfs(terms)
+        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        tbl = self._term_rows(terms, ["term", "segment", "blob"])
+        seg_arr = np.asarray(tbl["segment"].to_pylist())
+        cand_d, cand_s = [], []
+        for seg in np.unique(seg_arr):
+            idxs = np.flatnonzero(seg_arr == seg)
+            postings, doc_sets = {}, {}
+            for i in idxs:
+                t = tbl["term"][int(i)].as_py()
+                d, tf, dl = codecs.decode_postings(tbl["blob"][int(i)].as_py())
+                postings[t] = (d, tf, dl)
+                doc_sets[t] = d
+            cand = bq.eval_docs(ast, doc_sets)
+            if isinstance(cand, tuple) or cand.size == 0:
+                continue
+            scores = bq.score_candidates(cand, postings, pos_terms, idf, self.avgdl)
+            d, s = _topk(cand, scores, k)
+            cand_d.append(d)
+            cand_s.append(s)
+        if not cand_d:
+            return []
+        d, s = _topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
+        return list(zip(d.tolist(), s.tolist()))
+
     def search_phrase(self, phrase: list[str], k: int = 10) -> list[tuple[int, float]]:
         """Exact-phrase BM25 top-k — same semantics/floats as
         IndexSearcher.search_phrase (tested bit-identical)."""

@@ -76,6 +76,33 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
         return ranked[:k]
 
+    def bool_topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Boolean query-string evaluation (functions/boolquery.py
+        semantics) against the in-memory index."""
+        from .functions import boolquery as bq
+
+        ast = bq.parse(query)
+        pos_terms = bq.positive_terms(ast)
+        doc_sets = {
+            t: np.array([d for d, _ in self.postings.get(t, [])], dtype=np.int64)
+            for t in bq.all_terms(ast)
+        }
+        cand = bq.eval_docs(ast, doc_sets)
+        if isinstance(cand, tuple) or cand.size == 0:
+            return []
+        postings = {}
+        for t in pos_terms:
+            d, tf = self.posting(t)
+            postings[t] = (
+                np.array(d, dtype=np.int64),
+                np.array(tf, dtype=np.int64),
+                np.array([self.doc_len[x] for x in d], dtype=np.int64),
+            )
+        idf = {t: bm25_idf(self.n_docs, self.df(t)) for t in pos_terms if self.df(t)}
+        scores = bq.score_candidates(cand, postings, sorted(pos_terms), idf, self.avgdl)
+        order = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
+
     def phrase_tfs(self, phrase: list[str]) -> dict[int, int]:
         """Exact-adjacency phrase term frequency per doc (occurrences may
         overlap: 'a a' occurs twice in 'a a a')."""
