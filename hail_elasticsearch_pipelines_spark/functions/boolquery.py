@@ -37,6 +37,9 @@ _TOKEN_RE = re.compile(r"\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+", re.IGNORECASE)
 @dataclass
 class Term:
     term: str
+    # filter terms (e.g. `lang:en` facets) constrain matches but never
+    # contribute to the BM25 score — the ES filter-context analog
+    filter: bool = False
 
 
 @dataclass
@@ -88,6 +91,14 @@ def parse(query: str):
         if t.upper() in ("AND", "OR", "NOT", ")"):
             raise QueryParseError(f"unexpected {t!r} in {query!r}")
         eat()
+        if ":" in t:  # facet filter atom, e.g. lang:en
+            field, value = t.split(":", 1)
+            nf, nv = py_tokenize(field), py_tokenize(value)
+            if len(nf) != 1 or len(nv) != 1:
+                raise QueryParseError(f"bad facet atom: {t!r}")
+            from ..operators.index_build import facet_token
+
+            return Term(facet_token(nf[0], nv[0]), filter=True)
         normalized = py_tokenize(t)
         if len(normalized) != 1:
             raise QueryParseError(f"not a single indexable term: {t!r}")
@@ -125,7 +136,7 @@ def positive_terms(node) -> list[str]:
 
     def walk(n, negated: bool):
         if isinstance(n, Term):
-            if not negated:
+            if not negated and not n.filter:
                 out.add(n.term)
         elif isinstance(n, Not):
             walk(n.part, not negated)

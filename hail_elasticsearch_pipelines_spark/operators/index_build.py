@@ -115,10 +115,21 @@ def normalize_pages(pages: DataFrame, lang_filter: list[str] | None = None) -> D
     )
 
 
+FACET_FIELDS = ("lang",)
+
+
+def facet_token(field: str, value: str) -> str:
+    """Synthetic index token for a metadata facet.  Contains underscores
+    so it can never collide with output of the pinned tokenizer."""
+    return f"__{field}_{value}__"
+
+
 def docs_with_ids(normalized: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Dense doc_id in url order + doc_len (BM25 `dl`)."""
+    """Dense doc_id in url order + doc_len (BM25 `dl`).  Carries facet
+    metadata columns through so the partial build can index them."""
+    keep = ["url", "text"] + [f for f in FACET_FIELDS if f in normalized.columns]
     return assign_dense_ids(
-        normalized.select("url", "text"), key="url", num_partitions=num_partitions
+        normalized.select(*keep), key="url", num_partitions=num_partitions
     ).withColumn("doc_len", token_count_col("text"))
 
 
@@ -238,17 +249,33 @@ def build_partials(
     doc range → (term, postings blob) rows."""
     spark = docs.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    facet_cols = [f for f in FACET_FIELDS if f in docs.columns]
     tokenized = (
         docs.select(
             "doc_id",
             "doc_len",
             "text",
+            *facet_cols,
             (F.col("doc_id") / F.lit(docs_per_part)).cast("int").alias("part"),
         )
         .repartition(num_partitions, "part")
         .sortWithinPartitions("doc_id")
-        .select("doc_id", "doc_len", tokenize_col("text").alias("tokens"), "part")
     )
+    toks = tokenize_col("text")
+    if facet_cols:
+        # facet tokens index metadata as filterable terms (ES filter
+        # context); they are appended AFTER doc_len is computed, so they
+        # never perturb BM25 length normalization
+        facets = F.array(
+            *[
+                F.concat(
+                    F.lit(f"__{f}_"), F.coalesce(F.col(f), F.lit("unknown")), F.lit("__")
+                )
+                for f in facet_cols
+            ]
+        )
+        toks = F.concat(toks, facets)
+    tokenized = tokenized.select("doc_id", "doc_len", toks.alias("tokens"), "part")
 
     def gen(batches):
         buf: list[pd.DataFrame] = []

@@ -23,8 +23,11 @@ from .operators.index_build import BM25_B, BM25_K1, bm25_idf
 
 
 class OracleIndex:
-    def __init__(self, docs: dict[int, str]):
-        """docs: doc_id -> text (doc_ids dense, text already extracted)."""
+    def __init__(self, docs: dict[int, str], facets: dict[int, dict[str, str]] | None = None):
+        """docs: doc_id -> text (doc_ids dense, text already extracted).
+        facets: doc_id -> {field: value} — indexed as synthetic
+        ``__field_value__`` filter tokens, excluded from doc_len/avgdl
+        (mirrors the engine's facet indexing)."""
         self.doc_tokens = {d: py_tokenize(t) for d, t in docs.items()}
         self.doc_len = {d: len(tk) for d, tk in self.doc_tokens.items()}
         self.n_docs = len(docs)
@@ -34,6 +37,10 @@ class OracleIndex:
         for d in sorted(self.doc_tokens):
             for term, tf in sorted(Counter(self.doc_tokens[d]).items()):
                 self.postings.setdefault(term, []).append((d, tf))
+        if facets:
+            for d in sorted(facets):
+                for field, value in sorted(facets[d].items()):
+                    self.postings.setdefault(f"__{field}_{value}__", []).append((d, 1))
 
     def posting(self, term: str) -> tuple[list[int], list[int]]:
         pl = self.postings.get(term, [])

@@ -48,7 +48,7 @@ from . import sizing
 
 # bump when the on-disk postings schema changes (readers refuse or
 # rebuild on mismatch — the ES index-version analog)
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4  # v4: facet tokens (__field_value__) indexed
 
 
 def _write_termdict(spark: SparkSession, out_dir: str) -> None:

@@ -51,8 +51,9 @@ def small_oracle(small_pages_pdf):
 
     pdf = small_pages_pdf.sort_values("warc_ts").drop_duplicates("url", keep="last")
     pdf = pdf.sort_values("url").reset_index(drop=True)
-    docs = {}
+    docs, facets = {}, {}
     for i, row in pdf.iterrows():
         text = row["text"] if row["text"] is not None else py_extract_text(row["html"])
         docs[i] = text
-    return OracleIndex(docs), pdf
+        facets[i] = {"lang": row["lang"]}
+    return OracleIndex(docs, facets=facets), pdf
