@@ -33,7 +33,7 @@ import numpy as np
 BLOCK_SIZE = 128
 _VERSION_PFOR = 1
 _VERSION_VARINT = 2
-_ALLOWED_WIDTHS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 20, 24, 32)
+_ALLOWED_WIDTHS = (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64)
 
 
 # ---------------------------------------------------------------- varint
@@ -138,20 +138,25 @@ def _choose_width(vals: np.ndarray) -> int:
             # don't bother with exceptions if full width is nearly as small
             full = next(x for x in _ALLOWED_WIDTHS if x >= cap)
             return full if full <= w + 2 else w
-    return 32
+    return 64
 
 
 def _encode_pfor_chunk(vals: np.ndarray) -> bytes:
-    """width byte + n_exceptions varint + packed low bits + exceptions."""
+    """width byte + n_exceptions varint + packed low bits + exceptions.
+    Widths go up to 64 (doc-id GAPS exceed 2^32 at 10^12-doc sparsity —
+    a 32-bit cap would silently truncate; caught by the Hypothesis
+    round-trip property in tests/test_codecs_property.py)."""
     vals = np.asarray(vals, dtype=np.uint64)
     w = _choose_width(vals)
-    if w >= 32:
-        w = 32
-    if w == 32:
-        exc_idx = np.array([], dtype=np.int64)
+    if w >= 64:
+        exc_idx = np.array([], dtype=np.int64)  # nothing exceeds 64 bits
+        lows = vals
+    elif w:
+        exc_idx = np.nonzero(vals >> np.uint64(w))[0]
+        lows = vals & ((np.uint64(1) << np.uint64(w)) - np.uint64(1))
     else:
-        exc_idx = np.nonzero(vals >> np.uint64(w))[0] if w else np.nonzero(vals)[0]
-    lows = vals & ((np.uint64(1) << np.uint64(w)) - np.uint64(1)) if w else np.zeros_like(vals)
+        exc_idx = np.nonzero(vals)[0]
+        lows = np.zeros_like(vals)
     parts = [bytes([w]), varint_encode(np.array([len(exc_idx)], dtype=np.uint64))]
     parts.append(_pack_bits(lows, w))
     if len(exc_idx):
