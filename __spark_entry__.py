@@ -504,7 +504,7 @@ FROM b
 _FINGERPRINT_SQL = f"""
 WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents)
 SELECT doc_id,
-  CASE WHEN len(toks) = 0 THEN 0 ELSE
+  CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
     list_sum([
       (i * list_reduce(
             list_prepend(0::BIGINT,
@@ -512,7 +512,7 @@ SELECT doc_id,
             (a, b) -> (a * 131 + b) % 2147483647))
       for i in range(1, len(toks) + 1)
     ]) % 2147483647
-  END AS fp
+  END AS BIGINT) AS fp
 FROM tok
 """
 
@@ -686,7 +686,7 @@ FROM events GROUP BY 1, 2
 """,
         "json_props": (
             "SELECT event_type, "
-            "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k "
+            "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k "
             "FROM events GROUP BY event_type"
         ),
     }

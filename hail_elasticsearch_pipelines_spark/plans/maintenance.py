@@ -18,15 +18,13 @@ Reference analogs:
 from __future__ import annotations
 
 import json
-import math
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import index_build as ib
-from .pipeline import _write_termdict
+from .pipeline import _swap_dir, _write_termdict
 
 
 def _load_manifest(index_dir: str) -> dict:
@@ -63,10 +61,10 @@ def extend_index(
 
     Only urls NOT already indexed are added (left_anti against doclens —
     the reference's ``create``-op semantics; in-place re-crawl of an
-    existing url needs delete support, a later round).  New doc ids
-    start at the next part boundary after the current max id, so no
-    (term, segment) key ever holds two rows with interleaved doc ranges
-    and every existing blob stays byte-identical.
+    existing url is handled by ``upsert_index``).  New doc ids start at
+    the next SEGMENT boundary after the current max id, so no (term,
+    segment) key ever holds more than one postings row and every
+    existing blob stays byte-identical.
     """
     manifest = _load_manifest(index_dir)
     params = manifest["params"]
@@ -78,7 +76,16 @@ def extend_index(
     doclens_path = os.path.join(index_dir, "doclens")
     existing = spark.read.parquet(doclens_path)
     max_id = existing.agg(F.max("doc_id")).collect()[0][0]
-    id_base = (math.floor(max_id / dpp) + 1) * dpp if max_id is not None else 0
+    # New ids must start at the next SEGMENT boundary, not merely the next
+    # part boundary: segment = (doc_id // dpp) // seg_group, and every
+    # query-side scorer assumes at most ONE postings row per (term,
+    # segment) — an append sharing a segment with existing rows would be
+    # silently clobbered in the postings[term] dict at query time.
+    if max_id is None:
+        id_base = 0
+    else:
+        next_seg = (max_id // dpp) // seg_group + 1
+        id_base = next_seg * seg_group * dpp
 
     normalized = ib.normalize_pages(new_pages, params.get("lang_filter"))
     fresh = normalized.join(existing.select("url"), "url", "left_anti")
@@ -150,8 +157,7 @@ def compact_index(spark: SparkSession, index_dir: str, factor: int = 2) -> dict:
         .partitionBy("term_bucket")
         .parquet(staging)
     )
-    shutil.rmtree(postings_path)
-    os.replace(staging, postings_path)
+    _swap_dir(staging, postings_path)
     _write_termdict(spark, index_dir)
     manifest["metrics"] = {
         "docs_indexed": manifest["globals"]["n_docs"],

@@ -70,10 +70,22 @@ def _write_termdict(spark: SparkSession, out_dir: str) -> None:
         .partitionBy("term_bucket")
         .parquet(staging)
     )
-    final = os.path.join(out_dir, "termdict")
+    _swap_dir(staging, os.path.join(out_dir, "termdict"))
+
+
+def _swap_dir(staging: str, final: str) -> None:
+    """Crash-safe directory swap: the live dir is renamed aside BEFORE the
+    staging dir moves in, so every intermediate state keeps one complete
+    copy on disk (either at ``final`` or at ``final__old``) — a crash
+    mid-swap never leaves a published index with no postings."""
+    old = final + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(final):
-        shutil.rmtree(final)
+        os.replace(final, old)
     os.replace(staging, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def _fingerprint(obj) -> str:
@@ -260,9 +272,7 @@ class IndexBuildPipeline:
             .parquet(staging)
         )
         final = self._p("postings")
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(staging, final)
+        _swap_dir(staging, final)
 
         docs = self.spark.read.parquet(self._p("stages", "docs"))
         docs.select("doc_id", "url", "doc_len").write.mode("overwrite").parquet(

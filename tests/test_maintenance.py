@@ -61,16 +61,14 @@ def extended_index(spark, tmp_path_factory):
     return out, manifest, base, extra
 
 
-def _expected_topk(base, extra, base_n_urls, q):
-    """Oracle over the union corpus, with doc ids matching the engine's:
-    base urls keep their 0..N-1 url-order ids; appended urls get ids
-    id_base + (url rank within the new batch)."""
+def _union_docs(base, extra, id_base):
+    """Doc-id → text over the union corpus, with ids matching the
+    engine's: base urls keep their 0..N-1 url-order ids; appended urls
+    get ids id_base + (url rank within the new batch)."""
     base_pdf = _oracle_for([base])
     extra_pdf = _oracle_for([extra])
     # drop urls already indexed (extend_index anti-joins them)
     extra_pdf = extra_pdf[~extra_pdf["url"].isin(set(base_pdf["url"]))]
-    dpp = 37
-    id_base = ((base_n_urls - 1) // dpp + 1) * dpp
     docs = {}
     for i, row in base_pdf.reset_index(drop=True).iterrows():
         t = row["text"] if row["text"] is not None else py_extract_text(row["html"])
@@ -78,22 +76,26 @@ def _expected_topk(base, extra, base_n_urls, q):
     for j, row in extra_pdf.sort_values("url").reset_index(drop=True).iterrows():
         t = row["text"] if row["text"] is not None else py_extract_text(row["html"])
         docs[id_base + j] = t
-    oracle = OracleIndex(docs)
+    return docs
+
+
+def _expected_topk(base, extra, id_base, q):
+    oracle = OracleIndex(_union_docs(base, extra, id_base))
     return oracle.topk(q["terms"], q["mode"], q["k"])
 
 
 @pytest.mark.parametrize("q", QUERIES, ids=lambda q: q["query_id"])
 def test_extend_index_rank_identical(spark, extended_index, q):
     out, manifest, base, extra = extended_index
-    base_n = len(_oracle_for([base]))
+    id_base = manifest["extensions"][0]["id_base"]
     s = IndexSearcher(spark, out)
     got = s.search(q["terms"], q["mode"], q["k"], algo="exhaustive").collect()
-    _assert_match(got, _expected_topk(base, extra, base_n, q))
+    _assert_match(got, _expected_topk(base, extra, id_base, q))
     # bmw path must stay identical too (query-time block bounds absorb
     # the avgdl shift)
     if q["mode"] == "OR":
         got_bmw = s.search(q["terms"], q["mode"], q["k"], algo="bmw").collect()
-        _assert_match(got_bmw, _expected_topk(base, extra, base_n, q))
+        _assert_match(got_bmw, _expected_topk(base, extra, id_base, q))
 
 
 def test_extend_index_globals(extended_index):
@@ -131,29 +133,44 @@ def test_compact_preserves_results(spark, extended_index, q, tmp_path):
 def test_phrase_after_extend(spark, extended_index):
     """Positional postings from appended segments participate in phrase
     queries; phrase results match the union-corpus oracle."""
-    out, _, base, extra = extended_index
-    base_n = len(_oracle_for([base]))
+    out, manifest, base, extra = extended_index
+    id_base = manifest["extensions"][0]["id_base"]
     s = IndexSearcher(spark, out)
     phrase = ["the", "of"]
     got = [(r["doc_id"], r["score"]) for r in s.search_phrase(phrase, k=10).collect()]
-    # oracle over union corpus with engine doc ids
-    import pandas as pd
-
-    base_pdf = _oracle_for([base])
-    extra_pdf = _oracle_for([extra])
-    extra_pdf = extra_pdf[~extra_pdf["url"].isin(set(base_pdf["url"]))]
-    id_base = ((base_n - 1) // 37 + 1) * 37
-    docs = {}
-    for i, row in base_pdf.reset_index(drop=True).iterrows():
-        docs[i] = row["text"] if row["text"] is not None else py_extract_text(row["html"])
-    for j, row in extra_pdf.sort_values("url").reset_index(drop=True).iterrows():
-        docs[id_base + j] = (
-            row["text"] if row["text"] is not None else py_extract_text(row["html"])
-        )
+    docs = _union_docs(base, extra, id_base)
     expected = OracleIndex(docs).phrase_topk(phrase, k=10)
     assert [d for d, _ in got] == [d for d, _ in expected]
     for (gd, gs), (_, es) in zip(got, expected):
         assert gs == es, gd
+
+
+def test_extend_unaligned_segment_boundary(spark, tmp_path):
+    """Regression (round-2 advice): when the base corpus's last part is
+    NOT the last part of its segment, appended ids must still open a NEW
+    segment.  With part-boundary-only alignment, appended rows shared a
+    (term, segment) key with existing rows and every query-side scorer's
+    postings[term] dict silently clobbered one of them — docs vanished
+    from results.  base=180 docs / dpp=37 / seg_group=2 reproduces the
+    misalignment (max part 4 is the first part of segment 2)."""
+    out = str(tmp_path / "idx")
+    base = gen_pages_pdf(np.arange(180))
+    extra = gen_pages_pdf(np.arange(180, 260))
+    build_index(
+        spark, spark.createDataFrame(base), out,
+        docs_per_part=37, seg_group=2, n_term_buckets=8,
+    )
+    manifest = extend_index(spark, out, spark.createDataFrame(extra))
+    id_base = manifest["extensions"][0]["id_base"]
+    assert id_base % (37 * 2) == 0, "appended ids must start a fresh segment"
+    docs = _union_docs(base, extra, id_base)
+    expected = OracleIndex(docs).topk(["the"], "OR", k=len(docs))
+    s = IndexSearcher(spark, out)
+    got = s.search(["the"], "OR", k=len(docs), algo="exhaustive").collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(d for d, _ in expected)
+    _assert_match(
+        sorted(got, key=lambda r: (-r["score"], r["doc_id"])), expected
+    )
 
 
 def test_search_many_matches_per_query(spark, small_index, small_oracle):
