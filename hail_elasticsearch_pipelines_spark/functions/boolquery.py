@@ -91,14 +91,14 @@ def parse(query: str):
         if t.upper() in ("AND", "OR", "NOT", ")"):
             raise QueryParseError(f"unexpected {t!r} in {query!r}")
         eat()
-        if ":" in t:  # facet filter atom, e.g. lang:en
+        if ":" in t:  # facet filter atom, e.g. lang:en or lang:pt-BR
             field, value = t.split(":", 1)
-            nf, nv = py_tokenize(field), py_tokenize(value)
-            if len(nf) != 1 or len(nv) != 1:
-                raise QueryParseError(f"bad facet atom: {t!r}")
-            from ..operators.index_build import facet_token
+            from ..operators.index_build import facet_token, py_facet_value
 
-            return Term(facet_token(nf[0], nv[0]), filter=True)
+            nf = py_tokenize(field)
+            if len(nf) != 1 or not py_facet_value(value):
+                raise QueryParseError(f"bad facet atom: {t!r}")
+            return Term(facet_token(nf[0], value), filter=True)
         normalized = py_tokenize(t)
         if len(normalized) != 1:
             raise QueryParseError(f"not a single indexable term: {t!r}")

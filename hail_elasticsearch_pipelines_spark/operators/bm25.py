@@ -96,6 +96,18 @@ def _score_intersection(
     return common, scores
 
 
+def _check_unique_terms(pdf: pd.DataFrame) -> None:
+    """Each (term, segment) must hold exactly ONE postings row — the
+    invariant extend_index's segment alignment guarantees.  Raise loudly
+    instead of letting dict construction silently drop docs."""
+    if pdf["term"].duplicated().any():
+        dup = pdf["term"][pdf["term"].duplicated()].iloc[0]
+        raise ValueError(
+            f"corrupt index: multiple postings rows for term {dup!r} in one "
+            "segment (was the index extended with a misaligned id_base?)"
+        )
+
+
 def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """k best by (score desc, doc_id asc)."""
     if docs.size == 0:
@@ -284,6 +296,7 @@ class IndexSearcher:
         def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:
                 return pd.DataFrame({"doc_id": [], "score": []})
+            _check_unique_terms(pdf)
             idf = {
                 t: bm25_idf(n_docs, int(d))
                 for t, d in zip(pdf["term"], pdf["df_global"])
@@ -355,6 +368,7 @@ class IndexSearcher:
         def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:
                 return pd.DataFrame({"doc_id": [], "score": []})
+            _check_unique_terms(pdf)
             postings, doc_sets, idf = {}, {}, {}
             for r in pdf.itertuples():
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
@@ -376,11 +390,19 @@ class IndexSearcher:
     def with_source(self, results: DataFrame) -> DataFrame:
         """Join hit doc_ids back to their url (the ES ``_source`` fetch:
         the index stores postings, the doc store serves the documents).
-        Broadcast of the tiny hit set against the doclens table keeps
-        this a map-side join at any corpus size."""
+
+        The tiny hit set is collected once, so (a) the search job never
+        re-runs inside the join and (b) the doc_id isin predicate is
+        PUSHED into the doclens parquet scan — doclens is written in
+        doc_id order, so row-group min/max stats prune the doc store to
+        the handful of files holding the hits at any corpus size."""
+        rows = results.collect()
+        hits = self.spark.createDataFrame(rows, results.schema)
+        ids = [r["doc_id"] for r in rows]
         doclens = self.spark.read.parquet(os.path.join(self.index_dir, "doclens"))
         return (
-            doclens.join(F.broadcast(results), "doc_id")
+            doclens.filter(F.col("doc_id").isin(ids))
+            .join(F.broadcast(hits), "doc_id")
             .select(*results.columns, "url")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
@@ -394,6 +416,11 @@ class IndexSearcher:
         matches are found, so matches (doc_id, tf, dl — tiny relative to
         postings) are materialized once, counted, then scored JVM-side
         with the exact float64 expression the oracle uses."""
+        if not self.manifest["params"].get("with_positions", True):
+            raise ValueError(
+                "phrase queries need positional postings, but this index was "
+                "built with with_positions=False — rebuild with positions"
+            )
         matches = self._phrase_matches(phrase)
         matches.persist()
         try:
@@ -424,6 +451,7 @@ class IndexSearcher:
             out = {"doc_id": [], "tf": [], "dl": []}
             if pdf.empty:
                 return pd.DataFrame(out)
+            _check_unique_terms(pdf)
             post = {}
             for r in pdf.itertuples():
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
@@ -480,9 +508,18 @@ class IndexSearcher:
         all_terms = sorted({t for s in specs for t in s["terms"]})
         if not all_terms:
             return self.spark.createDataFrame([], MULTI_RESULT_SCHEMA)
-        dfs = self.global_dfs(all_terms)
-        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
-        avgdl = self.avgdl
+        n_docs, avgdl = self.n_docs, self.avgdl
+        # single-job path: global dfs ride in on a broadcast termdict
+        # join (same as `search`) instead of a driver-side lookup job
+        rows = self._rows_with_global_df(all_terms)
+        if rows is None:
+            dfs = self.global_dfs(all_terms)
+            rows = self._term_rows(all_terms).withColumn(
+                "df_global",
+                F.create_map(
+                    *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
+                )[F.col("term")],
+            )
         compiled = [
             (
                 s["query_id"],
@@ -496,6 +533,11 @@ class IndexSearcher:
         def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             out_q, out_d, out_s = [], [], []
             if not pdf.empty:
+                _check_unique_terms(pdf)
+                idf = {
+                    t: bm25_idf(n_docs, int(d))
+                    for t, d in zip(pdf["term"], pdf["df_global"])
+                }
                 postings = {}
                 for r in pdf.itertuples():
                     d, tf, dl = codecs.decode_postings(bytes(r.blob))
@@ -522,7 +564,6 @@ class IndexSearcher:
                     out_s.extend(scores.tolist())
             return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
-        rows = self._term_rows(all_terms)
         per_segment = rows.groupBy("segment").applyInPandas(
             score_segment,
             schema=T.StructType(

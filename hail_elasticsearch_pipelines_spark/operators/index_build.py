@@ -37,13 +37,18 @@ import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import codecs
 from ..functions.extract import extracted_text_col
-from ..functions.tokenize import token_count_col, tokenize_col
+from ..functions.tokenize import (
+    TOKEN_SPLIT_PATTERN,
+    py_tokenize,
+    token_count_col,
+    tokenize_col,
+)
 from ..sources.readers import assign_dense_ids, dedupe_latest
 
 BM25_K1 = 1.2
@@ -118,10 +123,29 @@ def normalize_pages(pages: DataFrame, lang_filter: list[str] | None = None) -> D
 FACET_FIELDS = ("lang",)
 
 
-def facet_token(field: str, value: str) -> str:
+def py_facet_value(value: str | None) -> str:
+    """Pinned facet-value normalization: the value's tokens (same
+    tokenizer as the query parser) joined by '_' — 'pt-BR' → 'pt_br',
+    'EN' → 'en'.  Idempotent.  Empty/None normalizes to ''."""
+    return "_".join(py_tokenize(value))
+
+
+def facet_value_col(col: Column) -> Column:
+    """JVM twin of :func:`py_facet_value`; NULL/empty → 'unknown'."""
+    toks = F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_PATTERN), lambda t: t != ""
+    )
+    joined = F.coalesce(F.array_join(toks, "_"), F.lit(""))
+    return F.when(joined == "", F.lit("unknown")).otherwise(joined)
+
+
+def facet_token(field: str, value: str | None) -> str:
     """Synthetic index token for a metadata facet.  Contains underscores
-    so it can never collide with output of the pinned tokenizer."""
-    return f"__{field}_{value}__"
+    so it can never collide with output of the pinned tokenizer.  The
+    value is normalized with the SAME rule the query parser applies, so
+    every indexed facet is queryable (round-2 advice: raw values like
+    'EN' or 'pt-BR' used to index under tokens no query could produce)."""
+    return f"__{field}_{py_facet_value(value) or 'unknown'}__"
 
 
 def docs_with_ids(normalized: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -268,9 +292,7 @@ def build_partials(
         # never perturb BM25 length normalization
         facets = F.array(
             *[
-                F.concat(
-                    F.lit(f"__{f}_"), F.coalesce(F.col(f), F.lit("unknown")), F.lit("__")
-                )
+                F.concat(F.lit(f"__{f}_"), facet_value_col(F.col(f)), F.lit("__"))
                 for f in facet_cols
             ]
         )

@@ -32,6 +32,16 @@ from .bm25 import (
 from .index_build import bm25_idf, bm25_tf_weight, term_bucket
 
 
+def _put_unique(d: dict, key, value) -> None:
+    """Insert enforcing the one-row-per-(term, segment) invariant."""
+    if key in d:
+        raise ValueError(
+            f"corrupt index: multiple postings rows for term {key!r} in one "
+            "segment (was the index extended with a misaligned id_base?)"
+        )
+    d[key] = value
+
+
 class LocalSearcher:
     def __init__(self, index_dir: str):
         with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -88,7 +98,7 @@ class LocalSearcher:
                 blobs, blocks = {}, {}
                 for i in idxs:
                     t = tbl["term"][int(i)].as_py()
-                    blobs[t] = tbl["blob"][int(i)].as_py()
+                    _put_unique(blobs, t, tbl["blob"][int(i)].as_py())
                     blocks[t] = (
                         np.asarray(tbl["block_last"][int(i)].as_py(), dtype=np.int64),
                         idf[t]
@@ -107,7 +117,7 @@ class LocalSearcher:
                 for i in idxs:
                     t = tbl["term"][int(i)].as_py()
                     d, tf, dl = codecs.decode_postings(tbl["blob"][int(i)].as_py())
-                    postings[t] = (d, tf, dl)
+                    _put_unique(postings, t, (d, tf, dl))
                 if mode_u == "AND":
                     if not all(t in postings for t in terms_sorted):
                         continue
@@ -157,7 +167,7 @@ class LocalSearcher:
             for i in idxs:
                 t = tbl["term"][int(i)].as_py()
                 d, tf, dl = codecs.decode_postings(tbl["blob"][int(i)].as_py())
-                postings[t] = (d, tf, dl)
+                _put_unique(postings, t, (d, tf, dl))
                 doc_sets[t] = d
             cand = bq.eval_docs(ast, doc_sets)
             if isinstance(cand, tuple) or cand.size == 0:
@@ -178,6 +188,11 @@ class LocalSearcher:
 
         from .index_build import BM25_B, BM25_K1
 
+        if not self.manifest["params"].get("with_positions", True):
+            raise ValueError(
+                "phrase queries need positional postings, but this index was "
+                "built with with_positions=False — rebuild with positions"
+            )
         terms_sorted = sorted(set(phrase))
         tbl = self._term_rows(
             terms_sorted, ["term", "segment", "blob", "pos_blob"]
@@ -193,7 +208,7 @@ class LocalSearcher:
                 pos, offs = codecs.decode_position_lists(
                     tbl["pos_blob"][int(i)].as_py(), tf
                 )
-                post[t] = (d, dl, pos, offs)
+                _put_unique(post, t, (d, dl, pos, offs))
             if not all(t in post for t in phrase):
                 continue
             from functools import reduce

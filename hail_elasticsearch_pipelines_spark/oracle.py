@@ -38,9 +38,11 @@ class OracleIndex:
             for term, tf in sorted(Counter(self.doc_tokens[d]).items()):
                 self.postings.setdefault(term, []).append((d, tf))
         if facets:
+            from .operators.index_build import facet_token
+
             for d in sorted(facets):
                 for field, value in sorted(facets[d].items()):
-                    self.postings.setdefault(f"__{field}_{value}__", []).append((d, 1))
+                    self.postings.setdefault(facet_token(field, value), []).append((d, 1))
 
     def posting(self, term: str) -> tuple[list[int], list[int]]:
         pl = self.postings.get(term, [])

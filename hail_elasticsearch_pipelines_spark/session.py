@@ -29,12 +29,23 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if str(cpus).isdigit() else DEFAULT_SHUFFLE_PARTITIONS
-    # shuffle/spill to tmpfs when available: on a cluster this IO is
-    # spread across executor-local disks; on the single sandbox box the
-    # one data disk would otherwise serialize every parallelism level
+    # shuffle/spill to tmpfs when it has real headroom: on a cluster this
+    # IO is spread across executor-local disks; on the single sandbox box
+    # the one data disk would otherwise serialize every parallelism
+    # level.  tmpfs consumes RAM, so require generous free capacity
+    # (>=16 GiB) before defaulting to it — a large shuffle spilling into
+    # a small /dev/shm would OOM the host exactly when Spark is trying to
+    # relieve memory pressure.  SPARK_GRAFT_LOCAL_DIR overrides either
+    # way ("" disables tmpfs, a path redirects).
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/spark-local"
+        try:
+            import shutil as _sh
+
+            if _sh.disk_usage("/dev/shm").free >= 16 * 1024**3:
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -50,3 +50,69 @@ def test_facet_negation(searcher, small_oracle):
     got = [r["doc_id"] for r in searcher.search_bool(q, k=50).collect()]
     langs = pdf["lang"].tolist()
     assert got and all(langs[d] != "en" for d in got)
+
+
+NONNORMAL_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+@pytest.fixture(scope="module")
+def nonnormal_index(spark, tmp_path_factory):
+    """Corpus whose facet values are NOT tokenizer-normal ('EN',
+    'pt-BR', NULL) — regression for facets indexed under tokens the
+    query parser could never produce."""
+    import datetime
+
+    from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        (f"http://x/{i:03d}", ts, None, f"shared text number {i}", lang)
+        for i, lang in enumerate(["EN", "pt-BR", "EN", None, "fr"])
+    ]
+    out = str(tmp_path_factory.mktemp("facetnorm") / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame(rows, schema=NONNORMAL_SCHEMA),
+        out,
+        docs_per_part=4,
+        seg_group=1,
+        n_term_buckets=4,
+    )
+    return out
+
+
+@pytest.mark.parametrize(
+    "atom,expected",
+    [
+        ("lang:EN", [0, 2]),      # raw uppercase form
+        ("lang:en", [0, 2]),      # normalized form
+        ("lang:pt-BR", [1]),      # raw hyphenated form
+        ("lang:pt_br", [1]),      # normalized form
+        ("lang:unknown", [3]),    # NULL facet value
+    ],
+)
+def test_nonnormal_facet_values_filterable(spark, nonnormal_index, atom, expected):
+    s = IndexSearcher(spark, nonnormal_index)
+    got = sorted(r["doc_id"] for r in s.search_bool(f"shared AND {atom}", k=10).collect())
+    assert got == expected, atom
+    got_local = sorted(d for d, _ in LocalSearcher(nonnormal_index).search_bool(f"shared AND {atom}", k=10))
+    assert got_local == expected, atom
+
+
+def test_facet_value_normalization_parity(spark):
+    """py_facet_value (parser side) and facet_value_col (index side)
+    agree on adversarial values."""
+    from pyspark.sql import functions as F
+
+    from hail_elasticsearch_pipelines_spark.operators.index_build import (
+        facet_value_col,
+        py_facet_value,
+    )
+
+    values = ["EN", "pt-BR", "zh_Hans", "  fr  ", "a.b.c", "123", "", "???", None]
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [r["n"] for r in df.select(facet_value_col(F.col("v")).alias("n")).collect()]
+    want = [(py_facet_value(v) or "unknown") for v in values]
+    assert got == want

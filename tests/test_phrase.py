@@ -88,3 +88,31 @@ def test_position_stream_roundtrip_random():
         got, offs = codecs.decode_position_lists(blob, tfs)
         np.testing.assert_array_equal(got, pos)
         np.testing.assert_array_equal(offs, np.concatenate(([0], np.cumsum(tfs))))
+
+
+def test_phrase_requires_positions(spark, tmp_path):
+    """An index built with with_positions=False must REJECT phrase
+    queries loudly (round-2 advice: it used to return silently-empty
+    results indistinguishable from a genuine miss)."""
+    import numpy as np
+    import pytest
+
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+    from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+    from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+    from hail_elasticsearch_pipelines_spark.sources.corpus import gen_pages_pdf
+
+    out = str(tmp_path / "nopos")
+    build_index(
+        spark,
+        spark.createDataFrame(gen_pages_pdf(np.arange(30))),
+        out,
+        docs_per_part=16,
+        seg_group=2,
+        n_term_buckets=4,
+        with_positions=False,
+    )
+    with pytest.raises(ValueError, match="with_positions"):
+        IndexSearcher(spark, out).search_phrase(["the", "of"], k=5)
+    with pytest.raises(ValueError, match="with_positions"):
+        LocalSearcher(out).search_phrase(["the", "of"], k=5)
