@@ -96,6 +96,47 @@ def _score_intersection(
     return common, scores
 
 
+def load_deletes(index_dir: str) -> dict[int, np.ndarray]:
+    """Per-segment tombstoned doc ids, sorted — the Lucene live-docs
+    bitmap analog (the reference gets this from ES delete/update ops,
+    hail_scripts/v02/utils/elasticsearch_client.py:106-113).
+
+    Loaded once per searcher process.  Scale note: tombstones are a
+    small fraction of a segment and are dropped at every compaction; at
+    10^12 docs this becomes a per-segment sidecar file each scoring task
+    reads for its own segment — the driver-side load here is the
+    sandbox stand-in with identical semantics."""
+    path = os.path.join(index_dir, "deletes")
+    if not os.path.isdir(path):
+        return {}
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(path, format="parquet").to_table(columns=["segment", "doc_id"])
+    if tbl.num_rows == 0:
+        return {}
+    segs = tbl.column("segment").to_numpy(zero_copy_only=False)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    return {int(s): np.unique(ids[segs == s]) for s in np.unique(segs)}
+
+
+def _mask_deleted(
+    postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    dead: np.ndarray | None,
+) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Drop tombstoned docs from decoded postings (terms left empty are
+    removed — AND/OR semantics then fall out naturally)."""
+    if dead is None or dead.size == 0:
+        return postings
+    out = {}
+    for t, (d, tf, dl) in postings.items():
+        keep = ~np.isin(d, dead, assume_unique=True)
+        if keep.all():
+            out[t] = (d, tf, dl)
+        elif keep.any():
+            out[t] = (d[keep], tf[keep], dl[keep] if dl is not None else None)
+    return out
+
+
 def _check_unique_terms(pdf: pd.DataFrame) -> None:
     """Each (term, segment) must hold exactly ONE postings row — the
     invariant extend_index's segment alignment guarantees.  Raise loudly
@@ -123,6 +164,7 @@ def _score_union_blockmax(
     idf: dict[str, float],
     avgdl: float,
     k: int,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND, block-at-a-time (vectorized within windows).
 
@@ -168,6 +210,10 @@ def _score_union_blockmax(
                     decoded[key] = codecs.decode_block(blobs[t], int(b_off[ci]))[:3]
                 d, tf, dl = decoded[key]
                 m = (d >= lo_doc) & (d <= w_hi)
+                if deleted is not None and deleted.size:
+                    # block upper bounds stay valid (they bound a
+                    # superset); only the decoded docs need masking
+                    m &= ~np.isin(d, deleted, assume_unique=True)
                 if m.any():
                     win_post[t] = (d[m], tf[m], dl[m])
             docs_w, scores_w = _score_union_exhaustive(win_post, terms_sorted, idf, avgdl)
@@ -211,9 +257,10 @@ class IndexSearcher:
         self._termdict = (
             spark.read.parquet(td_path) if os.path.exists(td_path) else None
         )
+        self._deletes = load_deletes(index_dir)
 
     def reload_manifest(self) -> None:
-        """Re-read globals after extend_index/compact_index."""
+        """Re-read globals after extend_index/upsert_index/compact_index."""
         with open(os.path.join(self.index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.n_docs = self.manifest["globals"]["n_docs"]
@@ -225,6 +272,7 @@ class IndexSearcher:
         self._termdict = (
             self.spark.read.parquet(td_path) if os.path.exists(td_path) else None
         )
+        self._deletes = load_deletes(self.index_dir)
 
     def _term_rows(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
@@ -279,6 +327,7 @@ class IndexSearcher:
         mode_u = mode.upper()
         avgdl = self.avgdl
         n_docs = self.n_docs
+        deletes = self._deletes
 
         rows = self._rows_with_global_df(terms_sorted)
         if rows is None:
@@ -297,6 +346,7 @@ class IndexSearcher:
             if pdf.empty:
                 return pd.DataFrame({"doc_id": [], "score": []})
             _check_unique_terms(pdf)
+            dead = deletes.get(int(pdf["segment"].iloc[0]))
             idf = {
                 t: bm25_idf(n_docs, int(d))
                 for t, d in zip(pdf["term"], pdf["df_global"])
@@ -321,13 +371,14 @@ class IndexSearcher:
                     for r in pdf.itertuples()
                 }
                 docs, scores = _score_union_blockmax(
-                    blobs, blocks, terms_sorted, idf, avgdl, k
+                    blobs, blocks, terms_sorted, idf, avgdl, k, deleted=dead
                 )
                 return pd.DataFrame({"doc_id": docs, "score": scores})
             postings = {}
             for r in pdf.itertuples():
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
                 postings[r.term] = (d, tf, dl)
+            postings = _mask_deleted(postings, dead)
             if mode_u == "AND":
                 docs, scores = _score_intersection(postings, terms_sorted, idf, avgdl)
             else:
@@ -354,6 +405,7 @@ class IndexSearcher:
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
         avgdl, n_docs = self.avgdl, self.n_docs
+        deletes = self._deletes
 
         rows = self._rows_with_global_df(terms)
         if rows is None:
@@ -369,12 +421,14 @@ class IndexSearcher:
             if pdf.empty:
                 return pd.DataFrame({"doc_id": [], "score": []})
             _check_unique_terms(pdf)
-            postings, doc_sets, idf = {}, {}, {}
+            dead = deletes.get(int(pdf["segment"].iloc[0]))
+            postings, idf = {}, {}
             for r in pdf.itertuples():
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
                 postings[r.term] = (d, tf, dl)
-                doc_sets[r.term] = d
                 idf[r.term] = bm25_idf(n_docs, int(r.df_global))
+            postings = _mask_deleted(postings, dead)
+            doc_sets = {t: p[0] for t, p in postings.items()}
             cand = bq.eval_docs(ast, doc_sets)
             if isinstance(cand, tuple) or cand.size == 0:
                 return pd.DataFrame({"doc_id": [], "score": []})
@@ -446,12 +500,14 @@ class IndexSearcher:
         """DataFrame(doc_id, tf, dl) of exact-adjacency matches."""
         terms_sorted = sorted(set(phrase))
         phrase_t = list(phrase)
+        deletes = self._deletes
 
         def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             out = {"doc_id": [], "tf": [], "dl": []}
             if pdf.empty:
                 return pd.DataFrame(out)
             _check_unique_terms(pdf)
+            dead = deletes.get(int(pdf["segment"].iloc[0]))
             post = {}
             for r in pdf.itertuples():
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
@@ -463,6 +519,8 @@ class IndexSearcher:
                 lambda a, b: np.intersect1d(a, b, assume_unique=True),
                 (post[t][0] for t in dict.fromkeys(phrase_t)),
             )
+            if dead is not None and dead.size:
+                common = common[~np.isin(common, dead, assume_unique=True)]
             d0, dl0, _, _ = post[phrase_t[0]]
             dl_idx = np.searchsorted(d0, common)
             for j, doc in enumerate(common.tolist()):
@@ -530,10 +588,13 @@ class IndexSearcher:
             for s in specs
         ]
 
+        deletes = self._deletes
+
         def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             out_q, out_d, out_s = [], [], []
             if not pdf.empty:
                 _check_unique_terms(pdf)
+                dead = deletes.get(int(pdf["segment"].iloc[0]))
                 idf = {
                     t: bm25_idf(n_docs, int(d))
                     for t, d in zip(pdf["term"], pdf["df_global"])
@@ -542,6 +603,7 @@ class IndexSearcher:
                 for r in pdf.itertuples():
                     d, tf, dl = codecs.decode_postings(bytes(r.blob))
                     postings[r.term] = (d, tf, dl)
+                postings = _mask_deleted(postings, dead)
                 for qid, terms_sorted, mode, k in compiled:
                     if mode == "AND":
                         # a segment lacking any query term can hold no

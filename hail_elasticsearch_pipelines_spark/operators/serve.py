@@ -24,10 +24,12 @@ import pyarrow.dataset as ds
 
 from ..functions import codecs
 from .bm25 import (
+    _mask_deleted,
     _score_intersection,
     _score_union_blockmax,
     _score_union_exhaustive,
     _topk,
+    load_deletes,
 )
 from .index_build import bm25_idf, bm25_tf_weight, term_bucket
 
@@ -58,6 +60,7 @@ class LocalSearcher:
             if os.path.exists(td)
             else None
         )
+        self._deletes = load_deletes(index_dir)
 
     def _bucket_filter(self, terms: list[str]):
         buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
@@ -94,6 +97,7 @@ class LocalSearcher:
         cand_docs, cand_scores = [], []
         for seg in np.unique(seg_arr):
             idxs = np.flatnonzero(seg_arr == seg)
+            dead = self._deletes.get(int(seg))
             if mode_u == "OR" and algo == "bmw":
                 blobs, blocks = {}, {}
                 for i in idxs:
@@ -110,7 +114,7 @@ class LocalSearcher:
                         np.asarray(tbl["block_off"][int(i)].as_py(), dtype=np.int32),
                     )
                 docs, scores = _score_union_blockmax(
-                    blobs, blocks, terms_sorted, idf, self.avgdl, k
+                    blobs, blocks, terms_sorted, idf, self.avgdl, k, deleted=dead
                 )
             else:
                 postings = {}
@@ -118,6 +122,7 @@ class LocalSearcher:
                     t = tbl["term"][int(i)].as_py()
                     d, tf, dl = codecs.decode_postings(tbl["blob"][int(i)].as_py())
                     _put_unique(postings, t, (d, tf, dl))
+                postings = _mask_deleted(postings, dead)
                 if mode_u == "AND":
                     if not all(t in postings for t in terms_sorted):
                         continue
@@ -163,12 +168,13 @@ class LocalSearcher:
         cand_d, cand_s = [], []
         for seg in np.unique(seg_arr):
             idxs = np.flatnonzero(seg_arr == seg)
-            postings, doc_sets = {}, {}
+            postings = {}
             for i in idxs:
                 t = tbl["term"][int(i)].as_py()
                 d, tf, dl = codecs.decode_postings(tbl["blob"][int(i)].as_py())
                 _put_unique(postings, t, (d, tf, dl))
-                doc_sets[t] = d
+            postings = _mask_deleted(postings, self._deletes.get(int(seg)))
+            doc_sets = {t: p[0] for t, p in postings.items()}
             cand = bq.eval_docs(ast, doc_sets)
             if isinstance(cand, tuple) or cand.size == 0:
                 continue
@@ -217,6 +223,9 @@ class LocalSearcher:
                 lambda a, b: np.intersect1d(a, b, assume_unique=True),
                 (post[t][0] for t in dict.fromkeys(phrase)),
             )
+            dead = self._deletes.get(int(seg))
+            if dead is not None and dead.size:
+                common = common[~np.isin(common, dead, assume_unique=True)]
             d0, dl0, _, _ = post[phrase[0]]
             dl_idx = np.searchsorted(d0, common)
             for j, doc in enumerate(common.tolist()):

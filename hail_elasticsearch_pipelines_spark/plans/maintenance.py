@@ -1,18 +1,29 @@
-"""Index maintenance: incremental append + segment compaction.
+"""Index maintenance: incremental append/upsert, tombstoned deletes,
+and segment compaction.
 
 Reference analogs:
-  * ES write ops ``update`` / ``upsert`` for re-export into an existing
-    index (hail_scripts/shared/elasticsearch_utils.py:11-17,
-    elasticsearch_client.py:106-113) → ``extend_index``: append a new
-    crawl batch to a published index without rebuilding.  Safe because
-    posting blobs store exact (doc_id, tf, dl) — only the corpus-level
-    avgdl shifts, which enters scoring at QUERY time from the manifest,
-    and block upper bounds are derived from (max_tf, min_dl) at query
-    time too (operators/index_build.py PARTIAL_SCHEMA note).
+  * ES write ops ``index/create/update/upsert`` for re-export into an
+    existing index (hail_scripts/shared/elasticsearch_utils.py:11-17,
+    hail_scripts/v02/utils/elasticsearch_client.py:106-113) →
+    ``extend_index(mode="create")`` appends only new urls;
+    ``upsert_index`` (mode="upsert") additionally TOMBSTONES the old
+    doc of every re-crawled url and indexes the new content — the #1
+    operation on a crawl corpus.  Deletes follow Lucene live-docs
+    semantics: postings stay on disk, a per-segment tombstone set is
+    consulted at query time, and compaction physically drops them.
   * ES ``forcemerge`` after load (elasticsearch_client.py:214) →
-    ``compact_index``: coarsen the segment axis by an integer factor,
-    concat-merging each term's per-segment rows (fewer, larger rows →
-    fewer query tasks and less per-row overhead).
+    ``compact_index``: strips tombstoned postings and coarsens the
+    segment axis by an integer factor, concat-merging each term's
+    per-segment rows.
+
+Statistics contract (ES/Lucene-identical): after an upsert, ``n_docs``
+/ ``total_tokens`` / ``avgdl`` are EXACT (the tombstoned docs' lengths
+are subtracted using the doclens table), but per-term ``df`` still
+counts tombstoned docs until compaction — exactly how Lucene collection
+statistics behave between deletes and merges.  ``compact_index``
+restores exact ``df``/``cf`` (it recounts while rewriting blobs), so a
+compacted index scores bit-identically to a fresh build of the live
+corpus.
 """
 
 from __future__ import annotations
@@ -20,11 +31,15 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import codecs
 from ..operators import index_build as ib
-from .pipeline import _swap_dir, _write_termdict
+from ..operators.bm25 import load_deletes
+from .pipeline import _swap_dir, _update_termdict, _write_termdict
 
 
 def _load_manifest(index_dir: str) -> dict:
@@ -54,18 +69,34 @@ def _postings_metrics(postings: DataFrame) -> dict:
     }
 
 
-def extend_index(
-    spark: SparkSession, index_dir: str, new_pages: DataFrame
-) -> dict:
-    """Append a new crawl batch to a published index.
+def _segment_col(doc_id_col, dpp: int, seg_group: int):
+    """segment = (doc_id // dpp) // seg_group, JVM-side."""
+    return (
+        F.floor(F.floor(doc_id_col / F.lit(dpp)) / F.lit(seg_group))
+    ).cast("int")
 
-    Only urls NOT already indexed are added (left_anti against doclens —
-    the reference's ``create``-op semantics; in-place re-crawl of an
-    existing url is handled by ``upsert_index``).  New doc ids start at
-    the next SEGMENT boundary after the current max id, so no (term,
-    segment) key ever holds more than one postings row and every
-    existing blob stays byte-identical.
+
+def extend_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_pages: DataFrame,
+    mode: str = "create",
+) -> dict:
+    """Append a crawl batch to a published index.
+
+    mode="create": only urls NOT already live are added (left_anti
+    against live doclens — the reference's ``create``-op semantics).
+    mode="upsert": re-crawled urls REPLACE their old doc — the old
+    doc_id is tombstoned (query-time delete) and the new content is
+    indexed under a fresh id; unseen urls are plain inserts
+    (``upsert``-op semantics).
+
+    New doc ids start at the next SEGMENT boundary after the current
+    max id, so no (term, segment) key ever holds more than one postings
+    row and every existing blob stays byte-identical.
     """
+    if mode not in ("create", "upsert"):
+        raise ValueError(f"unknown extend mode {mode!r}")
     manifest = _load_manifest(index_dir)
     params = manifest["params"]
     g = manifest["globals"]
@@ -74,6 +105,7 @@ def extend_index(
     n_term_buckets = int(params["n_term_buckets"])
 
     doclens_path = os.path.join(index_dir, "doclens")
+    deletes_path = os.path.join(index_dir, "deletes")
     existing = spark.read.parquet(doclens_path)
     max_id = existing.agg(F.max("doc_id")).collect()[0][0]
     # New ids must start at the next SEGMENT boundary, not merely the next
@@ -87,8 +119,45 @@ def extend_index(
         next_seg = (max_id // dpp) // seg_group + 1
         id_base = next_seg * seg_group * dpp
 
+    # live = doclens minus already-tombstoned rows (ids are never reused,
+    # so max_id still ranges over ALL rows)
+    if os.path.isdir(deletes_path):
+        dead_ids = spark.read.parquet(deletes_path).select("doc_id").distinct()
+        live = existing.join(F.broadcast(dead_ids), "doc_id", "left_anti")
+    else:
+        live = existing
+
     normalized = ib.normalize_pages(new_pages, params.get("lang_filter"))
-    fresh = normalized.join(existing.select("url"), "url", "left_anti")
+    n_killed, killed_tokens = 0, 0
+    if mode == "create":
+        fresh = normalized.join(live.select("url"), "url", "left_anti")
+    else:  # upsert: every normalized row is (re)indexed; old docs die
+        fresh = normalized
+        to_kill = live.join(
+            normalized.select("url").distinct(), "url", "left_semi"
+        ).select("doc_id", "doc_len")
+        to_kill.persist()
+        try:
+            krow = to_kill.agg(
+                F.count("*").alias("n"), F.sum("doc_len").alias("tok")
+            ).collect()[0]
+            n_killed = int(krow["n"])
+            killed_tokens = int(krow["tok"] or 0)
+            if n_killed:
+                (
+                    to_kill.select(
+                        "doc_id",
+                        _segment_col(F.col("doc_id"), dpp, seg_group).alias(
+                            "segment"
+                        ),
+                    )
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(deletes_path)
+                )
+        finally:
+            to_kill.unpersist()
+
     docs = ib.docs_with_ids(fresh).withColumn(
         "doc_id", F.col("doc_id") + F.lit(id_base)
     )
@@ -97,47 +166,153 @@ def extend_index(
     spark.catalog.clearCache()  # free assign_dense_ids' persist
     docs = spark.read.parquet(docs_path)
     new_stats = ib.corpus_stats(docs)
-    if new_stats["n_docs"] == 0:
+    if new_stats["n_docs"] == 0 and n_killed == 0:
         return manifest
 
-    partials = ib.build_partials(
-        docs, dpp, seg_group, with_positions=params.get("with_positions", True)
-    )
-    merged = ib.merge_partials(partials).withColumn(
-        "term_bucket",
-        F.crc32(F.col("term").cast("binary")) % F.lit(n_term_buckets),
-    )
-    # new segments append as extra files per bucket (ES: more segments;
-    # compact_index is the forcemerge that folds them in)
-    merged.write.mode("append").partitionBy("term_bucket").parquet(
-        os.path.join(index_dir, "postings")
-    )
-    docs.select("doc_id", "url", "doc_len").write.mode("append").parquet(doclens_path)
-    _write_termdict(spark, index_dir)
+    if new_stats["n_docs"]:
+        partials = ib.build_partials(
+            docs, dpp, seg_group, with_positions=params.get("with_positions", True)
+        )
+        merged = ib.merge_partials(partials).withColumn(
+            "term_bucket",
+            F.crc32(F.col("term").cast("binary")) % F.lit(n_term_buckets),
+        )
+        merged.persist()
+        try:
+            # new segments append as extra files per bucket (ES: more
+            # segments; compact_index is the forcemerge that folds them in)
+            merged.write.mode("append").partitionBy("term_bucket").parquet(
+                os.path.join(index_dir, "postings")
+            )
+            docs.select("doc_id", "url", "doc_len").write.mode("append").parquet(
+                doclens_path
+            )
+            # incremental: fold ONLY the new batch into the termdict —
+            # O(batch + termdict), never O(full postings)
+            _update_termdict(spark, index_dir, merged)
+        finally:
+            merged.unpersist()
 
-    g["n_docs"] += new_stats["n_docs"]
-    g["total_tokens"] += new_stats["total_tokens"]
-    g["avgdl"] = g["total_tokens"] / g["n_docs"]
+    g["n_docs"] += new_stats["n_docs"] - n_killed
+    g["total_tokens"] += new_stats["total_tokens"] - killed_tokens
+    g["avgdl"] = g["total_tokens"] / g["n_docs"] if g["n_docs"] else 0.0
     manifest["globals"] = g
+    n_tombstones = (
+        int(spark.read.parquet(deletes_path).count())
+        if os.path.isdir(deletes_path)
+        else 0
+    )
     manifest["metrics"] = {
         "docs_indexed": g["n_docs"],
+        "n_tombstones": n_tombstones,
         **_postings_metrics(spark.read.parquet(os.path.join(index_dir, "postings"))),
     }
     manifest.setdefault("extensions", []).append(
-        {"id_base": id_base, "docs_added": new_stats["n_docs"]}
+        {
+            "id_base": id_base,
+            "mode": mode,
+            "docs_added": new_stats["n_docs"],
+            "docs_tombstoned": n_killed,
+        }
     )
     _save_manifest(index_dir, manifest)
     return manifest
 
 
+def upsert_index(spark: SparkSession, index_dir: str, new_pages: DataFrame) -> dict:
+    """Re-crawl ingestion: tombstone + replace existing urls, insert new
+    ones (the reference's ES ``upsert`` write op)."""
+    return extend_index(spark, index_dir, new_pages, mode="upsert")
+
+
+def _strip_tombstones(
+    postings: DataFrame, deleted_by_seg: dict[int, np.ndarray]
+) -> DataFrame:
+    """Rewrite posting rows with tombstoned docs physically removed
+    (blob re-encoded, df/cf/min_doc/block index recomputed; rows left
+    empty are dropped).  mapInPandas — no shuffle, each file rewritten
+    in place of its scan task."""
+    cols = [f.name for f in ib.POSTINGS_SCHEMA.fields]
+
+    def strip(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                dead = deleted_by_seg.get(int(r.segment))
+                blob = bytes(r.blob)
+                pos_blob = bytes(r.pos_blob)
+                if dead is None or dead.size == 0:
+                    rows.append(
+                        (
+                            r.term, int(r.segment), int(r.min_doc), int(r.df),
+                            int(r.cf), blob, list(r.block_last),
+                            list(r.block_max_tf), list(r.block_min_dl),
+                            list(r.block_off), pos_blob, int(r.n_bytes),
+                        )
+                    )
+                    continue
+                d, tf, dl = codecs.decode_postings(blob)
+                keep = ~np.isin(d, dead, assume_unique=True)
+                if keep.all():
+                    rows.append(
+                        (
+                            r.term, int(r.segment), int(r.min_doc), int(r.df),
+                            int(r.cf), blob, list(r.block_last),
+                            list(r.block_max_tf), list(r.block_min_dl),
+                            list(r.block_off), pos_blob, int(r.n_bytes),
+                        )
+                    )
+                    continue
+                if not keep.any():
+                    continue
+                d2, tf2, dl2 = d[keep], tf[keep], dl[keep]
+                nblob, blast, bmaxtf, boff = codecs.encode_postings(
+                    d2, tf2, dls=dl2
+                )
+                starts = np.arange(0, len(d2), codecs.BLOCK_SIZE)
+                bmin_dl = np.minimum.reduceat(dl2, starts)
+                if pos_blob:
+                    pos, offs = codecs.decode_position_lists(pos_blob, tf)
+                    kept_idx = np.flatnonzero(keep)
+                    slices = [pos[offs[i] : offs[i + 1]] for i in kept_idx]
+                    newpos = (
+                        np.concatenate(slices)
+                        if slices
+                        else np.array([], dtype=np.int64)
+                    )
+                    pos_blob = codecs.encode_position_lists(newpos, tf2)
+                rows.append(
+                    (
+                        r.term, int(r.segment), int(d2[0]), int(len(d2)),
+                        int(tf2.sum()), nblob, blast.tolist(), bmaxtf.tolist(),
+                        bmin_dl.tolist(), boff.tolist(), pos_blob,
+                        len(nblob) + len(pos_blob),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return postings.select(*cols).mapInPandas(strip, schema=ib.POSTINGS_SCHEMA)
+
+
 def compact_index(spark: SparkSession, index_dir: str, factor: int = 2) -> dict:
-    """Coarsen segments by ``factor`` (forcemerge analog): segment' =
-    segment // factor remains a pure function of doc_id, so a doc's
-    postings for every term still land in exactly ONE query task and
-    per-term rows stay disjoint ascending → concat-merge applies."""
+    """Forcemerge analog: physically drop tombstoned postings, then
+    coarsen segments by ``factor``.  segment' = segment // factor remains
+    a pure function of doc_id, so a doc's postings for every term still
+    land in exactly ONE query task and per-term rows stay disjoint
+    ascending → concat-merge applies.  After compaction df/cf are exact
+    again and the deletes set is empty."""
     manifest = _load_manifest(index_dir)
     postings_path = os.path.join(index_dir, "postings")
+    deletes_path = os.path.join(index_dir, "deletes")
+    doclens_path = os.path.join(index_dir, "doclens")
+    deleted_by_seg = load_deletes(index_dir)
+    n_stripped = int(sum(v.size for v in deleted_by_seg.values()))
+
     postings = spark.read.parquet(postings_path)
+    if deleted_by_seg:
+        postings = _strip_tombstones(postings, deleted_by_seg)
     remapped = postings.withColumn(
         "segment", (F.col("segment") / F.lit(factor)).cast("int")
     ).drop("n_bytes", "term_bucket")
@@ -158,11 +333,29 @@ def compact_index(spark: SparkSession, index_dir: str, factor: int = 2) -> dict:
         .parquet(staging)
     )
     _swap_dir(staging, postings_path)
+
+    if deleted_by_seg:
+        # doclens: physically drop tombstoned rows (broadcast anti-join —
+        # tombstones are a small fraction by construction), then retire
+        # the tombstones themselves
+        dead_df = spark.read.parquet(deletes_path).select("doc_id").distinct()
+        doclens = spark.read.parquet(doclens_path)
+        live = doclens.join(F.broadcast(dead_df), "doc_id", "left_anti")
+        dl_staging = doclens_path + "__compacting"
+        live.write.mode("overwrite").parquet(dl_staging)
+        _swap_dir(dl_staging, doclens_path)
+        import shutil
+
+        shutil.rmtree(deletes_path, ignore_errors=True)
+
     _write_termdict(spark, index_dir)
     manifest["metrics"] = {
         "docs_indexed": manifest["globals"]["n_docs"],
+        "n_tombstones": 0,
         **_postings_metrics(spark.read.parquet(postings_path)),
     }
-    manifest.setdefault("compactions", []).append({"factor": factor})
+    manifest.setdefault("compactions", []).append(
+        {"factor": factor, "tombstones_dropped": n_stripped}
+    )
     _save_manifest(index_dir, manifest)
     return manifest

@@ -73,6 +73,45 @@ def _write_termdict(spark: SparkSession, out_dir: str) -> None:
     _swap_dir(staging, os.path.join(out_dir, "termdict"))
 
 
+def _update_termdict(
+    spark: SparkSession, out_dir: str, new_postings: DataFrame
+) -> None:
+    """Incremental termdict maintenance for appends: aggregate ONLY the
+    new batch's rows and fold them into the existing termdict — touches
+    O(batch) + O(termdict), never the full postings table (which
+    _write_termdict re-scans).  ``new_postings`` must carry term_bucket/
+    term/df/cf and should be persisted by the caller (it is consumed
+    once here and once by the postings append)."""
+    final = os.path.join(out_dir, "termdict")
+    new_td = new_postings.groupBy("term_bucket", "term").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.count("*").alias("n_rows"),
+    )
+    if os.path.exists(final):
+        old = spark.read.parquet(final)
+        combined = (
+            old.unionByName(new_td)
+            .groupBy("term_bucket", "term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+    else:
+        combined = new_td
+    staging = final + "__staging"
+    (
+        combined.repartition("term_bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(staging)
+    )
+    _swap_dir(staging, final)
+
+
 def _swap_dir(staging: str, final: str) -> None:
     """Crash-safe directory swap: the live dir is renamed aside BEFORE the
     staging dir moves in, so every intermediate state keeps one complete
