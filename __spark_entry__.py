@@ -143,8 +143,11 @@ def _q_minhash_dedup(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs with the SQL-expressible polynomial token
+    hash, so the DuckDB oracle replicates the fingerprint bit-for-bit."""
     d = _read(spark, sf, "documents")
-    return dd.simhash_near_pairs(d, max_hamming=3)
+    r = dd.simhash_near_pairs(d, max_hamming=3, token_hash="poly")
+    return r.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_bm25_or(spark, sf):
@@ -204,16 +207,45 @@ def _q_cosine_topk(spark, sf):
 
 
 def _q_ann_lsh_topk(spark, sf):
+    """ANN with LCG-generated hyperplanes: bucket membership (and thus
+    the exact candidate set) is reproducible in the DuckDB oracle, so
+    this approximate operator still gets a full value-hash gate."""
     e = _read(spark, sf, "embeddings")
-    r = sim.ann_lsh_topk(e, _query_vec(spark, sf), k=10, n_planes=8, multiprobe=2)
+    r = sim.ann_lsh_topk(
+        e, _query_vec(spark, sf), k=10, n_planes=8, multiprobe=2, plane_gen="lcg"
+    )
     return r.select(
         F.col("id").alias("vec_id"), _micro(F.col("cosine")).alias("cosine_micro")
     )
 
 
-def _q_embedding_pairs(spark, sf):
+PERT_OFFSET = 1000000
+
+
+def _aug_embeddings(spark, sf):
+    """Embeddings + deterministic planted near-duplicates: a copy of
+    every vector with per-index scaling 1 + 1e-4*(i mod 5) (cosine vs
+    the original ≈ 1-1e-8, far above any natural pair's ~0.6)."""
     e = _read(spark, sf, "embeddings")
-    r = sim.embedding_cosine_pairs(e, threshold=0.9, n_planes=4)
+    orig = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + F.lit(PERT_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + F.lit(0.0001) * (i % 5).cast("double")),
+        ).alias("embedding"),
+    )
+    return orig.unionByName(pert)
+
+
+def _q_embedding_pairs(spark, sf):
+    aug = _aug_embeddings(spark, sf)
+    r = sim.embedding_cosine_pairs(
+        aug, threshold=0.9, id_col="vec_id", n_bands=4, planes_per_band=8
+    )
     return r.select("id_a", "id_b", _micro(F.col("cosine")).alias("cosine_micro"))
 
 
@@ -553,6 +585,105 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+# --- simhash oracle: the 'poly' token hash (31-bit polynomial char
+# hash, identical to the fingerprint oracle's tv) makes the whole
+# simhash SQL-expressible: per-(doc, token) tf + hash → 32 bit votes →
+# fingerprint → banded pairs by hamming <= 3.
+_TOKEN_TV_SQL = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "[ascii(c)::BIGINT for c in list_filter(string_split(t, ''), c -> c <> '')]), "
+    "(a, b) -> (a * 131 + b) % 2147483647)"
+)
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    votes = ", ".join(
+        f"sum(tf * (CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS v{j}"
+        for j in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)" for j in range(32))
+    return f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+inst AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM inst GROUP BY doc_id, t),
+hv AS (SELECT doc_id, tf, {_TOKEN_TV_SQL} AS h FROM tf),
+votes AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id),
+fp0 AS (SELECT doc_id, ({fp}) AS sh FROM votes),
+fp AS (
+  SELECT d.doc_id, coalesce(fp0.sh, 0)::BIGINT AS sh
+  FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""
+
+
+# --- ann oracle: LCG hyperplanes w(p,i) are pure integer arithmetic,
+# so per-vector buckets (sign bits of projections) are computed in SQL;
+# the probe set 'hamming(bucket, query_bucket) <= multiprobe' matches
+# the engine's multiprobe enumeration exactly.
+def _ann_lcg_sql(dim: int, n_planes: int, seed: int, multiprobe: int, k: int) -> str:
+    proj = lambda p: (
+        "list_sum(list_transform(range(1, "
+        f"{dim + 1}), i -> vv[i] * (((1103515245 * ((({p} * {dim}) + (i - 1)) + {seed}) "
+        "+ 12345) % 2147483648) - 1073741824) / 1073741824.0))"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN ({proj(p)}) > 0 THEN (1::BIGINT << {p}) ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS vv FROM embeddings
+), b AS (
+  SELECT vec_id, vv, ({bucket}) AS bucket FROM v
+), q AS (
+  SELECT vv AS qv, bucket AS qb FROM b WHERE vec_id = 0
+), cand AS (
+  SELECT b.vec_id, b.vv, q.qv FROM b, q
+  WHERE bit_count(xor(b.bucket, q.qb)) <= {multiprobe}
+), s AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, {dim + 1}), i -> vv[i] * qv[i]))
+    / (sqrt(list_sum([x * x for x in vv])) * sqrt(list_sum([x * x for x in qv])))
+    AS cosine
+  FROM cand
+)
+SELECT vec_id, {_micro_sql('cosine')} AS cosine_micro
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
+# --- embedding_pairs oracle: the planted near-duplicates make the
+# expected output exact — LSH banding only affects recall, and the
+# planted pairs' recall-miss probability is ~1e-9 (documented in
+# operators/similarity.py); everything else is exact cosine.
+_AUG_SQL = """
+aug AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS vv FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(1, len(embedding) + 1),
+                        i -> embedding[i]::DOUBLE * (1.0 + 0.0001 * ((i - 1) % 5)))
+  FROM embeddings
+)
+"""
+
+_EMB_PAIRS_SQL = f"""
+WITH {_AUG_SQL},
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(1, len(a.vv) + 1), i -> a.vv[i] * b.vv[i]))
+    / (sqrt(list_sum([x * x for x in a.vv])) * sqrt(list_sum([x * x for x in b.vv])))
+    AS cosine
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {{micro}} AS cosine_micro FROM p WHERE cosine >= 0.9
+""".format(micro=_micro_sql("cosine"))
+
+
 _COSINE_SQL = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
@@ -582,8 +713,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_dedup": _NGRAM_JACCARD_SQL,
-        # simhash_pairs / ann_lsh_topk / embedding_pairs / frame_sample:
-        # hash-seeded / LSH-approximate — rows-only checks by design.
+        "simhash_pairs": _simhash_sql(3),
+        "ann_lsh_topk": _ann_lcg_sql(dim=64, n_planes=8, seed=11, multiprobe=2, k=10),
+        "embedding_pairs": _EMB_PAIRS_SQL,
+        # frame_sample stays rows-only: its payload decode is a declared
+        # stub (multimodal libs absent in this container).
         "bm25_or": or_sql,
         "bm25_and": and_sql,
         "bm25_index_or": or_sql,

@@ -129,6 +129,30 @@ def token_fingerprint(col: Column | str) -> Column:
     return F.when(F.size(toks) > 0, total % FP_PRIME).otherwise(F.lit(0).cast("long"))
 
 
+def token_hash_values(col: Column | str) -> Column:
+    """array<long> of the pinned polynomial char hash per token instance
+    (token_fingerprint's tv, exposed standalone): tv(token) =
+    foldl(chars, acc=0: (acc*131 + ascii(char)) % (2^31-1)).  All-JVM,
+    ANSI-SQL-expressible — used by the oracle-checkable simhash."""
+    toks = tokenize_col(col)
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.filter(F.split(t, ""), lambda ch: ch != ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_PRIME,
+        ),
+    )
+
+
+def py_token_hash(token: str) -> int:
+    """Pure-Python twin of token_hash_values' per-token tv."""
+    acc = 0
+    for ch in token:
+        acc = (acc * FP_BASE + ord(ch)) % FP_PRIME
+    return acc
+
+
 def py_token_fingerprint(text: str) -> int:
     """Pure-Python twin of token_fingerprint (oracle/tests)."""
     from .tokenize import py_tokenize

@@ -454,10 +454,14 @@ class IndexSearcher:
         hits = self.spark.createDataFrame(rows, results.schema)
         ids = [r["doc_id"] for r in rows]
         doclens = self.spark.read.parquet(os.path.join(self.index_dir, "doclens"))
+        # url + any stored metadata fields the field manifest kept
+        fetched = [
+            c for c in doclens.columns if c not in ("doc_id", "doc_len")
+        ]
         return (
             doclens.filter(F.col("doc_id").isin(ids))
             .join(F.broadcast(hits), "doc_id")
-            .select(*results.columns, "url")
+            .select(*results.columns, *fetched)
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 

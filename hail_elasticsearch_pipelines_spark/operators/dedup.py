@@ -35,15 +35,21 @@ MERSENNE_P = (1 << 61) - 1
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id row per distinct text (hash groupBy — one
-    shuffle, combiner-friendly).  Returns (id_col, text_col, group_size)."""
+    """Keep the lowest-id row per distinct text.  Groups by sha2-256 of
+    the text, NOT the text itself: the shuffle moves (32-byte digest,
+    id) instead of the full document — at 100 TB grouping by the raw
+    text would push the whole corpus through the network.  A
+    cryptographic digest makes hash-equality ≡ text-equality for any
+    practical corpus (Lucene/content-defined-dedup standard practice).
+    Returns (id_col, group_size)."""
     return (
-        df.groupBy(text_col)
+        df.select(F.sha2(F.col(text_col), 256).alias("__h"), F.col(id_col))
+        .groupBy("__h")
         .agg(
             F.min(id_col).alias(id_col),
             F.count("*").alias("group_size"),
         )
-        .select(id_col, text_col, "group_size")
+        .select(id_col, "group_size")
     )
 
 
@@ -242,22 +248,45 @@ def _simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield pd.Series(out)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: long)."""
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokenize_col(text_col), lambda t: F.xxhash64(t)).alias("th"),
-    )
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, simhash: long).
+
+    token_hash="xxhash64" (default): 64-bit JVM hash → 64-bit simhash.
+    token_hash="poly": the pinned 31-bit polynomial char hash
+    (functions/text_quality.token_fingerprint's tv) → 31-bit simhash.
+    The poly variant is fully ANSI-SQL-expressible, so the driver's
+    DuckDB oracle can replicate the simhash bit-for-bit."""
+    if token_hash == "xxhash64":
+        th = F.transform(tokenize_col(text_col), lambda t: F.xxhash64(t))
+    elif token_hash == "poly":
+        from ..functions.text_quality import token_hash_values
+
+        th = token_hash_values(text_col)
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+    hashed = df.select(F.col(id_col).alias("id"), th.alias("th"))
     return hashed.select("id", _simhash_udf("th").alias("simhash"))
 
 
 def simhash_near_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
-    4×16-bit band blocking (any pair within distance 3 shares at least
-    one exact 16-bit band — pigeonhole)."""
-    fps = simhash(df, text_col, id_col)
+    4-band blocking over the hash width (any pair within distance 3
+    shares at least one exact band — pigeonhole for d <= 3)."""
+    hash_bits = 64 if token_hash == "xxhash64" else 32
+    band_bits = hash_bits // 4
+    band_mask = (1 << band_bits) - 1
+    fps = simhash(df, text_col, id_col, token_hash=token_hash)
     bands = fps.select(
         "id",
         "simhash",
@@ -266,8 +295,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("chunk"),
                     )
                     for i in range(4)

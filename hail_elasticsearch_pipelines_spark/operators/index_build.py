@@ -99,28 +99,84 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def normalize_pages(pages: DataFrame, lang_filter: list[str] | None = None) -> DataFrame:
+def normalize_pages(
+    pages: DataFrame,
+    lang_filter: list[str] | None = None,
+    meta_cols: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
     """Dedupe to latest crawl per url, fill missing text from html.
 
     Extraction runs BEFORE the dedupe shuffle so `html` bytes never
     leave the scan stage (the UDF input is null-guarded — only the ~3%
     null-text rows cross the Arrow boundary); the dedupe then shuffles
-    text only.  lang filter first → pushed into the parquet scan."""
+    text only.  lang filter first → pushed into the parquet scan.
+
+    `meta_cols`: metadata columns carried through (facet/stored fields
+    per the index field manifest); defaults to ('lang',) if present."""
     df = pages
     if lang_filter:
         df = df.filter(F.col("lang").isin(lang_filter))
+    if meta_cols is None:
+        meta_cols = [c for c in DEFAULT_FACET_FIELDS if c in df.columns]
     extracted = df.select(
         "url",
         extracted_text_col("text", "html").alias("text"),
-        "lang",
+        *meta_cols,
         "warc_ts",
     )
     return dedupe_latest(extracted, key="url", ts="warc_ts", tiebreak="text").select(
-        "url", "text", "lang", "warc_ts"
+        "url", "text", *meta_cols, "warc_ts"
     )
 
 
-FACET_FIELDS = ("lang",)
+DEFAULT_FACET_FIELDS = ("lang",)
+# backward-compat alias (round-1 name)
+FACET_FIELDS = DEFAULT_FACET_FIELDS
+
+# columns that are the engine's own, never metadata fields
+CORE_COLUMNS = frozenset({"url", "warc_ts", "html", "text", "doc_id", "doc_len"})
+
+
+def derive_index_fields(
+    schema: T.StructType,
+    overrides: dict[str, dict] | None = None,
+    default_facets: tuple[str, ...] = DEFAULT_FACET_FIELDS,
+) -> dict[str, dict]:
+    """Field manifest derived mechanically from the table schema — the
+    analog of the reference's ES-mapping-from-dtype with per-field
+    overrides (hail_scripts/v02/utils/elasticsearch_utils.py:38-77,
+    elasticsearch_client.py:166-177).
+
+    Every non-core column gets {dtype, facet, stored}:
+      facet  — indexed as a __field_value__ filter token (string columns
+               only; overriding facet=True on a non-string raises, the
+               reference's unsupported-type NotImplementedError analog)
+      stored — persisted in the doc-store sidecar (doclens) and returned
+               by with_source
+    `overrides`: {field_name_or_fnmatch_pattern: {facet:, stored:}}."""
+    import fnmatch
+
+    overrides = overrides or {}
+    specs: dict[str, dict] = {}
+    for f in schema.fields:
+        if f.name in CORE_COLUMNS:
+            continue
+        is_str = isinstance(f.dataType, T.StringType)
+        spec = {
+            "dtype": f.dataType.simpleString(),
+            "facet": bool(is_str and f.name in default_facets),
+            "stored": True,
+        }
+        for pat, ov in overrides.items():
+            if f.name == pat or fnmatch.fnmatch(f.name, pat):
+                spec.update({k: v for k, v in ov.items() if k in ("facet", "stored")})
+        if spec["facet"] and not is_str:
+            raise TypeError(
+                f"facet field {f.name!r} has non-string type "
+                f"{spec['dtype']} — cast it to string before indexing"
+            )
+        specs[f.name] = spec
+    return specs
 
 
 def py_facet_value(value: str | None) -> str:
@@ -148,23 +204,42 @@ def facet_token(field: str, value: str | None) -> str:
     return f"__{field}_{py_facet_value(value) or 'unknown'}__"
 
 
-def docs_with_ids(normalized: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Dense doc_id in url order + doc_len (BM25 `dl`).  Carries facet
-    metadata columns through so the partial build can index them."""
-    keep = ["url", "text"] + [f for f in FACET_FIELDS if f in normalized.columns]
+def docs_with_ids(
+    normalized: DataFrame,
+    num_partitions: int | None = None,
+    meta_cols: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
+    """Dense doc_id in url order + doc_len (BM25 `dl`).  Carries the
+    field manifest's metadata columns (facet + stored) through."""
+    if meta_cols is None:
+        meta_cols = [f for f in DEFAULT_FACET_FIELDS if f in normalized.columns]
+    keep = ["url", "text"] + [c for c in meta_cols if c in normalized.columns]
     return assign_dense_ids(
         normalized.select(*keep), key="url", num_partitions=num_partitions
     ).withColumn("doc_len", token_count_col("text"))
 
 
 def corpus_stats(docs: DataFrame) -> dict:
+    """Corpus globals in ONE aggregation job — includes the validation
+    gate's inputs (empty-doc count, approx distinct texts) so the
+    pre-publish checks cost no extra scan."""
     row = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum("doc_len").alias("total_tokens"),
+        F.sum(
+            F.when(F.coalesce(F.col("doc_len"), F.lit(0)) <= 0, 1).otherwise(0)
+        ).alias("n_empty_docs"),
+        F.approx_count_distinct(F.xxhash64("text")).alias("n_uniq_texts"),
     ).collect()[0]
     n = int(row["n_docs"])
     total = int(row["total_tokens"] or 0)
-    return {"n_docs": n, "total_tokens": total, "avgdl": (total / n) if n else 0.0}
+    return {
+        "n_docs": n,
+        "total_tokens": total,
+        "avgdl": (total / n) if n else 0.0,
+        "n_empty_docs": int(row["n_empty_docs"] or 0),
+        "n_uniq_texts": int(row["n_uniq_texts"] or 0),
+    }
 
 
 def _build_partial_index(
@@ -255,6 +330,7 @@ def build_partials(
     seg_group: int,
     num_partitions: int | None = None,
     with_positions: bool = True,
+    facet_fields: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
     """Stage `partial`: assign each doc to a fixed-width doc-id range
     (`part = doc_id // docs_per_part` — deterministic, dense ids make it
@@ -273,7 +349,9 @@ def build_partials(
     doc range → (term, postings blob) rows."""
     spark = docs.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
-    facet_cols = [f for f in FACET_FIELDS if f in docs.columns]
+    if facet_fields is None:
+        facet_fields = DEFAULT_FACET_FIELDS
+    facet_cols = [f for f in facet_fields if f in docs.columns]
     tokenized = (
         docs.select(
             "doc_id",
@@ -422,6 +500,9 @@ def build_index(
     lang_filter: list[str] | None = None,
     n_chunks: int = 1,
     with_positions: bool = True,
+    field_overrides: dict[str, dict] | None = None,
+    validation="default",
+    checkpoint_normalize: bool = True,
 ) -> dict:
     """One-shot build via the resumable staged pipeline
     (plans/pipeline.py).  Returns the manifest dict."""
@@ -436,5 +517,8 @@ def build_index(
         lang_filter=lang_filter,
         n_chunks=n_chunks,
         with_positions=with_positions,
+        field_overrides=field_overrides,
+        validation=validation,
+        checkpoint_normalize=checkpoint_normalize,
     )
     return pipe.run(pages)

@@ -61,15 +61,31 @@ def cosine_topk(
     return out.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
+LCG_A, LCG_C, LCG_M = 1103515245, 12345, 1 << 31
 
 
-def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 11):
+def _hyperplanes(
+    dim: int, n_planes: int, seed: int = 11, gen: str = "gaussian"
+) -> np.ndarray:
+    """gen="gaussian": numpy PRNG planes (default quality).
+    gen="lcg": planes from a bounded-integer LCG over the flat plane
+    index — every weight is reproducible in ANSI SQL (w = ((a*(idx+seed)
+    + c) mod 2^31 - 2^30) / 2^30), so the DuckDB oracle can replicate
+    bucket membership exactly."""
+    if gen == "gaussian":
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((n_planes, dim))
+    if gen == "lcg":
+        idx = np.arange(n_planes * dim, dtype=np.int64).reshape(n_planes, dim)
+        w = (LCG_A * (idx + seed) + LCG_C) % LCG_M - (LCG_M // 2)
+        return w.astype(np.float64) / float(LCG_M // 2)
+    raise ValueError(f"unknown plane gen {gen!r}")
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 11, gen: str = "gaussian"):
     """Returns a pandas_udf mapping embedding → int bucket (sign bits of
     random-hyperplane projections).  Vectorized: one matmul per batch."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(dim, n_planes, seed, gen)
 
     @F.pandas_udf(T.IntegerType())
     def bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -91,15 +107,17 @@ def ann_lsh_topk(
     n_planes: int = 8,
     seed: int = 11,
     multiprobe: int = 1,
+    plane_gen: str = "gaussian",
 ) -> DataFrame:
     """Approximate NN: probe the query's LSH bucket plus all buckets
-    within `multiprobe` sign flips, brute-force cosine inside.
+    within `multiprobe` sign flips (i.e. Hamming distance <= multiprobe
+    from the query bucket), brute-force cosine inside.
 
     At scale the table is WRITTEN partitioned by bucket (see
     `write_lsh_partitioned`) so this filter prunes files; here it
     filters post-scan."""
     q = np.asarray(query_vec, dtype=np.float64)
-    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    planes = _hyperplanes(len(query_vec), n_planes, seed, plane_gen)
     qsigns = (planes @ q) > 0
     qbucket = int((qsigns * (1 << np.arange(n_planes))).sum())
     probes = {qbucket}
@@ -110,7 +128,9 @@ def ann_lsh_topk(
         for i in range(n_planes):
             for j in range(i + 1, n_planes):
                 probes.add(qbucket ^ (1 << i) ^ (1 << j))
-    bucketed = df.withColumn("bucket", lsh_bucket_udf(len(query_vec), n_planes, seed)(F.col(vec_col)))
+    bucketed = df.withColumn(
+        "bucket", lsh_bucket_udf(len(query_vec), n_planes, seed, plane_gen)(F.col(vec_col))
+    )
     cand = bucketed.filter(F.col("bucket").isin(sorted(probes)))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
@@ -156,30 +176,89 @@ def ann_lsh_topk_indexed(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def lsh_band_buckets_udf(
+    dim: int, n_bands: int, planes_per_band: int, seed: int = 11, gen: str = "gaussian"
+):
+    """pandas_udf: embedding → array<int> of per-band LSH buckets
+    (independent hyperplane sets per band — MinHash-style banding for
+    vectors).  One matmul per batch."""
+    planes = _hyperplanes(dim, n_bands * planes_per_band, seed, gen)
+    weights = 1 << np.arange(planes_per_band)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ser in batches:
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in ser])
+            signs = (M @ planes.T) > 0  # (n, n_bands*planes_per_band)
+            signs = signs.reshape(len(ser), n_bands, planes_per_band)
+            vals = (signs * weights).sum(axis=2).astype(np.int32)
+            yield pd.Series(list(vals))
+
+    return buckets
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
     seed: int = 11,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup candidate pairs: LSH-bucket equi-join (pairs
-    agreeing on ALL sign bits), verified with exact cosine >= threshold.
-    Approximate by construction (a near-dup pair can straddle a
-    hyperplane); recall grows with fewer planes."""
+    """Embedding near-dup pairs via MULTI-BAND hyperplane LSH: a pair is
+    a candidate when it agrees on ALL sign bits of AT LEAST ONE band
+    (independent plane sets per band — the MinHash-banding shape), then
+    verified with exact cosine >= threshold.
+
+    Scale design (round-2 fix): the previous single-table all-pairs join
+    over 2^n_planes buckets goes quadratic in a hot bucket at 10^9+
+    vectors.  Banding bounds each band's bucket population to
+    ~n/2^planes_per_band and recall is 1-(1-p^r)^b instead of p^n;
+    `max_bucket_df` additionally drops (band, bucket) groups larger than
+    the cap from candidate generation (explosion guard, like
+    ngram_jaccard's max_shingle_df — standard practice for skewed
+    corpora; planted-duplicate recall is unaffected unless the corpus
+    itself is degenerate)."""
     dim = len(df.select(vec_col).head()[0])
-    b = df.withColumn("bucket", lsh_bucket_udf(dim, n_planes, seed)(F.col(vec_col)))
-    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
-    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
-    cand = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    bb = lsh_band_buckets_udf(dim, n_bands, planes_per_band, seed)
+    b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bb(F.col(vec_col)).alias("bkts")
+    )
+    bands = b.select(
+        "id",
+        F.posexplode("bkts").alias("band", "bucket"),
+    )
+    if max_bucket_df is not None:
+        hot = (
+            bands.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") > max_bucket_df)
+            .select("band", "bucket")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    a_side, b_side = bands.alias("a"), bands.alias("b")
+    cand = (
+        a_side.join(
+            b_side,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        cand.withColumn("cosine", dot / (_norm(F.col("v_a")) * _norm(F.col("v_b"))))
+        pairs.withColumn("cosine", dot / (_norm(F.col("v_a")) * _norm(F.col("v_b"))))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

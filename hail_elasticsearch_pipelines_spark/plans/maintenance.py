@@ -127,7 +127,12 @@ def extend_index(
     else:
         live = existing
 
-    normalized = ib.normalize_pages(new_pages, params.get("lang_filter"))
+    facet_fields = tuple(params.get("facet_fields", ib.DEFAULT_FACET_FIELDS))
+    stored_fields = tuple(params.get("stored_fields", ()))
+    meta_cols = tuple(dict.fromkeys(facet_fields + stored_fields))
+    normalized = ib.normalize_pages(
+        new_pages, params.get("lang_filter"), meta_cols=meta_cols
+    )
     n_killed, killed_tokens = 0, 0
     if mode == "create":
         fresh = normalized.join(live.select("url"), "url", "left_anti")
@@ -158,7 +163,7 @@ def extend_index(
         finally:
             to_kill.unpersist()
 
-    docs = ib.docs_with_ids(fresh).withColumn(
+    docs = ib.docs_with_ids(fresh, meta_cols=meta_cols).withColumn(
         "doc_id", F.col("doc_id") + F.lit(id_base)
     )
     docs_path = os.path.join(index_dir, "stages", f"docs_ext_{id_base}")
@@ -171,7 +176,9 @@ def extend_index(
 
     if new_stats["n_docs"]:
         partials = ib.build_partials(
-            docs, dpp, seg_group, with_positions=params.get("with_positions", True)
+            docs, dpp, seg_group,
+            with_positions=params.get("with_positions", True),
+            facet_fields=facet_fields,
         )
         merged = ib.merge_partials(partials).withColumn(
             "term_bucket",
@@ -184,9 +191,10 @@ def extend_index(
             merged.write.mode("append").partitionBy("term_bucket").parquet(
                 os.path.join(index_dir, "postings")
             )
-            docs.select("doc_id", "url", "doc_len").write.mode("append").parquet(
-                doclens_path
-            )
+            stored = [c for c in stored_fields if c in docs.columns]
+            docs.select("doc_id", "url", "doc_len", *stored).write.mode(
+                "append"
+            ).parquet(doclens_path)
             # incremental: fold ONLY the new batch into the termdict —
             # O(batch + termdict), never O(full postings)
             _update_termdict(spark, index_dir, merged)

@@ -158,6 +158,9 @@ class IndexBuildPipeline:
         n_chunks: int = 1,
         input_fingerprint: str | None = None,
         with_positions: bool = True,
+        field_overrides: dict[str, dict] | None = None,
+        validation: "ValidationThresholds | None | str" = "default",
+        checkpoint_normalize: bool = True,
     ):
         self.spark = spark
         self.out = out_dir
@@ -167,6 +170,24 @@ class IndexBuildPipeline:
         self.lang_filter = lang_filter
         self.n_chunks = max(1, n_chunks)
         self.with_positions = with_positions
+        self.field_overrides = field_overrides
+        # checkpoint_normalize=False fuses normalize+docs into one stage:
+        # the corpus text is materialized ONCE (stages/docs) instead of
+        # twice, halving stage-IO bytes — the reference's checkpoints are
+        # likewise opt-in (--make-checkpoints, make_annotated_mt.py:89).
+        # Resume granularity is unchanged where it matters: the docs
+        # stage and every partials chunk keep their markers.
+        self.checkpoint_normalize = checkpoint_normalize
+        from .validate import ValidationThresholds
+
+        self.validation = (
+            ValidationThresholds() if validation == "default" else validation
+        )
+        self._validation_report: dict | None = None
+        # resolved from the input schema at run() (ES mapping-from-dtype)
+        self.field_specs: dict[str, dict] = {}
+        self.facet_fields: tuple[str, ...] = ()
+        self.stored_fields: tuple[str, ...] = ()
         self.input_fingerprint = input_fingerprint or "unfingerprinted-input"
         self.params_fp = _fingerprint(
             {
@@ -176,6 +197,8 @@ class IndexBuildPipeline:
                 "lang_filter": lang_filter,
                 "n_chunks": n_chunks,
                 "with_positions": with_positions,
+                "field_overrides": field_overrides,
+                "checkpoint_normalize": checkpoint_normalize,
                 "input": self.input_fingerprint,
             }
         )
@@ -187,29 +210,59 @@ class IndexBuildPipeline:
     # -- stages --------------------------------------------------------
     def run(self, pages: DataFrame) -> dict:
         os.makedirs(self.out, exist_ok=True)
-        self._stage_normalize(pages)
-        globals_ = self._stage_docs()
+        # field manifest derived from the input schema + overrides
+        # (elasticsearch_utils.py:38-77 analog)
+        self.field_specs = ib.derive_index_fields(pages.schema, self.field_overrides)
+        self.facet_fields = tuple(
+            n for n, s in self.field_specs.items() if s["facet"]
+        )
+        self.stored_fields = tuple(
+            n for n, s in self.field_specs.items() if s["stored"]
+        )
+        self.meta_cols = tuple(dict.fromkeys(self.facet_fields + self.stored_fields))
+        if self.checkpoint_normalize:
+            self._stage_normalize(pages)
+        globals_ = self._stage_docs(pages)
+        self._stage_validate(globals_)
         self._stage_partials(globals_)
         manifest = self._stage_publish(globals_)
         return manifest
 
+    def _stage_validate(self, globals_: dict) -> None:
+        """Pre-publish sanity gate (plans/validate.py — the reference's
+        thresholded-match-ratio validation stage).  Zero extra Spark
+        jobs: its inputs ride in corpus_stats' aggregation.  Skipped
+        when validation=None."""
+        if self.validation is None:
+            return
+        from .validate import validate_globals
+
+        self._validation_report = validate_globals(globals_, self.validation)
+
     def _stage_normalize(self, pages: DataFrame) -> None:
         path = self._p("stages", "normalize")
-        fp = _fingerprint(["normalize", self.params_fp])
+        fp = _fingerprint(["normalize", self.params_fp, sorted(self.meta_cols)])
         if can_reuse(path, fp):
             return
-        ib.normalize_pages(pages, self.lang_filter).write.mode("overwrite").parquet(path)
+        ib.normalize_pages(
+            pages, self.lang_filter, meta_cols=self.meta_cols
+        ).write.mode("overwrite").parquet(path)
         mark_complete(path, fp)
 
-    def _stage_docs(self) -> dict:
+    def _stage_docs(self, pages: DataFrame) -> dict:
         path = self._p("stages", "docs")
-        fp = _fingerprint(["docs", self.params_fp])
+        fp = _fingerprint(["docs", self.params_fp, sorted(self.meta_cols)])
         gpath = self._p("stages", "docs", "_GLOBALS.json")
         if can_reuse(path, fp):
             with open(gpath) as f:
                 return json.load(f)
-        normalized = self.spark.read.parquet(self._p("stages", "normalize"))
-        docs = ib.docs_with_ids(normalized)
+        if self.checkpoint_normalize:
+            normalized = self.spark.read.parquet(self._p("stages", "normalize"))
+        else:  # fused: extract+dedupe feed id assignment directly
+            normalized = ib.normalize_pages(
+                pages, self.lang_filter, meta_cols=self.meta_cols
+            )
+        docs = ib.docs_with_ids(normalized, meta_cols=self.meta_cols)
         docs.write.mode("overwrite").parquet(path)
         self.spark.catalog.clearCache()  # free assign_dense_ids' persist
         docs = self.spark.read.parquet(path)
@@ -258,6 +311,7 @@ class IndexBuildPipeline:
             partials = ib.build_partials(
                 chunk_docs, self.docs_per_part, self.seg_group,
                 with_positions=self.with_positions,
+                facet_fields=self.facet_fields,
             )
             partials.write.mode("overwrite").parquet(cpath)
             # per-part lineage + metrics (FIXTURES.md F6)
@@ -314,9 +368,10 @@ class IndexBuildPipeline:
         _swap_dir(staging, final)
 
         docs = self.spark.read.parquet(self._p("stages", "docs"))
-        docs.select("doc_id", "url", "doc_len").write.mode("overwrite").parquet(
-            self._p("doclens")
-        )
+        stored = [c for c in self.stored_fields if c in docs.columns]
+        docs.select("doc_id", "url", "doc_len", *stored).write.mode(
+            "overwrite"
+        ).parquet(self._p("doclens"))
 
         postings = self.spark.read.parquet(final)
         _write_termdict(self.spark, self.out)
@@ -337,6 +392,9 @@ class IndexBuildPipeline:
                 "lang_filter": self.lang_filter,
                 "n_chunks": self.n_chunks,
                 "with_positions": self.with_positions,
+                "facet_fields": list(self.facet_fields),
+                "stored_fields": list(self.stored_fields),
+                "fields": self.field_specs,
             },
             "globals": globals_,
             "metrics": {
@@ -348,6 +406,7 @@ class IndexBuildPipeline:
                 "n_segments": int(metrics_row["n_segments"]),
             },
             "bm25": {"k1": ib.BM25_K1, "b": ib.BM25_B},
+            "validation": self._validation_report,
         }
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=2)

@@ -63,6 +63,32 @@ def import_typed_tsv(
     return df
 
 
+def export_tsv(
+    df: DataFrame,
+    path: str,
+    null_value: str = ".",
+    header: bool = True,
+) -> None:
+    """`ht.export` analog (S9): write a TSV with header
+    (luigi_pipeline/tests/test_hail_tasks.py:106,116).  Flat columns
+    only — flatten structs first (the reference exports flat tables)."""
+    (
+        df.write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", str(header).lower())
+        .option("nullValue", null_value)
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+def seeded_sample(df: DataFrame, fraction: float, seed: int) -> DataFrame:
+    """`ht.sample(frac, seed)` analog (A7): seeded Bernoulli sample —
+    deterministic for a fixed input partitioning
+    (luigi_pipeline/tests/test_hail_tasks.py:67-69)."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
 def dedupe_latest(
     df: DataFrame,
     key: str = "url",

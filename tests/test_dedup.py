@@ -1,0 +1,106 @@
+"""Dedup operators: exact (digest groupBy), SimHash (incl. the
+SQL-expressible poly token hash), and the MinHash-vs-exact-Jaccard
+equivalence on a corpus with known near-duplicates."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hail_elasticsearch_pipelines_spark.functions.text_quality import py_token_hash
+from hail_elasticsearch_pipelines_spark.functions.tokenize import py_tokenize
+from hail_elasticsearch_pipelines_spark.operators import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Docs with planted exact duplicates and near-duplicates."""
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long winter trip",
+        "sphinx of black quartz judge my vow said the curious explorer",
+        "a completely different document about spark inverted indexes",
+    ]
+    rows = []
+    for i in range(40):
+        t = base[i % 4] + f" tail{i % 8}"
+        rows.append((i, t))
+    # exact dups: 41..44 copy docs 0..3's text
+    for j, i in enumerate(range(41, 45)):
+        rows.append((i, rows[j][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_matches_groundtruth(dup_docs):
+    got = {
+        (r["doc_id"], r["group_size"]) for r in dd.dedup_exact(dup_docs).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in dup_docs.collect()]
+    groups: dict[str, list[int]] = {}
+    for i, t in rows:
+        groups.setdefault(t, []).append(i)
+    want = {(min(ids), len(ids)) for ids in groups.values()}
+    assert got == want
+
+
+def test_dedup_exact_shuffles_digest_not_text(dup_docs):
+    """The exchange key must be the sha2 digest — the full text never
+    crosses the shuffle (the round-1 plan shipped the whole corpus)."""
+    plan = dd.dedup_exact(dup_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "sha2" in plan
+    exchange = plan[plan.index("Exchange") :].split("\n")[0]
+    assert "text" not in exchange
+
+
+def _py_simhash_poly(text: str) -> int:
+    toks = py_tokenize(text)
+    c = Counter(py_token_hash(t) for t in toks)
+    v = [0] * 32
+    for h, tf in c.items():
+        for j in range(32):
+            v[j] += tf if (h >> j) & 1 else -tf
+    return sum((1 << j) for j in range(32) if v[j] > 0)
+
+
+def test_simhash_poly_matches_python_twin(dup_docs):
+    got = {r["id"]: r["simhash"] for r in dd.simhash(dup_docs, token_hash="poly").collect()}
+    for r in dup_docs.collect():
+        assert got[r["doc_id"]] == _py_simhash_poly(r["text"]), r["doc_id"]
+
+
+@pytest.mark.parametrize("token_hash", ["xxhash64", "poly"])
+def test_simhash_near_pairs_find_exact_dups(dup_docs, token_hash):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_near_pairs(dup_docs, max_hamming=0, token_hash=token_hash).collect()
+    }
+    # planted exact dups share identical simhash -> hamming 0
+    for j, i in enumerate(range(41, 45)):
+        found = any(a == j and b == i or (a, b) == (j, i) for a, b in pairs) or (
+            (j, i) in pairs
+        )
+        # doc j's text also appears at j+4, j+8... all hamming-0 among
+        # themselves; assert (j, i) specifically is found
+        assert (j, i) in pairs or any(
+            (a, i) in pairs for a in range(j, 41, 4)
+        ), (j, i, sorted(pairs)[:10])
+
+
+def test_minhash_agrees_with_exact_jaccard(dup_docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(
+            dup_docs, threshold=0.9, max_shingle_df=None
+        ).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_dedup_pairs(dup_docs, threshold=0.9).collect()
+    }
+    # minhash verifies candidates exactly -> subset; exact dups always found
+    assert mh <= exact
+    for j, i in enumerate(range(41, 45)):
+        assert (j, i) in mh

@@ -74,3 +74,41 @@ def test_null_text_fallback(spark, small_pages_pdf):
         key = (row["url"], hashlib.sha256(bytes(row["html"])).hexdigest())
         assert got[key] == py_extract_text(row["html"])
     assert not any(v is None for v in got.values())
+
+
+def test_export_tsv_roundtrip(spark, tmp_path):
+    """S9: ht.export analog — TSV with header round-trips through the
+    typed importer (test_hail_tasks.py:106,116 analog)."""
+    from pyspark.sql import types as T
+
+    from hail_elasticsearch_pipelines_spark.sources.readers import (
+        export_tsv,
+        import_typed_tsv,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = [(1, "alpha", 0.5), (2, None, 2.25), (3, "gamma", None)]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "out_tsv")
+    export_tsv(df, path)
+    back = import_typed_tsv(spark, path, schema=schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_seeded_sample_deterministic(spark):
+    """A7: seeded Bernoulli sample is reproducible for a fixed input."""
+    from hail_elasticsearch_pipelines_spark.sources.readers import seeded_sample
+
+    df = spark.range(0, 2000, numPartitions=4)
+    a = sorted(r["id"] for r in seeded_sample(df, 0.25, seed=5).collect())
+    b = sorted(r["id"] for r in seeded_sample(df, 0.25, seed=5).collect())
+    c = sorted(r["id"] for r in seeded_sample(df, 0.25, seed=6).collect())
+    assert a == b
+    assert 300 < len(a) < 700
+    assert a != c

@@ -54,8 +54,9 @@ def test_fingerprint_invalidates_on_param_change(spark, small_pages_df, tmp_path
                                    n_term_buckets=8, lang_filter=["en"])
     from hail_elasticsearch_pipelines_spark.plans.pipeline import _fingerprint
 
-    assert can_reuse(norm, _fingerprint(["normalize", pipe_same.params_fp]))
-    assert not can_reuse(norm, _fingerprint(["normalize", pipe_diff.params_fp]))
+    # meta_cols for this corpus resolve to ("lang",) at run()
+    assert can_reuse(norm, _fingerprint(["normalize", pipe_same.params_fp, ["lang"]]))
+    assert not can_reuse(norm, _fingerprint(["normalize", pipe_diff.params_fp, ["lang"]]))
 
 
 def test_lineage_metrics_written(spark, small_pages_df, tmp_path, small_oracle):
@@ -71,3 +72,18 @@ def test_lineage_metrics_written(spark, small_pages_df, tmp_path, small_oracle):
     assert all(r["bytes_compressed"] > 0 for r in rows)
     # per-partition lineage: one row per doc-range part
     assert len({r["partition_id"] for r in rows}) == len(rows)
+
+
+def test_fused_normalize_build_identical(spark, small_pages_df, tmp_path):
+    """checkpoint_normalize=False (fused normalize+docs, the reference's
+    opt-in --make-checkpoints analog) writes the corpus once and yields
+    a byte-identical index."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, small_pages_df, a, docs_per_part=37, seg_group=2, n_term_buckets=8)
+    build_index(spark, small_pages_df, b, docs_per_part=37, seg_group=2,
+                n_term_buckets=8, checkpoint_normalize=False)
+    assert _snapshot(spark, a) == _snapshot(spark, b)
+    assert os.path.exists(os.path.join(a, "stages", "normalize"))
+    assert not os.path.exists(os.path.join(b, "stages", "normalize"))
+    # fused builds still resume: docs marker + chunk markers exist
+    assert os.path.exists(os.path.join(b, "stages", "docs", "_FINGERPRINT"))

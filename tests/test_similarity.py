@@ -54,3 +54,69 @@ def test_ann_indexed_layout_prunes_and_matches(spark, emb_df, tmp_path):
     a = [(r["id"], round(r["cosine"], 9)) for r in scan.collect()]
     b = [(r["id"], round(r["cosine"], 9)) for r in unindexed.collect()]
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def planted_df(spark):
+    """Random vectors + near-duplicate copies (id+1000): cosine of each
+    planted pair ~0.99997, natural pairs < 0.7."""
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((150, 32)).astype(np.float64)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows += [
+        (int(i) + 1000, [float(x * (1.0 + 0.0004 * (j % 5))) for j, x in enumerate(v)])
+        for i, v in enumerate(vecs)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_pairs_multiband_finds_planted(planted_df):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sim.embedding_cosine_pairs(
+            planted_df, threshold=0.9, n_bands=4, planes_per_band=8
+        ).collect()
+    }
+    want = {(i, i + 1000) for i in range(150)}
+    assert got == want
+
+
+def test_embedding_pairs_hot_bucket_cap(spark):
+    """Skewed fixture: every vector points the same way, so single-table
+    LSH puts ALL of them in one bucket (quadratic candidates).  The
+    per-(band, bucket) frequency cap bounds candidate generation."""
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(16)
+    rows = [
+        (int(i), [float(x) for x in base + 0.001 * rng.standard_normal(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # threshold -1: output == verified candidate set
+    uncapped = sim.embedding_cosine_pairs(
+        df, threshold=-1.0, n_bands=4, planes_per_band=8
+    ).count()
+    capped = sim.embedding_cosine_pairs(
+        df, threshold=-1.0, n_bands=4, planes_per_band=8, max_bucket_df=10
+    ).count()
+    assert uncapped >= 19000  # ~all pairs: the skew blowup is real
+    assert capped <= 4 * 10 * 9 / 2  # <= n_bands * C(cap, 2)
+
+
+def test_ann_lcg_planes_match_python(emb_df):
+    """LCG-generated planes: engine buckets equal a pure-Python
+    recomputation of the documented integer formula."""
+    df, vecs = emb_df
+    dim, n_planes, seed = 16, 8, 11
+    idx = np.arange(n_planes * dim, dtype=np.int64).reshape(n_planes, dim)
+    planes = ((1103515245 * (idx + seed) + 12345) % (1 << 31) - (1 << 30)) / float(1 << 30)
+    got = (
+        df.withColumn("b", sim.lsh_bucket_udf(dim, n_planes, seed, "lcg")(F.col("embedding")))
+        .select("vec_id", "b")
+        .collect()
+    )
+    for r in got:
+        v = vecs[r["vec_id"]].astype(np.float64)
+        signs = (planes @ v) > 0
+        want = int((signs * (1 << np.arange(n_planes))).sum())
+        assert r["b"] == want, r["vec_id"]
