@@ -254,6 +254,416 @@ def encode_postings(
     )
 
 
+_AW = np.array(_ALLOWED_WIDTHS, dtype=np.int64)
+
+
+def _bitlen_vec(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit length (0 → 0)."""
+    tmp = v.astype(np.uint64, copy=True)
+    bl = np.zeros(v.shape, dtype=np.int64)
+    nz = tmp > 0
+    bl[nz] = 1
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = tmp >= (np.uint64(1) << np.uint64(shift))
+        bl[big] += shift
+        tmp[big] >>= np.uint64(shift)
+    return bl
+
+
+def _varint_len_vec(v: np.ndarray) -> np.ndarray:
+    """Byte length of each value's LEB128 encoding."""
+    return (np.maximum(_bitlen_vec(v), 1) + 6) // 7
+
+
+def _fix_reduceat(res: np.ndarray, sizes: np.ndarray, fill) -> np.ndarray:
+    """np.ufunc.reduceat yields x[start] for empty segments; overwrite."""
+    if (sizes == 0).any():
+        res = res.copy()
+        res[sizes == 0] = fill
+    return res
+
+
+def _segment_reduceat(ufunc, x: np.ndarray, starts: np.ndarray, sizes: np.ndarray, fill):
+    if x.size == 0:
+        return np.full(len(sizes), fill, dtype=x.dtype)
+    res = ufunc.reduceat(x, np.clip(starts, 0, x.size - 1))
+    return _fix_reduceat(res, sizes, fill)
+
+
+def _pfor_batch(V: np.ndarray, seg_off: np.ndarray):
+    """Batched _encode_pfor_chunk over many segments of one flat stream.
+
+    Byte-identical to calling _encode_pfor_chunk per segment (tested),
+    but all width selection, exception detection, and bit packing run
+    as whole-array numpy ops — the per-term Python encode loop was the
+    dominant cost of the partial-index build.
+
+    Returns (widths uint8[S], n_exc int64[S], packed uint8[·],
+    packed_off int64[S], packed_len int64[S], exc {seg: bytes})."""
+    seg_off = np.asarray(seg_off, dtype=np.int64)
+    sizes = np.diff(seg_off)
+    S = len(sizes)
+    V = np.asarray(V, dtype=np.uint64)
+    N = V.size
+    starts = seg_off[:-1]
+
+    maxv = _segment_reduceat(np.maximum, V, starts, sizes, np.uint64(0))
+    cap = _bitlen_vec(maxv)
+    w_full = _AW[np.searchsorted(_AW, cap, side="left")]
+    widths = w_full.copy()
+    large = np.flatnonzero(sizes > 8)
+    if large.size:
+        # percentile needs a within-segment sort.  Segments are blocks
+        # (<= BLOCK_SIZE values), so pad the large ones into an
+        # (L, max_size) matrix and row-sort — one vectorized np.sort
+        # instead of a per-segment partition loop or a global lexsort.
+        lsizes = sizes[large]
+        msz = int(lsizes.max())
+        mat = np.full((large.size, msz), np.uint64(0xFFFFFFFFFFFFFFFF))
+        rows = np.repeat(np.arange(large.size), lsizes)
+        cols = np.arange(int(lsizes.sum())) - np.repeat(
+            np.cumsum(lsizes) - lsizes, lsizes
+        )
+        src = np.repeat(starts[large], lsizes) + cols
+        mat[rows, cols] = V[src]
+        mat.sort(axis=1)
+        k = (0.90 * (lsizes - 1)).astype(np.int64)
+        q = mat[np.arange(large.size), k]  # k < size → sentinel unreachable
+        w0 = _AW[np.searchsorted(_AW, _bitlen_vec(q), side="left")]
+        widths[large] = np.where(
+            w_full[large] <= w0 + 2, w_full[large], w0
+        )
+    widths = widths.astype(np.int64)
+
+    w_e = np.repeat(widths, sizes)
+    w_e_u = w_e.astype(np.uint64)
+    shift = np.minimum(w_e_u, np.uint64(63))
+    hi = np.where(w_e >= 64, np.uint64(0), V >> shift)
+    exc_mask = hi != 0
+    lows = np.where(
+        w_e >= 64, V, V & ((np.uint64(1) << shift) - np.uint64(1))
+    )
+    n_exc = _segment_reduceat(
+        np.add, exc_mask.astype(np.int64), starts, sizes, 0
+    )
+
+    plen = (sizes * widths + 7) // 8
+    packed_off = np.concatenate(([0], np.cumsum(plen)))[:-1]
+    total_pb = int(plen.sum())
+    packed = np.zeros(total_pb, dtype=np.uint8)
+    if N:
+        # pack PER DISTINCT WIDTH: within a width group the bit stream
+        # is contiguous per element, so the only shuffling needed is the
+        # per-segment byte-alignment padding (one vectorized
+        # redistribution), then one packbits per group — no global
+        # per-bit fancy scatter (which dominated the first cut).
+        for w in np.unique(widths):
+            w = int(w)
+            if w == 0:
+                continue
+            segs_w = np.flatnonzero(widths == w)
+            sz = sizes[segs_w]
+            if not sz.sum():
+                continue
+            within = np.arange(int(sz.sum())) - np.repeat(
+                np.cumsum(sz) - sz, sz
+            )
+            vals = lows[np.repeat(starts[segs_w], sz) + within]
+            js = np.arange(w, dtype=np.uint64)
+            bits_flat = (
+                ((vals[:, None] >> js) & np.uint64(1)).astype(np.uint8).ravel()
+            )
+            plen_w = (sz * w + 7) // 8
+            gbits = np.zeros(int(plen_w.sum()) * 8, dtype=np.uint8)
+            _scatter_bytes(
+                gbits,
+                (np.cumsum(plen_w) - plen_w) * 8,
+                sz * w,
+                bits_flat,
+                np.cumsum(sz * w) - sz * w,
+            )
+            gpacked = np.packbits(gbits, bitorder="little")
+            _scatter_bytes(
+                packed, packed_off[segs_w], plen_w, gpacked,
+                np.cumsum(plen_w) - plen_w,
+            )
+
+    exc: dict[int, bytes] = {}
+    if exc_mask.any():
+        exc_elems = np.flatnonzero(exc_mask)
+        seg_of_exc = (
+            np.searchsorted(seg_off, exc_elems, side="right") - 1
+        )
+        for s in np.unique(seg_of_exc):
+            sel = exc_elems[seg_of_exc == s]
+            inter = np.empty(2 * len(sel), dtype=np.uint64)
+            inter[0::2] = (sel - starts[s]).astype(np.uint64)
+            inter[1::2] = hi[sel]
+            exc[int(s)] = varint_encode(inter)
+    return widths, n_exc, packed, packed_off, plen, exc
+
+
+def _scatter_bytes(out, dst_starts, lengths, src, src_starts) -> None:
+    """out[dst:dst+L] = src[s:s+L] for many pieces, one fancy gather."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    keep = lengths > 0
+    dst_starts, lengths, src_starts = (
+        np.asarray(dst_starts, np.int64)[keep],
+        lengths[keep],
+        np.asarray(src_starts, np.int64)[keep],
+    )
+    total = int(lengths.sum())
+    if not total:
+        return
+    within = np.arange(total) - np.repeat(np.cumsum(lengths) - lengths, lengths)
+    out[np.repeat(dst_starts, lengths) + within] = src[
+        np.repeat(src_starts, lengths) + within
+    ]
+
+
+def encode_postings_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    term_offsets: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[tuple[bytes, np.ndarray, np.ndarray, np.ndarray]]:
+    """Batched encode_postings over many terms at once: flat postings
+    arrays (concatenated per term, ascending doc ids within each term)
+    plus term_offsets (len T+1).  Returns per term
+    (blob, block_last, block_max_tf, block_off) — BYTE-IDENTICAL to the
+    scalar encode_postings (property-tested), just without the per-term
+    Python loop that dominated the partial-build profile."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs64 = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    TO = np.asarray(term_offsets, dtype=np.int64)
+    n_t = np.diff(TO)
+    T = len(n_t)
+    version = _VERSION_PFOR | _FLAG_DLS
+    N = doc_ids.size
+
+    # ---- global block table (blocks tile the flat arrays contiguously)
+    nb_t = (n_t + block_size - 1) // block_size
+    B = int(nb_t.sum())
+    term_of_block = np.repeat(np.arange(T), nb_t)
+    blk_in_term = np.arange(B) - np.repeat(np.cumsum(nb_t) - nb_t, nb_t)
+    bs = TO[term_of_block] + blk_in_term * block_size
+    be = np.minimum(bs + block_size, TO[term_of_block + 1])
+    cnt = be - bs
+    first_doc = doc_ids[bs] if B else np.zeros(0, np.int64)
+    last_doc = doc_ids[be - 1] if B else np.zeros(0, np.int64)
+    maxtf_b = _segment_reduceat(np.maximum, tfs64, bs, cnt, 0) if B else np.zeros(0, np.int64)
+
+    # ---- the three per-block streams
+    if N > 1:
+        d1 = (doc_ids[1:] - doc_ids[:-1] - 1).astype(np.int64)
+        keep = np.ones(N - 1, dtype=bool)
+        keep[bs[1:] - 1] = False  # drop pairs straddling block starts
+        gaps_flat = d1[keep].astype(np.uint64)
+    else:
+        gaps_flat = np.zeros(0, np.uint64)
+    g_off = np.concatenate(([0], np.cumsum(cnt - 1)))
+    t_off = np.concatenate(([0], np.cumsum(cnt)))  # == bs tiling, rebased
+
+    wg, neg, pg, pog, plg, excg = _pfor_batch(gaps_flat, g_off)
+    wt, net, pt, pot, plt_, exct = _pfor_batch((tfs64 - 1).astype(np.uint64), t_off)
+    wd, ned, pd_, pod, pld, excd = _pfor_batch(dls.astype(np.uint64), t_off)
+
+    # ---- layout: per term head, then per block hdr + 3 chunks
+    vl = _varint_len_vec
+    L_nt = vl(n_t.astype(np.uint64))
+    L_nb = vl(nb_t.astype(np.uint64))
+    L_cnt = vl(cnt.astype(np.uint64))
+    L_first = vl(first_doc.astype(np.uint64))
+    L_ne_g, L_ne_t, L_ne_d = (
+        vl(neg.astype(np.uint64)),
+        vl(net.astype(np.uint64)),
+        vl(ned.astype(np.uint64)),
+    )
+    le_g = np.array([len(excg.get(i, b"")) for i in range(B)], dtype=np.int64)
+    le_t = np.array([len(exct.get(i, b"")) for i in range(B)], dtype=np.int64)
+    le_d = np.array([len(excd.get(i, b"")) for i in range(B)], dtype=np.int64)
+    L_chunk_g = 1 + L_ne_g + plg + le_g
+    L_chunk_t = 1 + L_ne_t + plt_ + le_t
+    L_chunk_d = 1 + L_ne_d + pld + le_d
+    L_block = L_cnt + L_first + L_chunk_g + L_chunk_t + L_chunk_d
+    blk_term_off = np.concatenate(([0], np.cumsum(nb_t)))
+    L_blocks_per_term = np.add.reduceat(L_block, blk_term_off[:-1]) if B else np.zeros(T, np.int64)
+    L_blocks_per_term = _fix_reduceat(L_blocks_per_term, nb_t, 0)
+    L_term = 1 + L_nt + L_nb + L_blocks_per_term
+    term_start = np.concatenate(([0], np.cumsum(L_term)))
+    total = int(term_start[-1])
+    out = np.zeros(total, dtype=np.uint8)
+
+    # destination offsets: per-block cumulative length within its term
+    csum_block = np.cumsum(L_block) - L_block if B else np.zeros(0, np.int64)
+    base_per_term = csum_block[blk_term_off[:-1]] if B else np.zeros(T, np.int64)
+    base_per_term = np.where(nb_t > 0, base_per_term, 0)
+    within_term = csum_block - np.repeat(base_per_term, nb_t)
+    hdr_dst = (
+        term_start[term_of_block] + 1 + L_nt[term_of_block] + L_nb[term_of_block] + within_term
+    )
+    cg_dst = hdr_dst + L_cnt + L_first
+    ct_dst = cg_dst + L_chunk_g
+    cd_dst = ct_dst + L_chunk_t
+
+    # 1. version bytes
+    out[term_start[:-1]] = version
+
+    # 2. all varints in one encode + one scatter.  Order: term heads
+    # (n, nb), block hdrs (cnt, first), chunk n_excs (g, t, d).
+    va = np.concatenate(
+        [
+            np.stack([n_t, nb_t], axis=1).ravel() if T else np.zeros(0, np.int64),
+            np.stack([cnt, first_doc], axis=1).ravel() if B else np.zeros(0, np.int64),
+            neg, net, ned,
+        ]
+    ).astype(np.uint64)
+    va_len = np.concatenate(
+        [
+            np.stack([L_nt, L_nb], axis=1).ravel() if T else np.zeros(0, np.int64),
+            np.stack([L_cnt, L_first], axis=1).ravel() if B else np.zeros(0, np.int64),
+            L_ne_g, L_ne_t, L_ne_d,
+        ]
+    )
+    va_dst = np.concatenate(
+        [
+            np.stack([term_start[:-1] + 1, term_start[:-1] + 1 + L_nt], axis=1).ravel()
+            if T else np.zeros(0, np.int64),
+            np.stack([hdr_dst, hdr_dst + L_cnt], axis=1).ravel()
+            if B else np.zeros(0, np.int64),
+            cg_dst + 1, ct_dst + 1, cd_dst + 1,
+        ]
+    )
+    enc = np.frombuffer(varint_encode(va), dtype=np.uint8) if va.size else np.zeros(0, np.uint8)
+    va_src = np.cumsum(va_len) - va_len
+    _scatter_bytes(out, va_dst, va_len, enc, va_src)
+
+    # 3. width bytes
+    if B:
+        out[cg_dst] = wg.astype(np.uint8)
+        out[ct_dst] = wt.astype(np.uint8)
+        out[cd_dst] = wd.astype(np.uint8)
+
+    # 4. packed sections
+    _scatter_bytes(out, cg_dst + 1 + L_ne_g, plg, pg, pog)
+    _scatter_bytes(out, ct_dst + 1 + L_ne_t, plt_, pt, pot)
+    _scatter_bytes(out, cd_dst + 1 + L_ne_d, pld, pd_, pod)
+
+    # 5. exception sections (rare; scalar copies)
+    for excmap, dsts, lne, pl in (
+        (excg, cg_dst, L_ne_g, plg),
+        (exct, ct_dst, L_ne_t, plt_),
+        (excd, cd_dst, L_ne_d, pld),
+    ):
+        for s, eb in excmap.items():
+            d = int(dsts[s] + 1 + lne[s] + pl[s])
+            out[d : d + len(eb)] = np.frombuffer(eb, dtype=np.uint8)
+
+    # ---- slice per term
+    mindl_b = _segment_reduceat(np.minimum, dls, bs, cnt, 0) if B else np.zeros(0, np.int64)
+    results = []
+    outb = out.tobytes()
+    for t in range(T):
+        lo, hi_ = int(blk_term_off[t]), int(blk_term_off[t + 1])
+        results.append(
+            (
+                outb[int(term_start[t]) : int(term_start[t + 1])],
+                last_doc[lo:hi_].copy(),
+                maxtf_b[lo:hi_].astype(np.int32),
+                (hdr_dst[lo:hi_] - term_start[t]).astype(np.int32),
+                mindl_b[lo:hi_].copy(),
+            )
+        )
+    return results
+
+
+def encode_position_lists_batch(
+    positions: np.ndarray,
+    tfs: np.ndarray,
+    pos_term_offsets: np.ndarray,
+    tf_term_offsets: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[bytes]:
+    """Batched encode_position_lists over many terms: flat positions
+    (concatenated per term, per-doc-ascending), flat tfs, and the two
+    offset arrays (len T+1) delimiting each term's slice of each.
+    Byte-identical to the scalar encode_position_lists per term."""
+    positions = np.asarray(positions, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    PO = np.asarray(pos_term_offsets, dtype=np.int64)
+    n_p = np.diff(PO)
+    T = len(n_p)
+    N = positions.size
+
+    # deltas with absolute restart at every doc's first position (term
+    # starts are doc starts, so the global computation equals per-term)
+    if N:
+        deltas = np.empty_like(positions)
+        deltas[0] = positions[0]
+        deltas[1:] = positions[1:] - positions[:-1]
+        doc_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+        deltas[doc_starts] = positions[doc_starts]
+        V = deltas.astype(np.uint64)
+    else:
+        V = np.zeros(0, np.uint64)
+
+    # chunk table (tile each term's positions in 128s)
+    nc_t = (n_p + block_size - 1) // block_size
+    C = int(nc_t.sum())
+    term_of_chunk = np.repeat(np.arange(T), nc_t)
+    chk_in_term = np.arange(C) - np.repeat(np.cumsum(nc_t) - nc_t, nc_t)
+    cs = PO[term_of_chunk] + chk_in_term * block_size
+    ce = np.minimum(cs + block_size, PO[term_of_chunk + 1])
+    ccnt = ce - cs
+    c_off = np.concatenate(([0], np.cumsum(ccnt)))
+
+    w, ne, packed, poff, plen, exc = _pfor_batch(V, c_off)
+
+    vl = _varint_len_vec
+    L_np = vl(n_p.astype(np.uint64))
+    L_ccnt = vl(ccnt.astype(np.uint64)) if C else np.zeros(0, np.int64)
+    L_ne = vl(ne.astype(np.uint64)) if C else np.zeros(0, np.int64)
+    le = np.array([len(exc.get(i, b"")) for i in range(C)], dtype=np.int64)
+    L_chunk = L_ccnt + 1 + L_ne + plen + le
+    chk_term_off = np.concatenate(([0], np.cumsum(nc_t)))
+    L_chunks_per_term = (
+        _fix_reduceat(np.add.reduceat(L_chunk, chk_term_off[:-1]), nc_t, 0)
+        if C else np.zeros(T, np.int64)
+    )
+    L_term = L_np + L_chunks_per_term
+    term_start = np.concatenate(([0], np.cumsum(L_term)))
+    out = np.zeros(int(term_start[-1]), dtype=np.uint8)
+
+    csum_chunk = np.cumsum(L_chunk) - L_chunk if C else np.zeros(0, np.int64)
+    base_per_term = np.where(
+        nc_t > 0,
+        csum_chunk[chk_term_off[:-1]] if C else np.zeros(T, np.int64),
+        0,
+    )
+    within_term = csum_chunk - np.repeat(base_per_term, nc_t)
+    chd = term_start[term_of_chunk] + L_np[term_of_chunk] + within_term
+    wpos = chd + L_ccnt  # width byte position
+
+    va = np.concatenate([n_p, ccnt, ne]).astype(np.uint64)
+    va_len = np.concatenate([L_np, L_ccnt, L_ne])
+    va_dst = np.concatenate([term_start[:-1], chd, wpos + 1])
+    enc = np.frombuffer(varint_encode(va), dtype=np.uint8) if va.size else np.zeros(0, np.uint8)
+    _scatter_bytes(out, va_dst, va_len, enc, np.cumsum(va_len) - va_len)
+    if C:
+        out[wpos] = w.astype(np.uint8)
+    _scatter_bytes(out, wpos + 1 + L_ne, plen, packed, poff)
+    for s, eb in exc.items():
+        d = int(wpos[s] + 1 + L_ne[s] + plen[s])
+        out[d : d + len(eb)] = np.frombuffer(eb, dtype=np.uint8)
+
+    outb = out.tobytes()
+    return [
+        outb[int(term_start[t]) : int(term_start[t + 1])] for t in range(T)
+    ]
+
+
 def decode_block(blob: bytes, offset: int) -> tuple[np.ndarray, np.ndarray, np.ndarray | None, int]:
     """Decode one block at byte `offset` →
     (doc_ids, tfs, dls_or_None, next_offset)."""

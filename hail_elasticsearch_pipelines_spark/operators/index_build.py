@@ -99,17 +99,16 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def normalize_pages(
+def extract_pages(
     pages: DataFrame,
     lang_filter: list[str] | None = None,
     meta_cols: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
-    """Dedupe to latest crawl per url, fill missing text from html.
-
-    Extraction runs BEFORE the dedupe shuffle so `html` bytes never
+    """Extraction half of normalize (pre-dedupe): fill missing text from
+    html.  Extraction runs BEFORE any shuffle so `html` bytes never
     leave the scan stage (the UDF input is null-guarded — only the ~3%
-    null-text rows cross the Arrow boundary); the dedupe then shuffles
-    text only.  lang filter first → pushed into the parquet scan.
+    null-text rows cross the Arrow boundary).  lang filter first →
+    pushed into the parquet scan.
 
     `meta_cols`: metadata columns carried through (facet/stored fields
     per the index field manifest); defaults to ('lang',) if present."""
@@ -118,12 +117,24 @@ def normalize_pages(
         df = df.filter(F.col("lang").isin(lang_filter))
     if meta_cols is None:
         meta_cols = [c for c in DEFAULT_FACET_FIELDS if c in df.columns]
-    extracted = df.select(
+    return df.select(
         "url",
         extracted_text_col("text", "html").alias("text"),
         *meta_cols,
         "warc_ts",
     )
+
+
+def normalize_pages(
+    pages: DataFrame,
+    lang_filter: list[str] | None = None,
+    meta_cols: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
+    """Dedupe to latest crawl per url, fill missing text from html.
+    The dedupe shuffles text only (extraction already dropped html)."""
+    if meta_cols is None:
+        meta_cols = [c for c in DEFAULT_FACET_FIELDS if c in pages.columns]
+    extracted = extract_pages(pages, lang_filter, meta_cols)
     return dedupe_latest(extracted, key="url", ts="warc_ts", tiebreak="text").select(
         "url", "text", *meta_cols, "warc_ts"
     )
@@ -219,6 +230,26 @@ def docs_with_ids(
     ).withColumn("doc_len", token_count_col("text"))
 
 
+def docs_with_ids_fused(
+    extracted: DataFrame,
+    num_partitions: int | None = None,
+    meta_cols: tuple[str, ...] | list[str] | None = None,
+) -> DataFrame:
+    """Fused dedupe + dense-id assignment over ONE full-corpus shuffle
+    (readers.dedupe_and_assign_ids) — row-identical output to
+    normalize_pages → docs_with_ids, which exchange the corpus twice."""
+    from ..sources.readers import dedupe_and_assign_ids
+
+    if meta_cols is None:
+        meta_cols = [f for f in DEFAULT_FACET_FIELDS if f in extracted.columns]
+    ided = dedupe_and_assign_ids(
+        extracted, key="url", ts="warc_ts", tiebreak="text",
+        num_partitions=num_partitions,
+    )
+    keep = ["doc_id", "url", "text"] + [c for c in meta_cols if c in ided.columns]
+    return ided.select(*keep).withColumn("doc_len", token_count_col("text"))
+
+
 def corpus_stats(docs: DataFrame) -> dict:
     """Corpus globals in ONE aggregation job — includes the validation
     gate's inputs (empty-doc count, approx distinct texts) so the
@@ -286,32 +317,34 @@ def _build_partial_index(
     bounds = np.searchsorted(u_t, np.arange(len(uniq_terms) + 1))
     inst_offsets = np.concatenate(([0], np.cumsum(counts)))
 
+    # batched encode: ALL terms' blobs in a handful of whole-array numpy
+    # passes (codecs.encode_postings_batch — byte-identical to the
+    # per-term scalar encoder, which dominated the build profile)
+    docs_flat = uniq_docs[u_d]
+    tf_flat = counts.astype(np.int64)
+    dl_flat = dl_by_doc[u_d]
+    batch = codecs.encode_postings_batch(docs_flat, tf_flat, dl_flat, bounds)
+    if with_positions:
+        pos_blobs = codecs.encode_position_lists_batch(
+            pos_sorted, tf_flat, inst_offsets[bounds], bounds
+        )
+    cfs = np.add.reduceat(tf_flat, bounds[:-1]) if len(tf_flat) else np.zeros(0, np.int64)
+    seg = part // seg_group
     rows = []
     for ti in range(len(uniq_terms)):
-        lo, hi = bounds[ti], bounds[ti + 1]
+        lo, hi = int(bounds[ti]), int(bounds[ti + 1])
         if lo == hi:
             continue
-        d_idx = u_d[lo:hi]
-        doc_arr = uniq_docs[d_idx]
-        tf_arr = counts[lo:hi].astype(np.int64)
-        dl_arr = dl_by_doc[d_idx]
-        blob, blast, bmaxtf, boff = codecs.encode_postings(doc_arr, tf_arr, dls=dl_arr)
-        starts = np.arange(0, len(doc_arr), codecs.BLOCK_SIZE)
-        bmin_dl = np.minimum.reduceat(dl_arr, starts)
-        if with_positions:
-            pos_blob = codecs.encode_position_lists(
-                pos_sorted[inst_offsets[lo] : inst_offsets[hi]], tf_arr
-            )
-        else:
-            pos_blob = b""
+        blob, blast, bmaxtf, boff, bmin_dl = batch[ti]
+        pos_blob = pos_blobs[ti] if with_positions else b""
         rows.append(
             (
                 str(uniq_terms[ti]),
                 part,
-                part // seg_group,
-                int(doc_arr[0]),
-                int(len(doc_arr)),
-                int(tf_arr.sum()),
+                seg,
+                int(docs_flat[lo]),
+                hi - lo,
+                int(cfs[ti]),
                 blob,
                 blast.tolist(),
                 bmaxtf.tolist(),

@@ -258,11 +258,13 @@ class IndexBuildPipeline:
                 return json.load(f)
         if self.checkpoint_normalize:
             normalized = self.spark.read.parquet(self._p("stages", "normalize"))
-        else:  # fused: extract+dedupe feed id assignment directly
-            normalized = ib.normalize_pages(
+            docs = ib.docs_with_ids(normalized, meta_cols=self.meta_cols)
+        else:
+            # fused: extract → ONE shuffle doing dedupe + id assignment
+            extracted = ib.extract_pages(
                 pages, self.lang_filter, meta_cols=self.meta_cols
             )
-        docs = ib.docs_with_ids(normalized, meta_cols=self.meta_cols)
+            docs = ib.docs_with_ids_fused(extracted, meta_cols=self.meta_cols)
         docs.write.mode("overwrite").parquet(path)
         self.spark.catalog.clearCache()  # free assign_dense_ids' persist
         docs = self.spark.read.parquet(path)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -110,6 +110,69 @@ def dedupe_latest(
     return out.select(key, "_row.*")
 
 
+def dedupe_and_assign_ids(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    tiebreak: str = "text",
+    num_partitions: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused dedupe_latest + assign_dense_ids over ONE full-corpus
+    shuffle: range-partitioning by `key` satisfies the groupBy's
+    clustering requirement, so the max_by dedupe aggregates WITHOUT a
+    second exchange and ids are assigned in the same partitions.  Output
+    is row-identical to dedupe_latest → assign_dense_ids (tested), which
+    move the corpus text across the network twice."""
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(num_partitions, key)
+    payload = F.struct(*[c for c in df.columns if c != key])
+    order = F.struct(
+        F.col(ts), F.length(tiebreak).alias("_sz"), F.col(tiebreak).alias("_tb")
+    )
+    deduped = (
+        ranged.groupBy(key)
+        .agg(F.max_by(payload, order).alias("_row"))
+        .select(key, "_row.*")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    return _offset_ids(deduped, key, id_col)
+
+
+def _offset_ids(with_pid: DataFrame, key: str, id_col: str) -> DataFrame:
+    """Second pass of dense-id assignment: per-partition counts (a
+    P-row collect) → global offsets, then id = offset + local row index.
+
+    The local index comes from monotonically_increasing_id AFTER a
+    sortWithinPartitions — its low 33 bits are exactly the row position
+    within the partition.  This keeps the pass exchange-free: the
+    row_number()-over-Window formulation used previously forced a
+    hashpartitioning(_pid) exchange — a full-corpus shuffle that moved
+    every byte once more for nothing."""
+    spark = with_pid.sparkSession
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], schema="_pid int, _offset long")
+    )
+    mid = F.monotonically_increasing_id()
+    return (
+        with_pid.sortWithinPartitions(key)
+        .withColumn("_local", mid.bitwiseAND(F.lit((1 << 33) - 1)))
+        .join(off_df, "_pid")
+        .withColumn(id_col, (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_pid", "_offset", "_local")
+    )
+
+
 def assign_dense_ids(
     df: DataFrame,
     key: str = "url",
@@ -136,22 +199,8 @@ def assign_dense_ids(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, schema="_pid int, _offset long")
-    )
-    w = Window.partitionBy("_pid").orderBy(key)
-    out = (
-        ranged.join(off_df, "_pid")
-        .withColumn(id_col, (F.row_number().over(w) - 1 + F.col("_offset")).cast("long"))
-        .drop("_pid", "_offset")
-    )
-    # NOTE: `ranged` stays persisted until the caller materializes `out`
-    # (callers checkpoint to parquet immediately); unpersisting earlier
-    # would re-trigger range sampling for the second pass.  Blocks are
-    # freed by the caller's session-level cache cleanup.
-    return out
+    # NOTE: `ranged` stays persisted until the caller materializes the
+    # output (callers checkpoint to parquet immediately); unpersisting
+    # earlier would re-trigger range sampling for the second pass.
+    # Blocks are freed by the caller's session-level cache cleanup.
+    return _offset_ids(ranged, key, id_col)

@@ -91,3 +91,49 @@ def test_positions_roundtrip(pos_lists):
 @given(st.text(min_size=0, max_size=60))
 def test_field_name_codec_roundtrip(name):
     assert decode_field_name(encode_field_name(name)) == name
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 60),            # postings per term
+            st.integers(1, 2**40),         # gap scale
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_batch_encoders_byte_identical_to_scalar(specs, rnd):
+    """encode_postings_batch / encode_position_lists_batch must produce
+    the exact bytes of the scalar encoders for any input shape."""
+    import numpy as np
+
+    from hail_elasticsearch_pipelines_spark.functions import codecs
+
+    rng = np.random.default_rng(rnd.randint(0, 2**31))
+    docs, tfs, dls, poss, offs, po = [], [], [], [], [0], [0]
+    for n, scale in specs:
+        gaps = rng.integers(1, scale + 1, n)
+        docs.append(np.cumsum(gaps))
+        tf = rng.integers(1, 6, n)
+        tfs.append(tf)
+        dls.append(rng.integers(1, 5000, n))
+        p = [np.sort(rng.choice(10000, t, replace=False)) for t in tf]
+        poss.append(np.concatenate(p))
+        offs.append(offs[-1] + n)
+        po.append(po[-1] + int(tf.sum()))
+    D, TF, DL = (np.concatenate(x) for x in (docs, tfs, dls))
+    P, O, PO = np.concatenate(poss), np.array(offs), np.array(po)
+    batch = codecs.encode_postings_batch(D, TF, DL, O)
+    pbatch = codecs.encode_position_lists_batch(P, TF, PO, O)
+    for t in range(len(O) - 1):
+        lo, hi = O[t], O[t + 1]
+        blob, bl, bm, bo = codecs.encode_postings(D[lo:hi], TF[lo:hi], dls=DL[lo:hi])
+        b2, l2, m2, o2, mind2 = batch[t]
+        assert blob == b2
+        assert np.array_equal(bl, l2) and np.array_equal(bm, m2) and np.array_equal(bo, o2)
+        starts = np.arange(0, hi - lo, codecs.BLOCK_SIZE)
+        assert np.array_equal(np.minimum.reduceat(DL[lo:hi], starts), mind2)
+        assert codecs.encode_position_lists(P[PO[t]:PO[t+1]], TF[lo:hi]) == pbatch[t]
