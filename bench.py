@@ -51,6 +51,9 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 # with the core count) and parts stay small enough to balance
 DOCS_PER_PART = int(os.environ.get("SPARK_GRAFT_DPP", "4000"))
 BUILD_REPS = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "1"))
+# fused normalize+docs (corpus text materialized once) is the bench
+# default; SPARK_GRAFT_FUSE=0 restores the normalize checkpoint
+FUSE = os.environ.get("SPARK_GRAFT_FUSE", "1") == "1"
 
 
 def _read(spark, table):
@@ -86,7 +89,8 @@ def main():
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
         manifest = build_index(
-            spark, pages, idx_dir, docs_per_part=DOCS_PER_PART, n_term_buckets=16
+            spark, pages, idx_dir, docs_per_part=DOCS_PER_PART, n_term_buckets=16,
+            checkpoint_normalize=not FUSE,
         )
         build_times.append(time.time() - t0)
     # best-of reps: the sandbox VM shows occasional noisy-neighbor bursts

@@ -215,6 +215,23 @@ def facet_token(field: str, value: str | None) -> str:
     return f"__{field}_{py_facet_value(value) or 'unknown'}__"
 
 
+def py_dlen_bucket(doc_len: int) -> int:
+    """Power-of-two doc-length bucket (lower bound): 180 → 128."""
+    return 1 << (max(int(doc_len), 1).bit_length() - 1)
+
+
+def dlen_bucket_token_col(dl_col: Column) -> Column:
+    """Per-document bucketed filter token ``__dlen_{2^k}__`` — the exact
+    analog of the reference's bucketed set-valued fields
+    (seqr_mt_schema.py:260-305: per-bucket sample-id sets per row); here
+    the bucket is a per-doc filter token, so ``dlen:128`` in the boolean
+    query language selects docs whose length falls in [128, 256)."""
+    bucket = F.pow(
+        F.lit(2.0), F.floor(F.log2(F.greatest(dl_col, F.lit(1))))
+    ).cast("long")
+    return F.concat(F.lit("__dlen_"), bucket.cast("string"), F.lit("__"))
+
+
 def docs_with_ids(
     normalized: DataFrame,
     num_partitions: int | None = None,
@@ -364,6 +381,7 @@ def build_partials(
     num_partitions: int | None = None,
     with_positions: bool = True,
     facet_fields: tuple[str, ...] | list[str] | None = None,
+    dlen_buckets: bool = True,
 ) -> DataFrame:
     """Stage `partial`: assign each doc to a fixed-width doc-id range
     (`part = doc_id // docs_per_part` — deterministic, dense ids make it
@@ -397,17 +415,18 @@ def build_partials(
         .sortWithinPartitions("doc_id")
     )
     toks = tokenize_col("text")
-    if facet_cols:
-        # facet tokens index metadata as filterable terms (ES filter
-        # context); they are appended AFTER doc_len is computed, so they
-        # never perturb BM25 length normalization
-        facets = F.array(
-            *[
-                F.concat(F.lit(f"__{f}_"), facet_value_col(F.col(f)), F.lit("__"))
-                for f in facet_cols
-            ]
-        )
-        toks = F.concat(toks, facets)
+    # facet tokens index metadata as filterable terms (ES filter
+    # context); they are appended AFTER doc_len is computed, so they
+    # never perturb BM25 length normalization
+    facet_exprs = [
+        F.concat(F.lit(f"__{f}_"), facet_value_col(F.col(f)), F.lit("__"))
+        for f in facet_cols
+    ]
+    if dlen_buckets:
+        # A2 analog: per-doc bucketed filter token (dlen:128 queries)
+        facet_exprs.append(dlen_bucket_token_col(F.col("doc_len")))
+    if facet_exprs:
+        toks = F.concat(toks, F.array(*facet_exprs))
     tokenized = tokenized.select("doc_id", "doc_len", toks.alias("tokens"), "part")
 
     def gen(batches):
@@ -536,6 +555,7 @@ def build_index(
     field_overrides: dict[str, dict] | None = None,
     validation="default",
     checkpoint_normalize: bool = True,
+    dlen_buckets: bool = True,
 ) -> dict:
     """One-shot build via the resumable staged pipeline
     (plans/pipeline.py).  Returns the manifest dict."""
@@ -553,5 +573,6 @@ def build_index(
         field_overrides=field_overrides,
         validation=validation,
         checkpoint_normalize=checkpoint_normalize,
+        dlen_buckets=dlen_buckets,
     )
     return pipe.run(pages)

@@ -179,6 +179,7 @@ def extend_index(
             docs, dpp, seg_group,
             with_positions=params.get("with_positions", True),
             facet_fields=facet_fields,
+            dlen_buckets=params.get("dlen_buckets", False),
         )
         merged = ib.merge_partials(partials).withColumn(
             "term_bucket",

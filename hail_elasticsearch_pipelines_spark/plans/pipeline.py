@@ -48,7 +48,7 @@ from . import sizing
 
 # bump when the on-disk postings schema changes (readers refuse or
 # rebuild on mismatch — the ES index-version analog)
-INDEX_FORMAT_VERSION = 4  # v4: facet tokens (__field_value__) indexed
+INDEX_FORMAT_VERSION = 5  # v5: __dlen_{2^k}__ bucket facet tokens indexed
 
 
 def _write_termdict(spark: SparkSession, out_dir: str) -> None:
@@ -161,6 +161,7 @@ class IndexBuildPipeline:
         field_overrides: dict[str, dict] | None = None,
         validation: "ValidationThresholds | None | str" = "default",
         checkpoint_normalize: bool = True,
+        dlen_buckets: bool = True,
     ):
         self.spark = spark
         self.out = out_dir
@@ -178,6 +179,7 @@ class IndexBuildPipeline:
         # Resume granularity is unchanged where it matters: the docs
         # stage and every partials chunk keep their markers.
         self.checkpoint_normalize = checkpoint_normalize
+        self.dlen_buckets = dlen_buckets
         from .validate import ValidationThresholds
 
         self.validation = (
@@ -199,6 +201,7 @@ class IndexBuildPipeline:
                 "with_positions": with_positions,
                 "field_overrides": field_overrides,
                 "checkpoint_normalize": checkpoint_normalize,
+                "dlen_buckets": dlen_buckets,
                 "input": self.input_fingerprint,
             }
         )
@@ -314,6 +317,7 @@ class IndexBuildPipeline:
                 chunk_docs, self.docs_per_part, self.seg_group,
                 with_positions=self.with_positions,
                 facet_fields=self.facet_fields,
+                dlen_buckets=self.dlen_buckets,
             )
             partials.write.mode("overwrite").parquet(cpath)
             # per-part lineage + metrics (FIXTURES.md F6)
@@ -396,6 +400,7 @@ class IndexBuildPipeline:
                 "with_positions": self.with_positions,
                 "facet_fields": list(self.facet_fields),
                 "stored_fields": list(self.stored_fields),
+                "dlen_buckets": self.dlen_buckets,
                 "fields": self.field_specs,
             },
             "globals": globals_,

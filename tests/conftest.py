@@ -47,6 +47,8 @@ def small_oracle(small_pages_pdf):
     """OracleIndex over the deduped small corpus (latest warc_ts wins,
     text extracted from html when null) with doc ids in url order."""
     from hail_elasticsearch_pipelines_spark.functions.extract import py_extract_text
+    from hail_elasticsearch_pipelines_spark.functions.tokenize import py_tokenize
+    from hail_elasticsearch_pipelines_spark.operators.index_build import py_dlen_bucket
     from hail_elasticsearch_pipelines_spark.oracle import OracleIndex
 
     pdf = small_pages_pdf.sort_values("warc_ts").drop_duplicates("url", keep="last")
@@ -55,5 +57,8 @@ def small_oracle(small_pages_pdf):
     for i, row in pdf.iterrows():
         text = row["text"] if row["text"] is not None else py_extract_text(row["html"])
         docs[i] = text
-        facets[i] = {"lang": row["lang"]}
+        facets[i] = {
+            "lang": row["lang"],
+            "dlen": str(py_dlen_bucket(len(py_tokenize(text)))),
+        }
     return OracleIndex(docs, facets=facets), pdf

@@ -116,3 +116,38 @@ def test_facet_value_normalization_parity(spark):
     got = [r["n"] for r in df.select(facet_value_col(F.col("v")).alias("n")).collect()]
     want = [(py_facet_value(v) or "unknown") for v in values]
     assert got == want
+
+
+def test_dlen_bucket_facet_matches_oracle(searcher, small_oracle):
+    """A2 exact analog: per-doc bucketed filter tokens — `dlen:B`
+    selects docs with doc_len in [B, 2B) (reference:
+    seqr_mt_schema.py:260-305 bucketed set-valued fields)."""
+    from collections import Counter
+
+    from hail_elasticsearch_pipelines_spark.operators.index_build import (
+        py_dlen_bucket,
+    )
+
+    oracle, _ = small_oracle
+    bucket = Counter(py_dlen_bucket(v) for v in oracle.doc_len.values()).most_common(1)[0][0]
+    q = f"the AND dlen:{bucket}"
+    expected = oracle.bool_topk(q, k=20)
+    got = [(r["doc_id"], r["score"]) for r in searcher.search_bool(q, k=20).collect()]
+    assert got == expected and got, q
+    for d, _ in got:
+        assert bucket <= oracle.doc_len[d] < 2 * bucket
+
+
+def test_dlen_bucket_jvm_python_parity(spark):
+    from pyspark.sql import functions as F
+
+    from hail_elasticsearch_pipelines_spark.operators.index_build import (
+        dlen_bucket_token_col,
+        py_dlen_bucket,
+    )
+
+    vals = [1, 2, 3, 127, 128, 129, 2000, 65536, 0]
+    df = spark.createDataFrame([(v,) for v in vals], "dl int")
+    got = [r["t"] for r in df.select(dlen_bucket_token_col(F.col("dl")).alias("t")).collect()]
+    want = [f"__dlen_{py_dlen_bucket(v)}__" for v in vals]
+    assert got == want
