@@ -27,9 +27,18 @@ def stream_extend_index(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    mode: str = "create",
 ):
     """Watch ``source_path`` for new page parquet files and fold each
     micro-batch into the published index at ``index_dir``.
+
+    ``mode="create"`` skips already-indexed urls (idempotent under
+    replays).  ``mode="upsert"`` REPLACES re-crawled urls per
+    micro-batch (tombstone + re-index — the streaming re-crawl
+    pipeline); a replayed upsert batch re-tombstones and re-adds the
+    same content, so query results stay correct (exactly one live copy
+    with the latest text), at the cost of one wasted segment until the
+    next compaction.
 
     ``available_now=True`` drains everything currently present and stops
     (the backfill/catch-up mode); ``False`` runs continuously.  Returns
@@ -43,7 +52,7 @@ def stream_extend_index(
     def _fold(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extend_index(spark, index_dir, batch_df)
+        extend_index(spark, index_dir, batch_df, mode=mode)
 
     writer = (
         stream.writeStream.foreachBatch(_fold)
