@@ -166,72 +166,97 @@ def _score_union_blockmax(
     k: int,
     deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max WAND, block-at-a-time (vectorized within windows).
+    """Block-max WAND, best-first over windows (vectorized bounds).
 
-    Windows = merged block boundaries across query terms, processed in
-    ascending doc order.  A window whose summed block upper bounds
-    cannot strictly beat the current kth score is skipped WITHOUT
-    decoding (safe: score <= ub <= theta can never win — later doc ids
-    lose BM25 ties).  Surviving windows decode only the overlapping
-    blocks and score vectorized with the standard sorted-term
-    accumulation, so scores stay bit-identical to the exhaustive path.
+    Windows = merged block boundaries across query terms.  Per-window
+    upper bounds (sum of covering blocks' bounds) are computed for ALL
+    windows in a few whole-array searchsorted/sum passes — the previous
+    per-window Python walk would hit ~10^7 iterations per stopword at
+    10^9-doc segments.  Windows are then processed in DESCENDING
+    upper-bound order; once the top-k floor theta reaches the next
+    window's bound the loop stops — every unprocessed window satisfies
+    score <= ub < theta or (== theta, which IS still processed so that
+    smaller doc ids win exact ties).  Decoded windows score with the
+    standard sorted-term accumulation, so scores stay bit-identical to
+    the exhaustive path.
     """
     present = [t for t in terms_sorted if t in blobs]
     if not present:
         return np.array([], np.int64), np.array([], np.float64)
     # window boundaries = union of block last-doc ids
     bounds = reduce(np.union1d, (blocks[t][0] for t in present))
+    W = len(bounds)
+    los = np.empty(W, dtype=np.int64)
+    los[0] = 0
+    los[1:] = bounds[:-1] + 1
+    # per-term covering block of each window + activity mask; summed
+    # upper bound per window — all vectorized
+    ub_w = np.zeros(W, dtype=np.float64)
+    cover: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in present:
+        bl, b_ub, _ = blocks[t]
+        idx = np.searchsorted(bl, bounds, side="left")
+        valid = idx < len(bl)
+        idx_c = np.minimum(idx, len(bl) - 1)
+        prev_last = np.where(idx_c > 0, bl[np.maximum(idx_c - 1, 0)], -1)
+        active = valid & (prev_last < bounds)
+        ub_w += np.where(active, b_ub[idx_c], 0.0)
+        cover[t] = (idx_c, active)
+
+    order = np.argsort(-ub_w, kind="stable")
+    ub_desc = ub_w[order]
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of size k
     theta = -np.inf
-    cursors = {t: 0 for t in present}  # next block index per term
     decoded: dict[tuple[str, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    lo_doc = 0
-    for w_hi in bounds:
-        # blocks overlapping window [lo_doc, w_hi]
-        ub = 0.0
-        active: list[tuple[str, int]] = []
+    for pos, w in enumerate(order.tolist()):
+        if len(heap) == k and ub_w[w] < theta:
+            break  # all remaining windows have ub <= this one < theta
+        if pos and pos % 16 == 0 and len(heap) == k:
+            # adaptive bail-out: when upper bounds are flat (stopword
+            # queries), WAND cannot prune and the per-window walk costs
+            # more than one vectorized full decode — if most remaining
+            # windows still beat theta, finish exhaustively instead
+            survivors = int(np.searchsorted(-ub_desc, -theta, side="right")) - pos
+            if survivors > 0.5 * (W - pos):
+                full = {}
+                for t in present:
+                    d, tf, dl = codecs.decode_postings(blobs[t])
+                    full[t] = (d, tf, dl)
+                full = _mask_deleted(full, deleted)
+                docs_a, scores_a = _score_union_exhaustive(
+                    full, terms_sorted, idf, avgdl
+                )
+                return _topk(docs_a, scores_a, k)
+        lo_doc, w_hi = int(los[w]), int(bounds[w])
+        win_post: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         for t in present:
-            bl, b_ub, _ = blocks[t]
-            ci = cursors[t]
-            if ci < len(bl) and bl[ci] >= lo_doc:
-                # this term's current block overlaps iff its first doc <= w_hi;
-                # conservative: include if block range intersects window
-                prev_last = bl[ci - 1] if ci > 0 else -1
-                if prev_last < w_hi:
-                    ub += b_ub[ci]
-                    active.append((t, ci))
-        if active and (len(heap) < k or ub > theta):
-            # decode + score this window
-            win_post: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-            for t, ci in active:
-                key = (t, ci)
-                if key not in decoded:
-                    _, _, b_off = blocks[t]
-                    decoded[key] = codecs.decode_block(blobs[t], int(b_off[ci]))[:3]
-                d, tf, dl = decoded[key]
-                m = (d >= lo_doc) & (d <= w_hi)
-                if deleted is not None and deleted.size:
-                    # block upper bounds stay valid (they bound a
-                    # superset); only the decoded docs need masking
-                    m &= ~np.isin(d, deleted, assume_unique=True)
-                if m.any():
-                    win_post[t] = (d[m], tf[m], dl[m])
-            docs_w, scores_w = _score_union_exhaustive(win_post, terms_sorted, idf, avgdl)
-            for doc, sc in zip(docs_w.tolist(), scores_w.tolist()):
-                if len(heap) < k:
-                    heapq.heappush(heap, (sc, -doc))
-                    if len(heap) == k:
-                        theta = heap[0][0]
-                elif sc > theta or (sc == theta and -doc > heap[0][1]):
-                    heapq.heapreplace(heap, (sc, -doc))
+            idx_c, active = cover[t]
+            if not active[w]:
+                continue
+            ci = int(idx_c[w])
+            key = (t, ci)
+            if key not in decoded:
+                _, _, b_off = blocks[t]
+                decoded[key] = codecs.decode_block(blobs[t], int(b_off[ci]))[:3]
+            d, tf, dl = decoded[key]
+            m = (d >= lo_doc) & (d <= w_hi)
+            if deleted is not None and deleted.size:
+                # block upper bounds stay valid (they bound a
+                # superset); only the decoded docs need masking
+                m &= ~np.isin(d, deleted, assume_unique=True)
+            if m.any():
+                win_post[t] = (d[m], tf[m], dl[m])
+        if not win_post:
+            continue
+        docs_w, scores_w = _score_union_exhaustive(win_post, terms_sorted, idf, avgdl)
+        for doc, sc in zip(docs_w.tolist(), scores_w.tolist()):
+            if len(heap) < k:
+                heapq.heappush(heap, (sc, -doc))
+                if len(heap) == k:
                     theta = heap[0][0]
-        # advance cursors whose current block ends at this boundary
-        for t in present:
-            bl = blocks[t][0]
-            ci = cursors[t]
-            if ci < len(bl) and bl[ci] == w_hi:
-                cursors[t] = ci + 1
-        lo_doc = int(w_hi) + 1
+            elif sc > theta or (sc == theta and -doc > heap[0][1]):
+                heapq.heapreplace(heap, (sc, -doc))
+                theta = heap[0][0]
     if not heap:
         return np.array([], np.int64), np.array([], np.float64)
     items = sorted(heap, key=lambda x: (-x[0], -x[1]))

@@ -34,6 +34,11 @@ from .bm25 import (
 from .index_build import bm25_idf, bm25_tf_weight, term_bucket
 
 
+def _list_np(list_scalar, dtype) -> np.ndarray:
+    """pyarrow ListScalar -> numpy without per-element Python objects."""
+    return list_scalar.values.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+
 def _put_unique(d: dict, key, value) -> None:
     """Insert enforcing the one-row-per-(term, segment) invariant."""
     if key in d:
@@ -103,15 +108,18 @@ class LocalSearcher:
                 for i in idxs:
                     t = tbl["term"][int(i)].as_py()
                     _put_unique(blobs, t, tbl["blob"][int(i)].as_py())
+                    # arrow-native list extraction: .values.to_numpy is
+                    # O(1)-ish vs as_py()'s per-element Python objects
+                    # (a stopword has thousands of blocks per row)
                     blocks[t] = (
-                        np.asarray(tbl["block_last"][int(i)].as_py(), dtype=np.int64),
+                        _list_np(tbl["block_last"][int(i)], np.int64),
                         idf[t]
                         * bm25_tf_weight(
-                            np.asarray(tbl["block_max_tf"][int(i)].as_py(), dtype=np.int64),
-                            np.asarray(tbl["block_min_dl"][int(i)].as_py(), dtype=np.int64),
+                            _list_np(tbl["block_max_tf"][int(i)], np.int64),
+                            _list_np(tbl["block_min_dl"][int(i)], np.int64),
                             self.avgdl,
                         ),
-                        np.asarray(tbl["block_off"][int(i)].as_py(), dtype=np.int32),
+                        _list_np(tbl["block_off"][int(i)], np.int32),
                     )
                 docs, scores = _score_union_blockmax(
                     blobs, blocks, terms_sorted, idf, self.avgdl, k, deleted=dead
