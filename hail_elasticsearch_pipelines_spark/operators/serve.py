@@ -66,6 +66,27 @@ class LocalSearcher:
             else None
         )
         self._deletes = load_deletes(index_dir)
+        # bounded decoded-postings cache (the ES page/query-cache
+        # analog): hot terms — stopwords above all — stop paying the
+        # PFor decode on every query.  Keyed by (term, segment); valid
+        # for this searcher's index snapshot.
+        self._cache: dict[tuple[str, int], tuple] = {}
+        self._cache_bytes = 0
+        self._cache_cap = 256 * 1024 * 1024
+
+    def _decode_cached(self, term: str, seg: int, blob) -> tuple:
+        key = (term, seg)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        out = codecs.decode_postings(blob.as_py() if hasattr(blob, "as_py") else blob)
+        sz = sum(a.nbytes for a in out if a is not None)
+        while self._cache and self._cache_bytes + sz > self._cache_cap:
+            old = self._cache.pop(next(iter(self._cache)))  # FIFO eviction
+            self._cache_bytes -= sum(a.nbytes for a in old if a is not None)
+        self._cache[key] = out
+        self._cache_bytes += sz
+        return out
 
     def _bucket_filter(self, terms: list[str]):
         buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
@@ -128,7 +149,7 @@ class LocalSearcher:
                 postings = {}
                 for i in idxs:
                     t = tbl["term"][int(i)].as_py()
-                    d, tf, dl = codecs.decode_postings(tbl["blob"][int(i)].as_py())
+                    d, tf, dl = self._decode_cached(t, int(seg), tbl["blob"][int(i)])
                     _put_unique(postings, t, (d, tf, dl))
                 postings = _mask_deleted(postings, dead)
                 if mode_u == "AND":
@@ -179,7 +200,7 @@ class LocalSearcher:
             postings = {}
             for i in idxs:
                 t = tbl["term"][int(i)].as_py()
-                d, tf, dl = codecs.decode_postings(tbl["blob"][int(i)].as_py())
+                d, tf, dl = self._decode_cached(t, int(seg), tbl["blob"][int(i)])
                 _put_unique(postings, t, (d, tf, dl))
             postings = _mask_deleted(postings, self._deletes.get(int(seg)))
             doc_sets = {t: p[0] for t, p in postings.items()}
