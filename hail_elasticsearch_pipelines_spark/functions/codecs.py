@@ -275,19 +275,23 @@ def _varint_len_vec(v: np.ndarray) -> np.ndarray:
     return (np.maximum(_bitlen_vec(v), 1) + 6) // 7
 
 
-def _fix_reduceat(res: np.ndarray, sizes: np.ndarray, fill) -> np.ndarray:
-    """np.ufunc.reduceat yields x[start] for empty segments; overwrite."""
-    if (sizes == 0).any():
-        res = res.copy()
-        res[sizes == 0] = fill
-    return res
-
-
 def _segment_reduceat(ufunc, x: np.ndarray, starts: np.ndarray, sizes: np.ndarray, fill):
-    if x.size == 0:
-        return np.full(len(sizes), fill, dtype=x.dtype)
-    res = ufunc.reduceat(x, np.clip(starts, 0, x.size - 1))
-    return _fix_reduceat(res, sizes, fill)
+    """Per-segment ufunc reduce over a flat stream; empty segments → fill.
+
+    Runs reduceat only over the starts of NON-EMPTY segments: segments
+    tile x contiguously, so consecutive non-empty starts bound each
+    segment exactly and the last non-empty segment runs to x's end.
+    (Clipping an out-of-range trailing empty start back to x.size-1 —
+    the old approach — silently truncated the PREVIOUS segment's range,
+    corrupting its reduction whenever the stream ended with an empty
+    segment, e.g. a final 1-doc block in the gap stream.)"""
+    sizes = np.asarray(sizes)
+    res = np.full(len(sizes), fill, dtype=x.dtype)
+    ne = sizes > 0
+    if x.size == 0 or not ne.any():
+        return res
+    res[ne] = ufunc.reduceat(x, np.asarray(starts)[ne])
+    return res
 
 
 def _pfor_batch(V: np.ndarray, seg_off: np.ndarray):
@@ -489,8 +493,10 @@ def encode_postings_batch(
     L_chunk_d = 1 + L_ne_d + pld + le_d
     L_block = L_cnt + L_first + L_chunk_g + L_chunk_t + L_chunk_d
     blk_term_off = np.concatenate(([0], np.cumsum(nb_t)))
-    L_blocks_per_term = np.add.reduceat(L_block, blk_term_off[:-1]) if B else np.zeros(T, np.int64)
-    L_blocks_per_term = _fix_reduceat(L_blocks_per_term, nb_t, 0)
+    L_blocks_per_term = (
+        _segment_reduceat(np.add, L_block, blk_term_off[:-1], nb_t, 0)
+        if B else np.zeros(T, np.int64)
+    )
     L_term = 1 + L_nt + L_nb + L_blocks_per_term
     term_start = np.concatenate(([0], np.cumsum(L_term)))
     total = int(term_start[-1])
@@ -629,7 +635,7 @@ def encode_position_lists_batch(
     L_chunk = L_ccnt + 1 + L_ne + plen + le
     chk_term_off = np.concatenate(([0], np.cumsum(nc_t)))
     L_chunks_per_term = (
-        _fix_reduceat(np.add.reduceat(L_chunk, chk_term_off[:-1]), nc_t, 0)
+        _segment_reduceat(np.add, L_chunk, chk_term_off[:-1], nc_t, 0)
         if C else np.zeros(T, np.int64)
     )
     L_term = L_np + L_chunks_per_term

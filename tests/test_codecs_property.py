@@ -137,3 +137,45 @@ def test_batch_encoders_byte_identical_to_scalar(specs, rnd):
         starts = np.arange(0, hi - lo, codecs.BLOCK_SIZE)
         assert np.array_equal(np.minimum.reduceat(DL[lo:hi], starts), mind2)
         assert codecs.encode_position_lists(P[PO[t]:PO[t+1]], TF[lo:hi]) == pbatch[t]
+
+
+def test_batch_encode_trailing_hapax_after_wide_gap_term():
+    """Regression: a trailing term whose final block has exactly one doc
+    (n % BLOCK_SIZE == 1, here a hapax) creates an EMPTY trailing
+    segment in the flat gap stream.  The old _segment_reduceat clipped
+    that segment's out-of-range start back into the previous segment,
+    truncating the previous term's max/n_exc reduction — when that
+    term ended in a large (exception-width) gap, the written n_exc
+    header disagreed with the emitted exception bytes and the blob
+    failed to decode ('buffer is smaller than requested size')."""
+    rng = np.random.default_rng(7)
+    dA = np.sort(rng.choice(1000, 19, replace=False)).astype(np.int64)
+    dA = np.concatenate([dA, [10_000_000]])  # huge final gap → exception
+    tA = rng.integers(1, 5, 20).astype(np.int64)
+    lA = rng.integers(10, 50, 20).astype(np.int64)
+    dB = np.array([42_000_000], dtype=np.int64)
+    tB = np.array([3], dtype=np.int64)
+    lB = np.array([17], dtype=np.int64)
+    flat_d = np.concatenate([dA, dB])
+    flat_t = np.concatenate([tA, tB])
+    flat_l = np.concatenate([lA, lB])
+    off = np.array([0, 20, 21], dtype=np.int64)
+    batch = codecs.encode_postings_batch(flat_d, flat_t, flat_l, off)
+    assert batch[0][0] == codecs.encode_postings(dA, tA, dls=lA)[0]
+    assert batch[1][0] == codecs.encode_postings(dB, tB, dls=lB)[0]
+    d, t, dl = codecs.decode_postings(batch[0][0])
+    np.testing.assert_array_equal(d, dA)
+
+    # multi-block variant: last term has 128*k + 1 postings so its FINAL
+    # block is the 1-doc one (ADVICE's n % 128 == 1 shape).
+    nB2 = codecs.BLOCK_SIZE + 1
+    dB2 = np.cumsum(rng.integers(1, 50, nB2)).astype(np.int64)
+    tB2 = rng.integers(1, 5, nB2).astype(np.int64)
+    lB2 = rng.integers(10, 50, nB2).astype(np.int64)
+    flat_d = np.concatenate([dA, dB2])
+    flat_t = np.concatenate([tA, tB2])
+    flat_l = np.concatenate([lA, lB2])
+    off = np.array([0, 20, 20 + nB2], dtype=np.int64)
+    batch = codecs.encode_postings_batch(flat_d, flat_t, flat_l, off)
+    assert batch[0][0] == codecs.encode_postings(dA, tA, dls=lA)[0]
+    assert batch[1][0] == codecs.encode_postings(dB2, tB2, dls=lB2)[0]
