@@ -97,26 +97,74 @@ def _score_intersection(
 
 
 def load_deletes(index_dir: str) -> dict[int, np.ndarray]:
-    """Per-segment tombstoned doc ids, sorted — the Lucene live-docs
+    """ALL segments' tombstoned doc ids, sorted — the Lucene live-docs
     bitmap analog (the reference gets this from ES delete/update ops,
     hail_scripts/v02/utils/elasticsearch_client.py:106-113).
 
-    Loaded once per searcher process.  Scale note: tombstones are a
-    small fraction of a segment and are dropped at every compaction; at
-    10^12 docs this becomes a per-segment sidecar file each scoring task
-    reads for its own segment — the driver-side load here is the
-    sandbox stand-in with identical semantics."""
+    Full materialization is for single-process consumers only: the
+    LocalSearcher (which holds the whole index hot by design) and
+    compact_index (which strips every tombstone anyway).  Distributed
+    scoring tasks instead call read_segment_deletes for THEIR segment's
+    sidecar — a driver-global dict would ride into every task closure
+    and turn heavy upsert churn into a multi-GB broadcast."""
     path = os.path.join(index_dir, "deletes")
     if not os.path.isdir(path):
         return {}
     import pyarrow.dataset as ds
 
-    tbl = ds.dataset(path, format="parquet").to_table(columns=["segment", "doc_id"])
+    tbl = ds.dataset(path, format="parquet", partitioning="hive").to_table(
+        columns=["segment", "doc_id"]
+    )
     if tbl.num_rows == 0:
         return {}
     segs = tbl.column("segment").to_numpy(zero_copy_only=False)
     ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
     return {int(s): np.unique(ids[segs == s]) for s in np.unique(segs)}
+
+
+# Executor-process cache of per-segment tombstone sidecars, keyed by
+# (index_dir, deletes_epoch, segment).  The epoch rides in the manifest
+# and is bumped by every tombstone publish / compaction, so reused
+# executor processes never serve stale live-docs after maintenance.
+_SEG_DELETES_CACHE: dict[tuple[str, int, int], np.ndarray | None] = {}
+_SEG_DELETES_CACHE_MAX = 4096
+
+
+def read_segment_deletes(
+    index_dir: str, segment: int, epoch: int = 0
+) -> np.ndarray | None:
+    """Sorted tombstoned doc ids of ONE segment, read from that
+    segment's sidecar (``deletes/segment=K/``) inside the scoring task
+    that owns the segment — no driver materialization, no closure
+    shipping; each task reads only its own (small) sidecar.  Falls back
+    to filtering flat pre-sidecar delete files for legacy indexes."""
+    segment = int(segment)
+    key = (index_dir, int(epoch), segment)
+    if key in _SEG_DELETES_CACHE:
+        return _SEG_DELETES_CACHE[key]
+    import pyarrow.dataset as ds
+
+    seg_dir = os.path.join(index_dir, "deletes", f"segment={segment}")
+    root = os.path.join(index_dir, "deletes")
+    out: np.ndarray | None = None
+    if os.path.isdir(seg_dir):
+        tbl = ds.dataset(seg_dir, format="parquet").to_table(columns=["doc_id"])
+        if tbl.num_rows:
+            out = np.unique(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+    elif os.path.isdir(root) and not any(
+        e.startswith("segment=") for e in os.listdir(root)
+    ):
+        dset = ds.dataset(root, format="parquet")
+        if "segment" in dset.schema.names:  # legacy flat layout
+            tbl = dset.to_table(
+                columns=["doc_id"], filter=ds.field("segment") == segment
+            )
+            if tbl.num_rows:
+                out = np.unique(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+    if len(_SEG_DELETES_CACHE) >= _SEG_DELETES_CACHE_MAX:
+        _SEG_DELETES_CACHE.clear()
+    _SEG_DELETES_CACHE[key] = out
+    return out
 
 
 def _mask_deleted(
@@ -282,7 +330,23 @@ class IndexSearcher:
         self._termdict = (
             spark.read.parquet(td_path) if os.path.exists(td_path) else None
         )
-        self._deletes = load_deletes(index_dir)
+        self._refresh_deletes_state()
+
+    def _refresh_deletes_state(self) -> None:
+        """Tombstone consultation is per-segment INSIDE scoring tasks
+        (read_segment_deletes); the driver only captures whether any
+        deletes exist at all plus the manifest epoch for cache keying —
+        two scalars in the closure instead of every tombstone."""
+        self._has_deletes = os.path.isdir(os.path.join(self.index_dir, "deletes"))
+        self._deletes_epoch = int(self.manifest.get("deletes_epoch", 0))
+
+    def _segment_deletes_fn(self):
+        """Closure-safe (index_dir, has, epoch) → per-task delete lookup."""
+        index_dir = self.index_dir
+        has, epoch = self._has_deletes, self._deletes_epoch
+        if not has:
+            return lambda seg: None
+        return lambda seg: read_segment_deletes(index_dir, int(seg), epoch)
 
     def reload_manifest(self) -> None:
         """Re-read globals after extend_index/upsert_index/compact_index."""
@@ -297,7 +361,7 @@ class IndexSearcher:
         self._termdict = (
             self.spark.read.parquet(td_path) if os.path.exists(td_path) else None
         )
-        self._deletes = load_deletes(self.index_dir)
+        self._refresh_deletes_state()
 
     def _term_rows(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
@@ -352,7 +416,7 @@ class IndexSearcher:
         mode_u = mode.upper()
         avgdl = self.avgdl
         n_docs = self.n_docs
-        deletes = self._deletes
+        get_deletes = self._segment_deletes_fn()
 
         rows = self._rows_with_global_df(terms_sorted)
         if rows is None:
@@ -371,7 +435,7 @@ class IndexSearcher:
             if pdf.empty:
                 return pd.DataFrame({"doc_id": [], "score": []})
             _check_unique_terms(pdf)
-            dead = deletes.get(int(pdf["segment"].iloc[0]))
+            dead = get_deletes(pdf["segment"].iloc[0])
             idf = {
                 t: bm25_idf(n_docs, int(d))
                 for t, d in zip(pdf["term"], pdf["df_global"])
@@ -430,7 +494,7 @@ class IndexSearcher:
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
         avgdl, n_docs = self.avgdl, self.n_docs
-        deletes = self._deletes
+        get_deletes = self._segment_deletes_fn()
 
         rows = self._rows_with_global_df(terms)
         if rows is None:
@@ -446,7 +510,7 @@ class IndexSearcher:
             if pdf.empty:
                 return pd.DataFrame({"doc_id": [], "score": []})
             _check_unique_terms(pdf)
-            dead = deletes.get(int(pdf["segment"].iloc[0]))
+            dead = get_deletes(pdf["segment"].iloc[0])
             postings, idf = {}, {}
             for r in pdf.itertuples():
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
@@ -529,14 +593,14 @@ class IndexSearcher:
         """DataFrame(doc_id, tf, dl) of exact-adjacency matches."""
         terms_sorted = sorted(set(phrase))
         phrase_t = list(phrase)
-        deletes = self._deletes
+        get_deletes = self._segment_deletes_fn()
 
         def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             out = {"doc_id": [], "tf": [], "dl": []}
             if pdf.empty:
                 return pd.DataFrame(out)
             _check_unique_terms(pdf)
-            dead = deletes.get(int(pdf["segment"].iloc[0]))
+            dead = get_deletes(pdf["segment"].iloc[0])
             post = {}
             for r in pdf.itertuples():
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
@@ -617,13 +681,13 @@ class IndexSearcher:
             for s in specs
         ]
 
-        deletes = self._deletes
+        get_deletes = self._segment_deletes_fn()
 
         def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             out_q, out_d, out_s = [], [], []
             if not pdf.empty:
                 _check_unique_terms(pdf)
-                dead = deletes.get(int(pdf["segment"].iloc[0]))
+                dead = get_deletes(pdf["segment"].iloc[0])
                 idf = {
                     t: bm25_idf(n_docs, int(d))
                     for t, d in zip(pdf["term"], pdf["df_global"])

@@ -76,6 +76,32 @@ def _segment_col(doc_id_col, dpp: int, seg_group: int):
     ).cast("int")
 
 
+def _publish_tombstones(staging: str, deletes_path: str, id_base: int) -> None:
+    """Move staged tombstone files into ``deletes/segment=K/`` sidecars.
+
+    Runs ONLY after the replacement postings/doclens/termdict appends
+    succeeded, so every crash state still serves the old doc (worst
+    case: old+new both live until the upsert is retried — duplication,
+    never loss).  Per-file rename is atomic on one filesystem; names
+    carry id_base so retried upserts never collide."""
+    for entry in sorted(os.listdir(staging)):
+        src_dir = os.path.join(staging, entry)
+        if not (entry.startswith("segment=") and os.path.isdir(src_dir)):
+            continue
+        dst_dir = os.path.join(deletes_path, entry)
+        os.makedirs(dst_dir, exist_ok=True)
+        for i, fn in enumerate(sorted(os.listdir(src_dir))):
+            if not fn.endswith(".parquet"):
+                continue
+            os.rename(
+                os.path.join(src_dir, fn),
+                os.path.join(dst_dir, f"ext-{id_base}-{i:04d}.parquet"),
+            )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def extend_index(
     spark: SparkSession,
     index_dir: str,
@@ -134,6 +160,7 @@ def extend_index(
         new_pages, params.get("lang_filter"), meta_cols=meta_cols
     )
     n_killed, killed_tokens = 0, 0
+    tombstone_staging = None
     if mode == "create":
         fresh = normalized.join(live.select("url"), "url", "left_anti")
     else:  # upsert: every normalized row is (re)indexed; old docs die
@@ -149,6 +176,15 @@ def extend_index(
             n_killed = int(krow["n"])
             killed_tokens = int(krow["tok"] or 0)
             if n_killed:
+                # STAGE tombstones now, PUBLISH them only after the
+                # replacement postings/doclens/termdict are durable —
+                # publishing first would leave the old docs dead with no
+                # replacement if we crash in between (searchers read
+                # deletes/ unconditionally).  Hive-partitioned by
+                # segment so each scoring task can read ITS sidecar.
+                tombstone_staging = os.path.join(
+                    index_dir, "stages", f"deletes_ext_{id_base}"
+                )
                 (
                     to_kill.select(
                         "doc_id",
@@ -157,8 +193,9 @@ def extend_index(
                         ),
                     )
                     .coalesce(1)
-                    .write.mode("append")
-                    .parquet(deletes_path)
+                    .write.mode("overwrite")
+                    .partitionBy("segment")
+                    .parquet(tombstone_staging)
                 )
         finally:
             to_kill.unpersist()
@@ -201,6 +238,10 @@ def extend_index(
             _update_termdict(spark, index_dir, merged)
         finally:
             merged.unpersist()
+
+    if tombstone_staging is not None:
+        _publish_tombstones(tombstone_staging, deletes_path, id_base)
+        manifest["deletes_epoch"] = int(manifest.get("deletes_epoch", 0)) + 1
 
     g["n_docs"] += new_stats["n_docs"] - n_killed
     g["total_tokens"] += new_stats["total_tokens"] - killed_tokens
@@ -356,6 +397,7 @@ def compact_index(spark: SparkSession, index_dir: str, factor: int = 2) -> dict:
         import shutil
 
         shutil.rmtree(deletes_path, ignore_errors=True)
+        manifest["deletes_epoch"] = int(manifest.get("deletes_epoch", 0)) + 1
 
     _write_termdict(spark, index_dir)
     manifest["metrics"] = {

@@ -237,3 +237,77 @@ def test_incremental_termdict_matches_full_rebuild(spark, tmp_path):
     incremental = snapshot()
     _write_termdict(spark, out)  # full rebuild from postings
     assert incremental == snapshot()
+
+
+def test_upsert_publishes_tombstones_after_data(spark, tmp_path, monkeypatch):
+    """Crash-ordering: if the upsert dies before its final publish step,
+    the OLD docs must still be alive (no tombstones visible) — worst
+    case is old+new duplication until retry, never data loss."""
+    import os
+
+    from hail_elasticsearch_pipelines_spark.plans import maintenance as mt
+
+    out = str(tmp_path / "idx")
+    base = gen_pages_pdf(np.arange(60))
+    build_index(
+        spark,
+        spark.createDataFrame(base),
+        out,
+        docs_per_part=37,
+        seg_group=2,
+        n_term_buckets=8,
+    )
+
+    boom = RuntimeError("simulated crash before tombstone publish")
+
+    def crash(*a, **k):
+        raise boom
+
+    monkeypatch.setattr(mt, "_publish_tombstones", crash)
+    batch = _recrawl_pdf(np.arange(5, 15))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert_index(spark, out, spark.createDataFrame(batch))
+    # no tombstones visible; all original docs still alive
+    assert not os.path.isdir(os.path.join(out, "deletes"))
+    live = spark.read.parquet(os.path.join(out, "doclens"))
+    assert live.select("doc_id").distinct().count() >= 60
+    # retry completes and publishes
+    monkeypatch.undo()
+    m = upsert_index(spark, out, spark.createDataFrame(batch))
+    assert os.path.isdir(os.path.join(out, "deletes"))
+    # the crashed attempt's replacements were already live (duplication,
+    # not loss) — the retry tombstones BOTH stale copies of each url
+    assert m["extensions"][-1]["docs_tombstoned"] == 20
+    # exactly one live doc per url after the retry
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import load_deletes
+
+    dead = {int(i) for ids in load_deletes(out).values() for i in ids}
+    live_pdf = (
+        spark.read.parquet(os.path.join(out, "doclens"))
+        .select("doc_id", "url")
+        .toPandas()
+    )
+    live_urls = live_pdf[~live_pdf["doc_id"].isin(dead)]["url"]
+    assert not live_urls.duplicated().any()
+    # --- sidecar layout + per-segment reads agree with the full load
+    deletes = os.path.join(out, "deletes")
+    entries = os.listdir(deletes)
+    assert entries and all(e.startswith("segment=") for e in entries)
+    assert int(m.get("deletes_epoch", 0)) >= 1
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+        load_deletes,
+        read_segment_deletes,
+    )
+
+    s = IndexSearcher(spark, out)
+    assert not hasattr(s, "_deletes")  # nothing global rides in closures
+    assert s._has_deletes is True
+    fn = s._segment_deletes_fn()
+    full = load_deletes(out)
+    assert full
+    for seg, ids in full.items():
+        np.testing.assert_array_equal(fn(seg), ids)
+        np.testing.assert_array_equal(
+            read_segment_deletes(out, seg, s._deletes_epoch), ids
+        )
+    assert fn(10**6) is None  # untombstoned segment reads as None
