@@ -148,6 +148,26 @@ def positive_terms(node) -> list[str]:
     return sorted(out)
 
 
+def required_terms(node) -> list[str]:
+    """Terms EVERY match must contain: conjuncts reachable from the
+    root through AND nodes only, not negated and not inside an OR.
+    These seed block-max candidate pruning — a match list can be built
+    from the rarest required term's postings and the other terms
+    decoded only where those candidates fall."""
+    out: set[str] = set()
+
+    def walk(n):
+        if isinstance(n, Term):
+            out.add(n.term)
+        elif isinstance(n, And):
+            for p in n.parts:
+                walk(p)
+        # Or / Not subtrees contribute no individually-required terms
+
+    walk(node)
+    return sorted(out)
+
+
 def all_terms(node) -> list[str]:
     out: set[str] = set()
 

@@ -185,6 +185,72 @@ def _mask_deleted(
     return out
 
 
+def _ragged_gather(
+    vals: np.ndarray, offs: np.ndarray, rows: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate vals[offs[r]:offs[r+1]] for each r in rows (one
+    vectorized fancy-gather).  Returns (flat values, output offsets of
+    len(rows)+1)."""
+    lens = offs[rows + 1] - offs[rows]
+    out_offs = np.concatenate(([0], np.cumsum(lens)))
+    total = int(out_offs[-1])
+    if total == 0:
+        return np.zeros(0, dtype=vals.dtype), out_offs
+    idx = np.repeat(offs[rows], lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(out_offs[:-1], lens)
+    )
+    return vals[idx], out_offs
+
+
+def _phrase_match_counts(
+    post: dict[str, tuple],
+    phrase_t: list[str],
+    common: np.ndarray,
+) -> np.ndarray:
+    """Adjacency-chain count (phrase tf) per candidate doc, fully
+    vectorized: ONE ragged gather of candidate position slices and ONE
+    sorted-key membership searchsorted per phrase term — replacing the
+    per-candidate-doc Python walk, which at a 10^9-doc segment meant
+    millions of interpreter iterations for a stopword-ish phrase.
+
+    ``post[t] = (doc_ids, dls, pos, offs)``; membership of
+    (doc, start+i) in term i's positions is tested against the combined
+    key doc_rank*K + position, globally sorted because doc ranks ascend
+    and positions ascend within each doc."""
+    C = int(common.size)
+    if C == 0:
+        return np.zeros(0, dtype=np.int64)
+    uniq_terms = list(dict.fromkeys(phrase_t))
+    rows: dict[str, np.ndarray] = {}
+    maxpos = 0
+    for t in uniq_terms:
+        rows[t] = np.searchsorted(post[t][0], common)
+        p = post[t][2]
+        if p.size:
+            maxpos = max(maxpos, int(p.max()))
+    K = np.int64(maxpos + len(phrase_t) + 2)
+
+    t0 = phrase_t[0]
+    starts, s_offs = _ragged_gather(post[t0][2], post[t0][3], rows[t0])
+    doc_idx = np.repeat(np.arange(C, dtype=np.int64), np.diff(s_offs))
+    starts = starts.astype(np.int64, copy=False)
+    for i in range(1, len(phrase_t)):
+        if starts.size == 0:
+            return np.zeros(C, dtype=np.int64)
+        t = phrase_t[i]
+        cp, c_offs = _ragged_gather(post[t][2], post[t][3], rows[t])
+        cp_keys = (
+            np.repeat(np.arange(C, dtype=np.int64), np.diff(c_offs)) * K
+            + cp.astype(np.int64, copy=False)
+        )
+        q_keys = doc_idx * K + starts + i
+        loc = np.searchsorted(cp_keys, q_keys)
+        ok = loc < cp_keys.size
+        ok[ok] = cp_keys[loc[ok]] == q_keys[ok]
+        starts, doc_idx = starts[ok], doc_idx[ok]
+    return np.bincount(doc_idx, minlength=C).astype(np.int64)
+
+
 def _check_unique_terms(pdf: pd.DataFrame) -> None:
     """Each (term, segment) must hold exactly ONE postings row — the
     invariant extend_index's segment alignment guarantees.  Raise loudly
@@ -205,6 +271,173 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.
     return docs[order], scores[order]
 
 
+class _BlockCache:
+    """Lazy per-(term, block) decoder over ONE segment's posting rows.
+
+    The skip-read primitive behind conjunctive/boolean/batch pruning
+    (the Lucene block-skip analog the reference delegates to ES,
+    hail_scripts/shared/elasticsearch_client_v7.py:84-99): a stopword's
+    postings are decoded only in the blocks where a rarer term's
+    candidates fall, never end-to-end.  Decoded blocks and full lists
+    are cached so batch queries sharing a segment share the work."""
+
+    def __init__(self, rows):
+        """rows: iterable of objects with .term .df .blob .block_last
+        .block_off attributes (pandas itertuples / pyarrow rows)."""
+        self.blob: dict[str, bytes] = {}
+        self.block_last: dict[str, np.ndarray] = {}
+        self.block_off: dict[str, np.ndarray] = {}
+        self.df: dict[str, int] = {}
+        for r in rows:
+            t = r.term
+            if t in self.blob:
+                raise ValueError(
+                    f"corrupt index: multiple postings rows for term {t!r} "
+                    "in one segment"
+                )
+            self.blob[t] = bytes(r.blob)
+            self.block_last[t] = np.asarray(r.block_last, dtype=np.int64)
+            self.block_off[t] = np.asarray(r.block_off, dtype=np.int32)
+            self.df[t] = int(r.df)
+        self._full: dict[str, tuple] = {}
+        self._blocks: dict[tuple[str, int], tuple] = {}
+
+    def __contains__(self, t: str) -> bool:
+        return t in self.blob
+
+    def full(self, t: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if t not in self._full:
+            self._full[t] = codecs.decode_postings(self.blob[t])
+        return self._full[t]
+
+    def _block(self, t: str, i: int) -> tuple:
+        key = (t, i)
+        if key not in self._blocks:
+            self._blocks[key] = codecs.decode_block(
+                self.blob[t], int(self.block_off[t][i])
+            )[:3]
+        return self._blocks[key]
+
+    def gather(self, t: str, cand: np.ndarray) -> tuple:
+        """(docs, tfs, dls) of term t restricted to the blocks that can
+        contain any candidate id — a SUPERSET of t's postings ∩ cand,
+        sorted ascending (callers membership-test against it).  Falls
+        back to one full decode when candidates touch most blocks
+        (per-block decode overhead would exceed the sequential decode)."""
+        if t in self._full:
+            return self._full[t]
+        bl = self.block_last[t]
+        bi = np.unique(np.searchsorted(bl, cand))
+        bi = bi[bi < bl.size]
+        if bi.size == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        if bi.size > 0.5 * bl.size:
+            return self.full(t)
+        parts = [self._block(t, int(i)) for i in bi]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+
+
+def _members(dt: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """Boolean mask: which candidates appear in sorted array dt."""
+    if dt.size == 0:
+        return np.zeros(cand.size, dtype=bool)
+    idx = np.clip(np.searchsorted(dt, cand), 0, dt.size - 1)
+    return dt[idx] == cand
+
+
+def _score_intersection_blockmax(
+    cache: _BlockCache,
+    terms_sorted: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    dead: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunctive scoring with block skipping: seed candidates from the
+    rarest term's (live) postings, shrink through the others in
+    ascending-df order decoding ONLY the blocks the surviving
+    candidates touch.  Bit-identical to _score_intersection (same
+    candidate set, same ascending-term float64 accumulation) — at a
+    10^9-doc segment a `rare AND stopword` query decodes ~|rare|/128
+    of the stopword's blocks instead of its full list."""
+    empty = np.array([], np.int64), np.array([], np.float64)
+    if any(t not in cache for t in terms_sorted):
+        return empty
+    order = sorted(terms_sorted, key=lambda t: cache.df[t])
+    d0, _, _ = cache.full(order[0])
+    cand = d0
+    if dead is not None and dead.size:
+        cand = cand[~np.isin(cand, dead, assume_unique=True)]
+    gathered: dict[str, tuple] = {}
+    for t in order[1:]:
+        if cand.size == 0:
+            return empty
+        g = cache.gather(t, cand)
+        gathered[t] = g
+        cand = cand[_members(g[0], cand)]
+    if cand.size == 0:
+        return empty
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in terms_sorted:  # accumulation order contract: ascending term
+        dt, tft, dlt = gathered.get(t) or cache.full(t)
+        idx = np.searchsorted(dt, cand)
+        scores += idf[t] * bm25_tf_weight(tft[idx], dlt[idx], avgdl)
+    return cand, scores
+
+
+def _eval_bool_blockmax(
+    cache: _BlockCache,
+    ast,
+    req_sorted: list[str],
+    pos_terms: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    dead: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Boolean-query evaluation with block skipping (caller guarantees
+    req_sorted is non-empty): candidates seed from the rarest REQUIRED
+    conjunct and every other query term — OR branches and NOT terms
+    included — is decoded only in the blocks those candidates touch.
+    Sound because every match must lie in the required-term
+    intersection, and each restricted set is a superset of that term's
+    postings within the candidate range; results are identical to
+    evaluating the AST over full decodes."""
+    from ..functions import boolquery as bq
+
+    empty = np.array([], np.int64), np.array([], np.float64)
+    if any(t not in cache for t in req_sorted):
+        return empty  # a required conjunct is absent → no match here
+    order = sorted(req_sorted, key=lambda t: cache.df[t])
+    seed = order[0]
+    seed_docs = cache.full(seed)[0]
+    if dead is not None and dead.size:
+        seed_docs = seed_docs[~np.isin(seed_docs, dead, assume_unique=True)]
+    cand = seed_docs
+    restricted: dict[str, tuple] = {seed: cache.full(seed)}
+    for t in order[1:]:
+        if cand.size == 0:
+            return empty
+        g = cache.gather(t, cand)
+        restricted[t] = g
+        cand = cand[_members(g[0], cand)]
+    if cand.size == 0:
+        return empty
+    for t in cache.blob:
+        if t not in restricted:
+            restricted[t] = cache.gather(t, cand)
+    doc_sets = {t: g[0] for t, g in restricted.items()}
+    doc_sets[seed] = seed_docs  # dead already removed from the seed
+    final = bq.eval_docs(ast, doc_sets)
+    if isinstance(final, tuple) or final.size == 0:
+        return empty
+    scores = bq.score_candidates(final, restricted, pos_terms, idf, avgdl)
+    return final, scores
+
+
 def _score_union_blockmax(
     blobs: dict[str, bytes],
     blocks: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],  # last, ub, off
@@ -213,8 +446,16 @@ def _score_union_blockmax(
     avgdl: float,
     k: int,
     deleted: np.ndarray | None = None,
+    decoded: dict | None = None,
+    full_decode=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND, best-first over windows (vectorized bounds).
+
+    ``decoded`` may be a caller-owned persistent dict keyed (term,
+    block_idx) — a serving process passes its per-segment block cache
+    so repeated queries stop re-decoding hot blocks.  ``full_decode``
+    (term → (d, tf, dl)) likewise lets the caller route the adaptive
+    exhaustive fallback through its decoded-postings cache.
 
     Windows = merged block boundaries across query terms.  Per-window
     upper bounds (sum of covering blocks' bounds) are computed for ALL
@@ -255,7 +496,8 @@ def _score_union_blockmax(
     ub_desc = ub_w[order]
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of size k
     theta = -np.inf
-    decoded: dict[tuple[str, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    if decoded is None:
+        decoded = {}
     for pos, w in enumerate(order.tolist()):
         if len(heap) == k and ub_w[w] < theta:
             break  # all remaining windows have ub <= this one < theta
@@ -268,8 +510,11 @@ def _score_union_blockmax(
             if survivors > 0.5 * (W - pos):
                 full = {}
                 for t in present:
-                    d, tf, dl = codecs.decode_postings(blobs[t])
-                    full[t] = (d, tf, dl)
+                    full[t] = (
+                        full_decode(t)
+                        if full_decode is not None
+                        else codecs.decode_postings(blobs[t])
+                    )
                 full = _mask_deleted(full, deleted)
                 docs_a, scores_a = _score_union_exhaustive(
                     full, terms_sorted, idf, avgdl
@@ -408,10 +653,15 @@ class IndexSearcher:
         return self._term_rows(terms_sorted).join(F.broadcast(td), "term")
 
     def search(
-        self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "exhaustive"
+        self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "auto"
     ) -> DataFrame:
         """Top-k BM25.  Returns DataFrame(doc_id, score) already sorted
-        by (score desc, doc_id asc), exactly k rows or fewer."""
+        by (score desc, doc_id asc), exactly k rows or fewer.
+
+        algo: "auto" (AND → block-skip intersection, OR → exhaustive),
+        "bmw" (OR → block-max WAND), "exhaustive" (always full decode).
+        All paths are rank- AND score-identical; algo only changes how
+        much of each posting list is decoded."""
         terms_sorted = sorted(set(terms))
         mode_u = mode.upper()
         avgdl = self.avgdl
@@ -463,6 +713,13 @@ class IndexSearcher:
                     blobs, blocks, terms_sorted, idf, avgdl, k, deleted=dead
                 )
                 return pd.DataFrame({"doc_id": docs, "score": scores})
+            if mode_u == "AND" and algo != "exhaustive":
+                cache = _BlockCache(pdf.itertuples())
+                docs, scores = _score_intersection_blockmax(
+                    cache, terms_sorted, idf, avgdl, dead=dead
+                )
+                docs, scores = _topk(docs, scores, k)
+                return pd.DataFrame({"doc_id": docs, "score": scores})
             postings = {}
             for r in pdf.itertuples():
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
@@ -491,6 +748,7 @@ class IndexSearcher:
         ast = bq.parse(query)
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
+        req = bq.required_terms(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
         avgdl, n_docs = self.avgdl, self.n_docs
@@ -511,11 +769,24 @@ class IndexSearcher:
                 return pd.DataFrame({"doc_id": [], "score": []})
             _check_unique_terms(pdf)
             dead = get_deletes(pdf["segment"].iloc[0])
-            postings, idf = {}, {}
+            idf = {
+                t: bm25_idf(n_docs, int(d))
+                for t, d in zip(pdf["term"], pdf["df_global"])
+            }
+            if req:
+                # required conjuncts exist → block-skip evaluation
+                cache = _BlockCache(pdf.itertuples())
+                d, s = _topk(
+                    *_eval_bool_blockmax(
+                        cache, ast, req, pos_terms, idf, avgdl, dead=dead
+                    ),
+                    k,
+                )
+                return pd.DataFrame({"doc_id": d, "score": s})
+            postings = {}
             for r in pdf.itertuples():
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
                 postings[r.term] = (d, tf, dl)
-                idf[r.term] = bm25_idf(n_docs, int(r.df_global))
             postings = _mask_deleted(postings, dead)
             doc_sets = {t: p[0] for t, p in postings.items()}
             cand = bq.eval_docs(ast, doc_sets)
@@ -616,22 +887,15 @@ class IndexSearcher:
                 common = common[~np.isin(common, dead, assume_unique=True)]
             d0, dl0, _, _ = post[phrase_t[0]]
             dl_idx = np.searchsorted(d0, common)
-            for j, doc in enumerate(common.tolist()):
-                starts = None
-                ok = True
-                for i, t in enumerate(phrase_t):
-                    d, _, pos, offs = post[t]
-                    r = int(np.searchsorted(d, doc))
-                    p = pos[offs[r] : offs[r + 1]]
-                    starts = p if starts is None else starts[np.isin(starts + i, p)]
-                    if starts.size == 0:
-                        ok = False
-                        break
-                if ok and starts.size:
-                    out["doc_id"].append(doc)
-                    out["tf"].append(int(starts.size))
-                    out["dl"].append(int(dl0[dl_idx[j]]))
-            return pd.DataFrame(out)
+            tfs = _phrase_match_counts(post, phrase_t, common)
+            hit = tfs > 0
+            return pd.DataFrame(
+                {
+                    "doc_id": common[hit],
+                    "tf": tfs[hit],
+                    "dl": dl0[dl_idx[hit]],
+                }
+            )
 
         rows = self._term_rows(terms_sorted).select(
             "segment", "term", "blob", "pos_blob"
@@ -692,26 +956,33 @@ class IndexSearcher:
                     t: bm25_idf(n_docs, int(d))
                     for t, d in zip(pdf["term"], pdf["df_global"])
                 }
-                postings = {}
-                for r in pdf.itertuples():
-                    d, tf, dl = codecs.decode_postings(bytes(r.blob))
-                    postings[r.term] = (d, tf, dl)
-                postings = _mask_deleted(postings, dead)
+                # ONE lazy block cache per segment: conjunctive queries
+                # skip-read through it (a rare term's candidates decode
+                # only the stopword blocks they touch), disjunctive
+                # queries trigger full decodes that are then SHARED by
+                # every later query touching the same term.
+                cache = _BlockCache(pdf.itertuples())
+                or_terms = {
+                    t for _, ts, m, _ in compiled if m != "AND" for t in ts
+                }
+                full_postings: dict[str, tuple] | None = None
                 for qid, terms_sorted, mode, k in compiled:
                     if mode == "AND":
-                        # a segment lacking any query term can hold no
-                        # conjunctive match (segments partition doc ids)
-                        if not all(t in postings for t in terms_sorted):
-                            continue
-                        docs, scores = _score_intersection(
-                            {t: postings[t] for t in terms_sorted},
-                            terms_sorted,
-                            idf,
-                            avgdl,
+                        docs, scores = _score_intersection_blockmax(
+                            cache, terms_sorted, idf, avgdl, dead=dead
                         )
                     else:
+                        if full_postings is None:
+                            full_postings = _mask_deleted(
+                                {
+                                    t: cache.full(t)
+                                    for t in cache.blob
+                                    if t in or_terms
+                                },
+                                dead,
+                            )
                         docs, scores = _score_union_exhaustive(
-                            postings, terms_sorted, idf, avgdl
+                            full_postings, terms_sorted, idf, avgdl
                         )
                     docs, scores = _topk(docs, scores, k)
                     out_q.extend([qid] * len(docs))

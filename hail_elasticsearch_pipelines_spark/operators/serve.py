@@ -25,6 +25,7 @@ import pyarrow.dataset as ds
 from ..functions import codecs
 from .bm25 import (
     _mask_deleted,
+    _phrase_match_counts,
     _score_intersection,
     _score_union_blockmax,
     _score_union_exhaustive,
@@ -73,6 +74,38 @@ class LocalSearcher:
         self._cache: dict[tuple[str, int], tuple] = {}
         self._cache_bytes = 0
         self._cache_cap = 256 * 1024 * 1024
+        # block-level cache for the WAND path (keyed (segment) →
+        # {(term, block_idx): decoded block}) and positions cache for
+        # the phrase path — the p99 of both was dominated by re-decoding
+        # hot stopword blocks / position lists on every query.
+        self._bmw_cache: dict[int, dict] = {}
+        self._bmw_cache_blocks = 0
+        self._bmw_cache_max_blocks = 65536
+        self._pos_cache: dict[tuple[str, int], tuple] = {}
+        self._pos_cache_bytes = 0
+        self._pos_cache_cap = 128 * 1024 * 1024
+
+    def _bmw_blocks_for(self, seg: int) -> dict:
+        if self._bmw_cache_blocks >= self._bmw_cache_max_blocks:
+            self._bmw_cache.clear()
+            self._bmw_cache_blocks = 0
+        return self._bmw_cache.setdefault(int(seg), {})
+
+    def _pos_cached(self, term: str, seg: int, pos_blob, tf: np.ndarray) -> tuple:
+        key = (term, int(seg))
+        hit = self._pos_cache.get(key)
+        if hit is not None:
+            return hit
+        out = codecs.decode_position_lists(
+            pos_blob.as_py() if hasattr(pos_blob, "as_py") else pos_blob, tf
+        )
+        sz = sum(a.nbytes for a in out if a is not None)
+        while self._pos_cache and self._pos_cache_bytes + sz > self._pos_cache_cap:
+            old = self._pos_cache.pop(next(iter(self._pos_cache)))
+            self._pos_cache_bytes -= sum(a.nbytes for a in old if a is not None)
+        self._pos_cache[key] = out
+        self._pos_cache_bytes += sz
+        return out
 
     def _decode_cached(self, term: str, seg: int, blob) -> tuple:
         key = (term, seg)
@@ -143,7 +176,20 @@ class LocalSearcher:
                         _list_np(tbl["block_off"][int(i)], np.int32),
                     )
                 docs, scores = _score_union_blockmax(
-                    blobs, blocks, terms_sorted, idf, self.avgdl, k, deleted=dead
+                    blobs,
+                    blocks,
+                    terms_sorted,
+                    idf,
+                    self.avgdl,
+                    k,
+                    deleted=dead,
+                    decoded=self._bmw_blocks_for(int(seg)),
+                    full_decode=lambda t, s=int(seg): self._decode_cached(
+                        t, s, blobs[t]
+                    ),
+                )
+                self._bmw_cache_blocks = sum(
+                    len(d) for d in self._bmw_cache.values()
                 )
             else:
                 postings = {}
@@ -239,10 +285,8 @@ class LocalSearcher:
             post = {}
             for i in idxs:
                 t = tbl["term"][int(i)].as_py()
-                d, tf, dl = codecs.decode_postings(tbl["blob"][int(i)].as_py())
-                pos, offs = codecs.decode_position_lists(
-                    tbl["pos_blob"][int(i)].as_py(), tf
-                )
+                d, tf, dl = self._decode_cached(t, int(seg), tbl["blob"][int(i)])
+                pos, offs = self._pos_cached(t, int(seg), tbl["pos_blob"][int(i)], tf)
                 _put_unique(post, t, (d, dl, pos, offs))
             if not all(t in post for t in phrase):
                 continue
@@ -257,19 +301,11 @@ class LocalSearcher:
                 common = common[~np.isin(common, dead, assume_unique=True)]
             d0, dl0, _, _ = post[phrase[0]]
             dl_idx = np.searchsorted(d0, common)
-            for j, doc in enumerate(common.tolist()):
-                starts = None
-                for i2, t in enumerate(phrase):
-                    d, _, pos, offs = post[t]
-                    r = int(np.searchsorted(d, doc))
-                    p = pos[offs[r] : offs[r + 1]]
-                    starts = p if starts is None else starts[np.isin(starts + i2, p)]
-                    if starts.size == 0:
-                        break
-                if starts is not None and starts.size:
-                    all_docs.append(doc)
-                    all_tf.append(int(starts.size))
-                    all_dl.append(int(dl0[dl_idx[j]]))
+            tfs = _phrase_match_counts(post, list(phrase), common)
+            hit = tfs > 0
+            all_docs.extend(common[hit].tolist())
+            all_tf.extend(tfs[hit].tolist())
+            all_dl.extend(dl0[dl_idx[hit]].tolist())
         if not all_docs:
             return []
         idf = bm25_idf(self.n_docs, len(all_docs))

@@ -76,3 +76,67 @@ def test_exhaustive_df_matches_oracle_ranks(spark, small_index, small_oracle):
         assert [r["doc_id"] for r in got] == [d for d, _ in expected], q["query_id"]
         for r, (d, s) in zip(got, expected):
             assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_blockmax_intersection_skips_and_matches_exhaustive():
+    """`rare AND stopword`: the pruned path must (a) produce the exact
+    candidate set and bit-identical scores of the exhaustive
+    intersection, and (b) decode only the stopword blocks the rare
+    term's candidates touch — not the full list."""
+    import numpy as np
+
+    from hail_elasticsearch_pipelines_spark.functions import codecs
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+        _BlockCache,
+        _score_intersection,
+        _score_intersection_blockmax,
+        bm25_idf,
+    )
+
+    rng = np.random.default_rng(11)
+    n_stop = 50_000
+    stop_d = np.sort(rng.choice(200_000, n_stop, replace=False)).astype(np.int64)
+    stop_tf = rng.integers(1, 9, n_stop).astype(np.int64)
+    stop_dl = rng.integers(30, 400, n_stop).astype(np.int64)
+    rare_d = np.sort(rng.choice(stop_d, 40, replace=False)).astype(np.int64)
+    ridx = np.searchsorted(stop_d, rare_d)
+    rare_tf = rng.integers(1, 4, 40).astype(np.int64)
+    rare_dl = stop_dl[ridx]
+
+    class Row:
+        def __init__(self, term, d, tf, dl):
+            blob, bl, bm, bo = codecs.encode_postings(d, tf, dls=dl)
+            self.term, self.df, self.blob = term, len(d), blob
+            self.block_last, self.block_off = bl, bo
+
+    rows = [Row("aardvark", rare_d, rare_tf, rare_dl), Row("the", stop_d, stop_tf, stop_dl)]
+    cache = _BlockCache(rows)
+    idf = {"aardvark": bm25_idf(200_000, 40), "the": bm25_idf(200_000, n_stop)}
+    terms = sorted(["aardvark", "the"])
+    avgdl = 150.0
+    docs_p, scores_p = _score_intersection_blockmax(cache, terms, idf, avgdl)
+    post = {
+        "aardvark": (rare_d, rare_tf, rare_dl),
+        "the": (stop_d, stop_tf, stop_dl),
+    }
+    docs_e, scores_e = _score_intersection(post, terms, idf, avgdl)
+    np.testing.assert_array_equal(docs_p, docs_e)
+    np.testing.assert_array_equal(scores_p, scores_e)  # BIT-identical
+    n_stop_blocks = len(cache.block_last["the"])
+    decoded_stop_blocks = sum(1 for (t, _) in cache._blocks if t == "the")
+    assert "the" not in cache._full  # never fully decoded
+    assert decoded_stop_blocks <= 40  # ≤ one block per rare candidate
+    assert decoded_stop_blocks < 0.2 * n_stop_blocks
+
+    # tombstoned candidates are excluded exactly as the exhaustive path
+    dead = rare_d[:5]
+    docs_pd, scores_pd = _score_intersection_blockmax(
+        _BlockCache(rows), terms, idf, avgdl, dead=dead
+    )
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import _mask_deleted
+
+    docs_ed, scores_ed = _score_intersection(
+        _mask_deleted(post, np.asarray(sorted(dead))), terms, idf, avgdl
+    )
+    np.testing.assert_array_equal(docs_pd, docs_ed)
+    np.testing.assert_array_equal(scores_pd, scores_ed)

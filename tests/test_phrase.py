@@ -116,3 +116,59 @@ def test_phrase_requires_positions(spark, tmp_path):
         IndexSearcher(spark, out).search_phrase(["the", "of"], k=5)
     with pytest.raises(ValueError, match="with_positions"):
         LocalSearcher(out).search_phrase(["the", "of"], k=5)
+
+
+def test_phrase_match_counts_vs_naive_random():
+    """The vectorized adjacency matcher must agree with a per-doc naive
+    walk on randomized position data, including repeated phrase terms
+    and zero-match docs."""
+    import numpy as np
+
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+        _phrase_match_counts,
+    )
+
+    rng = np.random.default_rng(123)
+    for trial in range(30):
+        n_docs = int(rng.integers(1, 40))
+        vocab = ["a", "b", "c", "d"]
+        phrase = [vocab[int(i)] for i in rng.integers(0, 4, int(rng.integers(2, 5)))]
+        # build per-term postings over a shared doc space
+        post = {}
+        doc_tokens = {
+            doc: [vocab[int(i)] for i in rng.integers(0, 4, int(rng.integers(1, 30)))]
+            for doc in range(n_docs)
+        }
+        for t in set(vocab):
+            d, pos, offs = [], [], [0]
+            for doc in range(n_docs):
+                p = [i for i, tok in enumerate(doc_tokens[doc]) if tok == t]
+                if p:
+                    d.append(doc)
+                    pos.extend(p)
+                    offs.append(len(pos))
+            post[t] = (
+                np.asarray(d, dtype=np.int64),
+                np.ones(len(d), dtype=np.int64),
+                np.asarray(pos, dtype=np.int64),
+                np.asarray(offs, dtype=np.int64),
+            )
+        from functools import reduce
+
+        uniq = list(dict.fromkeys(phrase))
+        if any(post[t][0].size == 0 for t in uniq):
+            continue
+        common = reduce(
+            lambda a, b: np.intersect1d(a, b, assume_unique=True),
+            (post[t][0] for t in uniq),
+        )
+        got = _phrase_match_counts(post, phrase, common)
+        # naive: count adjacency chains directly over doc_tokens
+        for j, doc in enumerate(common.tolist()):
+            toks = doc_tokens[doc]
+            naive = sum(
+                1
+                for s in range(len(toks) - len(phrase) + 1)
+                if toks[s : s + len(phrase)] == phrase
+            )
+            assert got[j] == naive, (trial, doc, phrase, toks)
