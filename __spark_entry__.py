@@ -699,6 +699,30 @@ FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 20
 """.format(micro=_micro_sql("cosine"))
 
 
+def _frame_sample_sql(every_n: int = 30) -> str:
+    """DuckDB twin of multimodal.frame_sample_stub: the stub's fake
+    frame chain is a hex-STRING sha256 chain (h := sha256(h || ':' ||
+    idx) over ASCII text) precisely so it is expressible here —
+    unrolled over the stub's bounded 1..7 frame count."""
+    ctes = [
+        "base AS (SELECT doc_id AS media_id, "
+        "1 + octet_length(encode(text)) % 7 AS n_frames, "
+        "sha256(text) AS h0 FROM documents)"
+    ]
+    for j in range(7):
+        src = "base" if j == 0 else f"c{j}"
+        ctes.append(
+            f"c{j + 1} AS (SELECT *, sha256(h{j} || ':{every_n * j}') "
+            f"AS h{j + 1} FROM {src})"
+        )
+    sels = [
+        f"SELECT media_id, {every_n * j} AS frame_idx, h{j + 1} AS frame_sha "
+        f"FROM c7 WHERE n_frames > {j}"
+        for j in range(7)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
+
+
 def oracle_sql() -> dict[str, str]:
     or_sql = _bm25_sql(OR_TERMS, "OR", 20)
     and_sql = _bm25_sql(AND_TERMS, "AND", 20)
@@ -716,8 +740,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_sql(3),
         "ann_lsh_topk": _ann_lcg_sql(dim=64, n_planes=8, seed=11, multiprobe=2, k=10),
         "embedding_pairs": _EMB_PAIRS_SQL,
-        # frame_sample stays rows-only: its payload decode is a declared
-        # stub (multimodal libs absent in this container).
+        # frame decode is a declared stub (multimodal libs absent), but
+        # the PLUMBING — row fan-out, every_n arithmetic, hash chain —
+        # is value-checked via the SQL twin of the stub chain.
+        "frame_sample": _frame_sample_sql(30),
         "bm25_or": or_sql,
         "bm25_and": and_sql,
         "bm25_index_or": or_sql,

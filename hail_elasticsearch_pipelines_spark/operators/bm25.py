@@ -801,28 +801,44 @@ class IndexSearcher:
         )
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def with_source(self, results: DataFrame) -> DataFrame:
+    def with_source(
+        self, results: DataFrame, max_collect: int = 10_000
+    ) -> DataFrame:
         """Join hit doc_ids back to their url (the ES ``_source`` fetch:
         the index stores postings, the doc store serves the documents).
 
-        The tiny hit set is collected once, so (a) the search job never
-        re-runs inside the join and (b) the doc_id isin predicate is
-        PUSHED into the doclens parquet scan — doclens is written in
-        doc_id order, so row-group min/max stats prune the doc store to
-        the handful of files holding the hits at any corpus size."""
-        rows = results.collect()
-        hits = self.spark.createDataFrame(rows, results.schema)
-        ids = [r["doc_id"] for r in rows]
+        Small hit sets (≤ max_collect, the top-k norm) are collected
+        once so (a) the search job never re-runs inside the join and
+        (b) the doc_id isin predicate is PUSHED into the doclens
+        parquet scan — doclens is written in doc_id order, so row-group
+        min/max stats prune the doc store to the handful of files
+        holding the hits.  Larger sets (search_many output, big k)
+        fall back to a broadcast join: no driver-side row
+        materialization, no mega-IN-list expression."""
         doclens = self.spark.read.parquet(os.path.join(self.index_dir, "doclens"))
         # url + any stored metadata fields the field manifest kept
         fetched = [
             c for c in doclens.columns if c not in ("doc_id", "doc_len")
         ]
+        order_cols = (
+            [F.desc("score"), F.asc("doc_id")]
+            if "score" in results.columns
+            else [F.asc("doc_id")]
+        )
+        rows = results.limit(max_collect + 1).collect()
+        if len(rows) <= max_collect:
+            hits = self.spark.createDataFrame(rows, results.schema)
+            ids = [r["doc_id"] for r in rows]
+            return (
+                doclens.filter(F.col("doc_id").isin(ids))
+                .join(F.broadcast(hits), "doc_id")
+                .select(*results.columns, *fetched)
+                .orderBy(*order_cols)
+            )
         return (
-            doclens.filter(F.col("doc_id").isin(ids))
-            .join(F.broadcast(hits), "doc_id")
+            doclens.join(F.broadcast(results), "doc_id")
             .select(*results.columns, *fetched)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .orderBy(*order_cols)
         )
 
     def search_phrase(self, phrase: list[str], k: int = 10) -> DataFrame:

@@ -125,12 +125,16 @@ def frame_sample_stub(df: DataFrame, payload_col: str = "payload", every_n: int 
     in by replacing `_fake_frames` only."""
 
     def _fake_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
+        # hex-STRING hash chain (not binary-digest chaining) so the
+        # stub is replicable in plain SQL: sha256(h || ':' || idx) over
+        # ASCII text at every step — the driver's DuckDB oracle runs
+        # the identical chain (oracle_sql()['frame_sample']).
         n_fake_frames = 1 + len(payload) % 7
         out = []
-        h = hashlib.sha256(payload).digest()
+        h = hashlib.sha256(payload).hexdigest()
         for i in range(0, n_fake_frames * every_n, every_n):
-            h = hashlib.sha256(h + i.to_bytes(4, "little")).digest()
-            out.append((i, h.hex()))
+            h = hashlib.sha256(f"{h}:{i}".encode()).hexdigest()
+            out.append((i, h))
         return out
 
     out_schema = T.StructType(

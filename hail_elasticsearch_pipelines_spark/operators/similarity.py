@@ -205,7 +205,7 @@ def embedding_cosine_pairs(
     n_bands: int = 4,
     planes_per_band: int = 8,
     seed: int = 11,
-    max_bucket_df: int | None = None,
+    max_bucket_df: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-dup pairs via MULTI-BAND hyperplane LSH: a pair is
     a candidate when it agrees on ALL sign bits of AT LEAST ONE band
@@ -219,8 +219,13 @@ def embedding_cosine_pairs(
     `max_bucket_df` additionally drops (band, bucket) groups larger than
     the cap from candidate generation (explosion guard, like
     ngram_jaccard's max_shingle_df — standard practice for skewed
-    corpora; planted-duplicate recall is unaffected unless the corpus
-    itself is degenerate)."""
+    corpora).  It defaults ON (10k): one degenerate bucket — zero
+    vectors, near-duplicate farms — otherwise goes quadratic no matter
+    how the expected population is bounded.  Recall impact: a pair
+    loses a candidate band only when >10k vectors share that band's
+    full bit signature; such pairs are overwhelmingly within
+    near-duplicate farms where any surviving band (or the cheaper
+    exact-dup digest pass) still links them.  Pass None to disable."""
     dim = len(df.select(vec_col).head()[0])
     bb = lsh_band_buckets_udf(dim, n_bands, planes_per_band, seed)
     b = df.select(
