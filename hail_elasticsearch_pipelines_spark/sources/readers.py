@@ -42,6 +42,49 @@ def read_pages(spark: SparkSession, source: str, min_partitions: int | None = No
     return df
 
 
+def write_pages_partitioned(
+    df: DataFrame, path: str, partition_col: str = "crawl_date"
+) -> None:
+    """Persist a pages corpus hive-partitioned by crawl date — the
+    interval-keyed layout behind P9 on the time axis (the reference's
+    `hl.filter_intervals`, download_and_create_reference_datasets/v02/
+    hail_scripts/write_splice_ai_ht.py:54): a date-bounded read prunes
+    whole partition directories, never touching other days' html/text
+    bytes.  At crawl scale this is the difference between re-indexing
+    one day and scanning the archive."""
+    (
+        df.withColumn(partition_col, F.to_date("warc_ts"))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_pages_interval(
+    spark: SparkSession,
+    source: str,
+    start_date: str | None = None,
+    end_date: str | None = None,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """`read_pages` restricted to a crawl-date interval.  On a corpus
+    written by write_pages_partitioned the bounds become
+    PartitionFilters (directory-level pruning, verified in
+    tests/test_extract.py); on an unpartitioned corpus they degrade to
+    a row filter on warc_ts — same rows either way."""
+    df = read_pages(spark, source, min_partitions=min_partitions)
+    date_col = (
+        F.col("crawl_date")
+        if "crawl_date" in df.columns
+        else F.to_date("warc_ts")
+    )
+    if start_date is not None:
+        df = df.filter(date_col >= F.lit(start_date))
+    if end_date is not None:
+        df = df.filter(date_col < F.lit(end_date))
+    return df
+
+
 def import_typed_tsv(
     spark: SparkSession,
     path: str,

@@ -39,11 +39,44 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def check_corpus_date_pruning(spark) -> bool:
+    """P9 time axis: a crawl_date-bounded read of a date-partitioned
+    corpus must show non-empty PartitionFilters and NO residual row
+    DataFilters (bounds fully absorbed by directory pruning)."""
+    from hail_elasticsearch_pipelines_spark.sources.corpus import pages_df
+    from hail_elasticsearch_pipelines_spark.sources.readers import (
+        read_pages_interval,
+        write_pages_partitioned,
+    )
+
+    path = "/tmp/explain_pages_by_date"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_pages_partitioned(pages_df(spark, 3000, 4), path)
+    pruned = read_pages_interval(
+        spark, path, start_date="2025-01-16", end_date="2025-01-17"
+    )
+    plan = plan_of(pruned)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    exec_plan = pruned._jdf.queryExecution().executedPlan().toString()
+    ok = (
+        bool(pf)
+        and "crawl_date" in pf[0]
+        and ">=" in pf[0]
+        and "DataFilters: []" in exec_plan
+    )
+    print(f"corpus_date_pruning: {'OK' if ok else 'MISSING partition pruning'}")
+    if not ok:
+        print(plan[:4000])
+    return ok
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="explain", master="local[8]", shuffle_partitions=8)
     qs = entry.queries()
     bad = []
+    if not check_corpus_date_pruning(spark):
+        bad.append("corpus_date_pruning")
     for name, (wants, bans) in CHECKS.items():
         plan = plan_of(qs[name](spark, sf_dir))
         missing = [w for w in wants if w not in plan]

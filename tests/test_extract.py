@@ -112,3 +112,46 @@ def test_seeded_sample_deterministic(spark):
     assert a == b
     assert 300 < len(a) < 700
     assert a != c
+
+
+def test_partitioned_corpus_read_prunes_by_crawl_date(spark, tmp_path):
+    """P9 on the time axis: a crawl_date-bounded read of a
+    date-partitioned corpus must prune at the PARTITION level (the
+    explain plan carries non-empty PartitionFilters and only the
+    matching date directories' files are read) — the reference's
+    hl.filter_intervals analog (write_splice_ai_ht.py:54)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from hail_elasticsearch_pipelines_spark.sources.corpus import pages_df
+    from hail_elasticsearch_pipelines_spark.sources.readers import (
+        read_pages_interval,
+        write_pages_partitioned,
+    )
+
+    path = str(tmp_path / "pages_by_date")
+    # 137 s per doc index → ~5 distinct crawl dates over 3000 docs
+    write_pages_partitioned(pages_df(spark, 3000, 4), path)
+    all_df = read_pages_interval(spark, path)
+    dates = sorted(
+        r["crawl_date"].isoformat()
+        for r in all_df.select("crawl_date").distinct().collect()
+    )
+    assert len(dates) >= 3
+    lo, hi = dates[1], dates[2]
+    pruned = read_pages_interval(spark, path, start_date=lo, end_date=hi)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "crawl_date" in pf and ">=" in pf  # non-empty, carries bounds
+    # the date bounds were consumed ENTIRELY at the partition level:
+    # no residual per-row DataFilters remain in the scan
+    exec_plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in exec_plan.splitlines() if "DataFilters" in ln][0]
+    assert "DataFilters: []" in scan
+    # and the rows are exactly the interval
+    got = pruned.select("crawl_date").distinct().collect()
+    assert [r["crawl_date"].isoformat() for r in got] == [lo]
