@@ -275,6 +275,288 @@ def upsert_index(spark: SparkSession, index_dir: str, new_pages: DataFrame) -> d
     return extend_index(spark, index_dir, new_pages, mode="upsert")
 
 
+def update_facet_field(
+    spark: SparkSession, index_dir: str, field: str, updates: DataFrame
+) -> dict:
+    """Partial-document ``update``: re-tag ONE metadata facet field for
+    a batch of urls WITHOUT re-tokenizing or re-indexing their text —
+    the reference's ES ``update`` write op (merge fields into an
+    existing doc, hail_scripts/shared/elasticsearch_utils.py:11-17,
+    hail_scripts/v02/utils/elasticsearch_client.py:106-113), which
+    ``upsert_index`` (whole-doc replace) previously over-served.
+
+    ``updates``: DataFrame(url, new_value).  Mechanics: the updated
+    docs are removed from EVERY existing facet term of the field and
+    inserted into their new value's facet token (tf=1, dl=doc_len,
+    position = doc_len + the field's facet slot — exactly what a fresh
+    build of the re-tagged corpus emits).  Only the parquet buckets
+    holding the field's facet terms are rewritten; document text,
+    doc ids, doc lengths, n_docs and avgdl are untouched, so every
+    BM25 score is bit-identical — only facet filtering changes.
+
+    Scale posture: cost is O(field's facet postings in affected
+    buckets), never a corpus re-tokenize or full-index rewrite.  The
+    update batch itself is collected (it is the operator's input, the
+    same driver-side scale as the upsert kill-list aggregation)."""
+    manifest = _load_manifest(index_dir)
+    params, g = manifest["params"], manifest["globals"]
+    dpp, seg_group = int(g["docs_per_part"]), int(params["seg_group"])
+    n_term_buckets = int(params["n_term_buckets"])
+    facet_fields = [
+        f
+        for f in params.get("facet_fields", ib.DEFAULT_FACET_FIELDS)
+        if f is not None
+    ]
+    if field not in facet_fields:
+        raise ValueError(
+            f"{field!r} is not a facet field of this index ({facet_fields})"
+        )
+    facet_slot = facet_fields.index(field)
+    with_positions = bool(params.get("with_positions", True))
+    postings_path = os.path.join(index_dir, "postings")
+    doclens_path = os.path.join(index_dir, "doclens")
+
+    # resolve urls → (doc_id, doc_len, new token); ignore unknown urls
+    doclens = spark.read.parquet(doclens_path)
+    resolved = (
+        doclens.join(updates.select("url", "new_value"), "url")
+        .select("doc_id", "doc_len", "new_value")
+        .collect()
+    )
+    if not resolved:
+        return manifest
+    by_doc = {
+        int(r["doc_id"]): (int(r["doc_len"]), ib.facet_token(field, r["new_value"]))
+        for r in resolved
+    }
+    seg_of = lambda d: (d // dpp) // seg_group  # noqa: E731
+    removals: dict[int, np.ndarray] = {}
+    inserts: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for d, (dl, tok) in by_doc.items():
+        s = seg_of(d)
+        removals.setdefault(s, []).append(d)  # type: ignore[arg-type]
+        inserts.setdefault((tok, s), []).append((d, dl))
+    removals = {s: np.unique(np.asarray(v, np.int64)) for s, v in removals.items()}
+
+    # every facet term of the field currently in the index + new tokens
+    prefix = f"__{field}_"
+    td_path = os.path.join(index_dir, "termdict")
+    td = spark.read.parquet(td_path)
+    existing_terms = {
+        r["term"]
+        for r in td.filter(
+            F.col("term").startswith(prefix) & F.col("term").endswith("__")
+        )
+        .select("term")
+        .collect()
+    }
+    all_terms = sorted(existing_terms | {tok for tok, _ in inserts})
+    buckets = sorted({ib.term_bucket(t, n_term_buckets) for t in all_terms})
+    term_set = set(all_terms)
+    cols = [f.name for f in ib.POSTINGS_SCHEMA.fields]
+
+    def _encode_row(term, seg, d, tf, dl, pos):
+        # replicate the BUILD's byte layout exactly: the build encodes
+        # per (term, part) and concat-merges, so blocks restart at part
+        # boundaries — encoding the same way keeps an updated row
+        # BYTE-identical to a fresh build of the re-tagged corpus
+        # (tested), not merely decode-identical.
+        cuts = np.flatnonzero(np.diff(d // dpp)) + 1
+        bounds = np.concatenate(([0], cuts, [len(d)]))
+        offs = np.concatenate(([0], np.cumsum(tf)))
+        pieces, pos_pieces, mins = [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            pieces.append(
+                codecs.encode_postings(d[lo:hi], tf[lo:hi], dls=dl[lo:hi])
+            )
+            bstarts = np.arange(0, hi - lo, codecs.BLOCK_SIZE)
+            mins.append(np.minimum.reduceat(dl[lo:hi], bstarts))
+            if with_positions:
+                pos_pieces.append(
+                    codecs.encode_position_lists(
+                        pos[offs[lo] : offs[hi]], tf[lo:hi]
+                    )
+                )
+        blob, blast, bmaxtf, boff = codecs.merge_encoded(pieces)
+        bmin_dl = np.concatenate(mins)
+        pos_blob = codecs.merge_streams(pos_pieces) if with_positions else b""
+        return (
+            term, int(seg), int(d[0]), int(len(d)), int(tf.sum()), blob,
+            blast.tolist(), bmaxtf.tolist(), bmin_dl.tolist(), boff.tolist(),
+            pos_blob, len(blob) + len(pos_blob),
+        )
+
+    def rewrite(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                term, seg = r.term, int(r.segment)
+                dead = removals.get(seg)
+                if term not in term_set or dead is None:
+                    rows.append(
+                        (
+                            term, seg, int(r.min_doc), int(r.df), int(r.cf),
+                            bytes(r.blob), list(r.block_last),
+                            list(r.block_max_tf), list(r.block_min_dl),
+                            list(r.block_off), bytes(r.pos_blob), int(r.n_bytes),
+                        )
+                    )
+                    continue
+                d, tf, dl = codecs.decode_postings(bytes(r.blob))
+                keep = ~np.isin(d, dead, assume_unique=True)
+                d2, tf2, dl2 = d[keep], tf[keep], dl[keep]
+                pos2 = offs2 = None
+                if with_positions:
+                    pos, offs = codecs.decode_position_lists(bytes(r.pos_blob), tf)
+                    ki = np.flatnonzero(keep)
+                    sl = [pos[offs[i] : offs[i + 1]] for i in ki]
+                    pos2 = (
+                        np.concatenate(sl) if sl else np.array([], np.int64)
+                    )
+                ins = inserts.get((term, seg))
+                if ins:
+                    add_d = np.array(sorted(x[0] for x in ins), np.int64)
+                    add_dl = np.array(
+                        [by_doc[int(x)][0] for x in add_d], np.int64
+                    )
+                    where = np.searchsorted(d2, add_d)
+                    d2 = np.insert(d2, where, add_d)
+                    tf2 = np.insert(tf2, where, 1)
+                    dl2 = np.insert(dl2, where, add_dl)
+                    if with_positions:
+                        # splice each new doc's single facet position
+                        # (doc_len + slot) into the flat stream at its
+                        # post-insertion row offset
+                        pos2 = _splice_positions(
+                            pos2, tf2, where, add_dl + facet_slot
+                        )
+                if len(d2) == 0:
+                    continue
+                rows.append(_encode_row(term, seg, d2, tf2, dl2, pos2))
+            yield pd.DataFrame(rows, columns=cols)
+
+    # existing (term, segment) rows are discovered by the scan itself;
+    # rows that need CREATING (new facet value in a segment with no row
+    # yet) are found by diffing against this pruned listing
+    pruned = spark.read.parquet(postings_path).filter(
+        F.col("term_bucket").isin(buckets)
+    )
+    have = {
+        (r["term"], int(r["segment"]))
+        for r in pruned.filter(F.col("term").isin(all_terms))
+        .select("term", "segment")
+        .collect()
+    }
+    rewritten = pruned.drop("term_bucket").select(*cols).mapInPandas(
+        rewrite, schema=ib.POSTINGS_SCHEMA
+    )
+    new_rows = []
+    for (tok, seg), ins in inserts.items():
+        if (tok, seg) in have:
+            continue
+        add_d = np.array(sorted(x[0] for x in ins), np.int64)
+        add_dl = np.array([by_doc[int(x)][0] for x in add_d], np.int64)
+        pos = (add_dl + facet_slot) if with_positions else None
+        new_rows.append(
+            _encode_row(tok, seg, add_d, np.ones(len(add_d), np.int64), add_dl, pos)
+        )
+    if new_rows:
+        rewritten = rewritten.unionByName(
+            spark.createDataFrame(
+                pd.DataFrame(new_rows, columns=cols), schema=ib.POSTINGS_SCHEMA
+            )
+        )
+
+    staging = postings_path + "__updating"
+    (
+        rewritten.withColumn(
+            "term_bucket",
+            F.crc32(F.col("term").cast("binary")) % F.lit(n_term_buckets),
+        )
+        .repartitionByRange(max(len(buckets), 1), "term_bucket", "term", "segment")
+        .sortWithinPartitions("term_bucket", "term", "segment")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(staging)
+    )
+    # swap ONLY the affected bucket directories (a bucket missing from
+    # staging means the rewrite emptied it entirely — remove it)
+    import shutil
+
+    for b in buckets:
+        src = os.path.join(staging, f"term_bucket={b}")
+        dst = os.path.join(postings_path, f"term_bucket={b}")
+        if os.path.isdir(src):
+            _swap_dir(src, dst)
+        else:
+            shutil.rmtree(dst, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # termdict: replace the affected terms' rows with recomputed stats
+    new_td = (
+        spark.read.parquet(postings_path)
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .groupBy("term_bucket", "term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    combined = td.filter(~F.col("term").isin(all_terms)).unionByName(new_td)
+    td_staging = td_path + "__staging"
+    (
+        combined.repartition("term_bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(td_staging)
+    )
+    _swap_dir(td_staging, td_path)
+
+    # stored-field refresh (only when the field rides doclens)
+    if field in doclens.columns:
+        orig_cols = doclens.columns
+        upd = updates.select("url", F.col("new_value").alias("__new__"))
+        dl_new = (
+            doclens.join(F.broadcast(upd), "url", "left")
+            .withColumn(field, F.coalesce(F.col("__new__"), F.col(field)))
+            .select(*orig_cols)
+        )
+        dl_staging = doclens_path + "__updating"
+        dl_new.write.mode("overwrite").parquet(dl_staging)
+        _swap_dir(dl_staging, doclens_path)
+
+    manifest.setdefault("updates", []).append(
+        {"field": field, "docs_updated": len(by_doc)}
+    )
+    _save_manifest(index_dir, manifest)
+    return manifest
+
+
+def _splice_positions(
+    pos2: np.ndarray,
+    tf_after: np.ndarray,
+    where: np.ndarray,
+    new_positions: np.ndarray,
+) -> np.ndarray:
+    """Insert one position per new doc into the flat positions stream.
+
+    ``tf_after`` is the per-doc tf AFTER doc insertion (new docs have
+    tf=1), ``where`` the sorted insertion indices into the
+    pre-insertion doc array (np.insert semantics), ``new_positions``
+    the single position of each inserted doc (same order)."""
+    offs_after = np.concatenate(([0], np.cumsum(tf_after)))
+    rows_after = where + np.arange(len(where))
+    # row r starts at offs_after[r] post-insertion; np.insert wants
+    # indices into the PRE-insertion flat array, so subtract the count
+    # of earlier single-element insertions
+    pre_idx = offs_after[rows_after] - np.arange(len(rows_after))
+    return np.insert(pos2, pre_idx, new_positions)
+
+
 def _strip_tombstones(
     postings: DataFrame, deleted_by_seg: dict[int, np.ndarray]
 ) -> DataFrame:

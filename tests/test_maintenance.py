@@ -187,3 +187,93 @@ def test_search_many_matches_per_query(spark, small_index, small_oracle):
         assert [d for d, _ in got] == [d for d, _ in expected], q["query_id"]
         for (gd, gs), (_, es) in zip(got, expected):
             assert gs == es, (q["query_id"], gd)
+
+
+def test_update_facet_field_equals_fresh_rebuild(spark, tmp_path):
+    """Partial-document update (ES `update` op analog): re-tagging
+    `lang` for a batch of urls must (a) change facet filtering, (b)
+    leave every BM25 score bit-identical, and (c) produce postings
+    BYTE-IDENTICAL to a fresh build of the re-tagged corpus — without
+    re-tokenizing any document text."""
+    import numpy as np
+    import pandas as pd
+
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+    from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+        update_facet_field,
+    )
+    from hail_elasticsearch_pipelines_spark.sources.corpus import gen_pages_pdf
+
+    base = gen_pages_pdf(np.arange(120))
+    out = str(tmp_path / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame(base),
+        out,
+        docs_per_part=37,
+        seg_group=2,
+        n_term_buckets=8,
+    )
+    s = IndexSearcher(spark, out)
+    before_or = s.search(["the"], "OR", 30).collect()
+    before_and = s.search(["the", "of"], "AND", 30).collect()
+    # pick 8 english urls to re-tag to a value not in the corpus
+    en_urls = sorted(base[base["lang"] == "en"]["url"].unique())[:8]
+    assert s.search_bool("the AND lang:zz", k=50).count() == 0
+
+    upd = spark.createDataFrame(
+        pd.DataFrame({"url": en_urls, "new_value": ["zz"] * len(en_urls)})
+    )
+    m = update_facet_field(spark, out, "lang", upd)
+    assert m["updates"][-1]["docs_updated"] == len(en_urls)
+
+    s.reload_manifest()
+    # (a) facet filtering changed: zz now matches exactly those docs...
+    zz_hits = {
+        r["doc_id"] for r in s.search_bool("the AND lang:zz", k=500).collect()
+    }
+    dl = spark.read.parquet(out + "/doclens").select("doc_id", "url").collect()
+    url_of = {int(r["doc_id"]): r["url"] for r in dl}
+    assert {url_of[d] for d in zz_hits} <= set(en_urls) and zz_hits
+    # ...and lang:en no longer matches them
+    en_hits = {
+        r["doc_id"] for r in s.search_bool("the AND lang:en", k=500).collect()
+    }
+    assert not ({url_of[d] for d in en_hits} & set(en_urls))
+    # (b) BM25 scores bit-identical (n_docs/avgdl/dl untouched)
+    assert s.search(["the"], "OR", 30).collect() == before_or
+    assert s.search(["the", "of"], "AND", 30).collect() == before_and
+
+    # (c) postings byte-identical to a fresh build of the re-tagged corpus
+    retagged = base.copy()
+    retagged.loc[retagged["url"].isin(en_urls), "lang"] = "zz"
+    out2 = str(tmp_path / "idx_rebuild")
+    build_index(
+        spark,
+        spark.createDataFrame(retagged),
+        out2,
+        docs_per_part=37,
+        seg_group=2,
+        n_term_buckets=8,
+    )
+
+    def snapshot(path):
+        rows = (
+            spark.read.parquet(path + "/postings")
+            .select("term", "segment", "df", "cf", "min_doc", "blob", "pos_blob")
+            .collect()
+        )
+        return sorted(
+            (r["term"], r["segment"], r["df"], r["cf"], r["min_doc"],
+             bytes(r["blob"]), bytes(r["pos_blob"]))
+            for r in rows
+        )
+
+    assert snapshot(out) == snapshot(out2)
+    # termdict agrees too
+    td = lambda p: sorted(
+        (r["term"], r["df"], r["cf"])
+        for r in spark.read.parquet(p + "/termdict").collect()
+    )
+    assert td(out) == td(out2)
