@@ -132,6 +132,40 @@ def main():
     local_p50 = float(np.percentile(local_ms, 50))
     local_p99 = float(np.percentile(local_ms, 99))
 
+    # -- pruning-value probes (rare/medium terms: discriminative bounds,
+    # unlike the stopword-flat reference queries).  COLD searcher per
+    # measurement so the timing is the decode work, not cache hits.
+    SEL_OR = ["term4000", "the"]             # rare + stopword, OR → WAND
+                                             # (rare idf dominates: WAND
+                                             # prunes the stopword's list)
+    SEL_AND = ["term4000", "the"]            # rare AND stopword → skip
+    def cold(fn):
+        best = float("inf")
+        for _ in range(3):
+            ls = LocalSearcher(idx_dir)
+            t0 = time.time()
+            fn(ls)
+            best = min(best, time.time() - t0)
+        return round(best, 4)
+    q["or_selective_maxscore"] = cold(
+        lambda ls: ls.search(SEL_OR, "OR", 10, algo="auto")
+    )
+    q["or_selective_exhaustive"] = cold(
+        lambda ls: ls.search(SEL_OR, "OR", 10, algo="exhaustive")
+    )
+    q["and_selective_blockmax"] = cold(
+        lambda ls: ls.search(SEL_AND, "AND", 10, algo="auto")
+    )
+    q["and_selective_exhaustive"] = cold(
+        lambda ls: ls.search(SEL_AND, "AND", 10, algo="exhaustive")
+    )
+    # stopword phrase: the vectorized adjacency matcher's showcase
+    q["phrase_stopword_cold"] = cold(lambda ls: ls.search_phrase(["of", "the"], 10))
+    t0 = time.time()
+    local.search_phrase(["of", "the"], 10)
+    local.search_phrase(["of", "the"], 10)
+    q["phrase_stopword_warm"] = round((time.time() - t0) / 2, 4)
+
     # -- headline operator queries over SF_DIR testdata -----------------
     docs = _read(spark, "documents")
     toks = docs.select("doc_id", tokenize_col("text").alias("toks"))

@@ -283,10 +283,13 @@ class _BlockCache:
 
     def __init__(self, rows):
         """rows: iterable of objects with .term .df .blob .block_last
-        .block_off attributes (pandas itertuples / pyarrow rows)."""
+        .block_off (and, when available, .block_max_tf .block_min_dl
+        for score bounds) — pandas itertuples / pyarrow rows."""
         self.blob: dict[str, bytes] = {}
         self.block_last: dict[str, np.ndarray] = {}
         self.block_off: dict[str, np.ndarray] = {}
+        self.block_max_tf: dict[str, np.ndarray] = {}
+        self.block_min_dl: dict[str, np.ndarray] = {}
         self.df: dict[str, int] = {}
         for r in rows:
             t = r.term
@@ -298,6 +301,10 @@ class _BlockCache:
             self.blob[t] = bytes(r.blob)
             self.block_last[t] = np.asarray(r.block_last, dtype=np.int64)
             self.block_off[t] = np.asarray(r.block_off, dtype=np.int32)
+            bmt = getattr(r, "block_max_tf", None)
+            if bmt is not None:
+                self.block_max_tf[t] = np.asarray(bmt, dtype=np.int64)
+                self.block_min_dl[t] = np.asarray(r.block_min_dl, dtype=np.int64)
             self.df[t] = int(r.df)
         self._full: dict[str, tuple] = {}
         self._blocks: dict[tuple[str, int], tuple] = {}
@@ -387,6 +394,96 @@ def _score_intersection_blockmax(
         idx = np.searchsorted(dt, cand)
         scores += idf[t] * bm25_tf_weight(tft[idx], dlt[idx], avgdl)
     return cand, scores
+
+
+def _score_union_maxscore(
+    cache: _BlockCache,
+    terms_sorted: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k: int,
+    dead: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MaxScore (Turtle & Flood) disjunctive top-k over the block
+    cache: terms are split into ESSENTIAL (decoded fully, candidates
+    come only from their postings) and NON-ESSENTIAL (decoded only in
+    the blocks the candidates touch) by comparing the non-essential
+    score-bound sum against the k-th best partial score.  A doc with no
+    essential term scores ≤ the non-essential bound sum < that floor,
+    so it can never enter the top k.
+
+    Unlike the window-WAND variant, this stays effective when a rare
+    term fits ONE block (whose block-max then poisons every window):
+    `rare OR stopword` decodes the rare list plus ~df_rare stopword
+    blocks instead of the stopword's millions.  Results are bit-
+    identical to the exhaustive scorer (same ascending-term float64
+    accumulation; exclusion is strict-inequality so exact ties are
+    untouched)."""
+    empty = np.array([], np.int64), np.array([], np.float64)
+    present = [t for t in terms_sorted if t in cache]
+    if not present:
+        return empty
+    if any(t not in cache.block_max_tf for t in present):
+        # no score-bound metadata (legacy rows): plain exhaustive
+        full = _mask_deleted({t: cache.full(t) for t in present}, dead)
+        d, s = _score_union_exhaustive(full, terms_sorted, idf, avgdl)
+        return _topk(d, s, k)
+    ub = {
+        t: float(
+            (
+                idf[t]
+                * bm25_tf_weight(
+                    cache.block_max_tf[t], cache.block_min_dl[t], avgdl
+                )
+            ).max()
+        )
+        for t in present
+    }
+    order = sorted(present, key=lambda t: (-ub[t], t))
+
+    def _partial(ess: list[str], cand: np.ndarray) -> np.ndarray:
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for u in sorted(ess):
+            du, tfu, dlu = cache.full(u)
+            m = _members(du, cand)
+            if m.any():
+                idx = np.searchsorted(du, cand[m])
+                scores[m] += idf[u] * bm25_tf_weight(tfu[idx], dlu[idx], avgdl)
+        return scores
+
+    cand = np.array([], np.int64)
+    cut = len(order)
+    for i, t in enumerate(order):
+        cand = np.union1d(cand, cache.full(t)[0])
+        rest = order[i + 1 :]
+        if not rest:
+            cut = len(order)
+            break
+        live = cand
+        if dead is not None and dead.size:
+            live = cand[~np.isin(cand, dead, assume_unique=True)]
+        if live.size >= k:
+            part = _partial(order[: i + 1], live)
+            theta_lb = np.partition(part, live.size - k)[live.size - k]
+            if sum(ub[u] for u in rest) < theta_lb:
+                cut = i + 1
+                break
+    ess, weak = order[:cut], order[cut:]
+    if dead is not None and dead.size:
+        cand = cand[~np.isin(cand, dead, assume_unique=True)]
+    if cand.size == 0:
+        return empty
+    gathered = {t: cache.gather(t, cand) for t in weak}
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in terms_sorted:  # accumulation order contract: ascending term
+        if t not in cache:
+            continue
+        dt, tft, dlt = gathered[t] if t in gathered else cache.full(t)
+        m = _members(dt, cand)
+        if m.any():
+            idx = np.searchsorted(dt, cand[m])
+            scores[m] += idf[t] * bm25_tf_weight(tft[idx], dlt[idx], avgdl)
+    return _topk(cand, scores, k)
 
 
 def _eval_bool_blockmax(
@@ -658,10 +755,11 @@ class IndexSearcher:
         """Top-k BM25.  Returns DataFrame(doc_id, score) already sorted
         by (score desc, doc_id asc), exactly k rows or fewer.
 
-        algo: "auto" (AND → block-skip intersection, OR → exhaustive),
-        "bmw" (OR → block-max WAND), "exhaustive" (always full decode).
-        All paths are rank- AND score-identical; algo only changes how
-        much of each posting list is decoded."""
+        algo: "auto" (AND → block-skip intersection, OR → MaxScore),
+        "bmw" (OR → window block-max WAND), "maxscore" (OR → MaxScore),
+        "exhaustive" (always full decode).  All paths are rank- AND
+        score-identical; algo only changes how much of each posting
+        list is decoded."""
         terms_sorted = sorted(set(terms))
         mode_u = mode.upper()
         avgdl = self.avgdl
@@ -719,6 +817,12 @@ class IndexSearcher:
                     cache, terms_sorted, idf, avgdl, dead=dead
                 )
                 docs, scores = _topk(docs, scores, k)
+                return pd.DataFrame({"doc_id": docs, "score": scores})
+            if mode_u == "OR" and algo in ("auto", "maxscore"):
+                cache = _BlockCache(pdf.itertuples())
+                docs, scores = _score_union_maxscore(
+                    cache, terms_sorted, idf, avgdl, k, dead=dead
+                )
                 return pd.DataFrame({"doc_id": docs, "score": scores})
             postings = {}
             for r in pdf.itertuples():
@@ -978,29 +1082,19 @@ class IndexSearcher:
                 # queries trigger full decodes that are then SHARED by
                 # every later query touching the same term.
                 cache = _BlockCache(pdf.itertuples())
-                or_terms = {
-                    t for _, ts, m, _ in compiled if m != "AND" for t in ts
-                }
-                full_postings: dict[str, tuple] | None = None
                 for qid, terms_sorted, mode, k in compiled:
                     if mode == "AND":
                         docs, scores = _score_intersection_blockmax(
                             cache, terms_sorted, idf, avgdl, dead=dead
                         )
+                        docs, scores = _topk(docs, scores, k)
                     else:
-                        if full_postings is None:
-                            full_postings = _mask_deleted(
-                                {
-                                    t: cache.full(t)
-                                    for t in cache.blob
-                                    if t in or_terms
-                                },
-                                dead,
-                            )
-                        docs, scores = _score_union_exhaustive(
-                            full_postings, terms_sorted, idf, avgdl
+                        # MaxScore per query; essential full decodes and
+                        # gathered weak blocks are SHARED across the
+                        # batch through the segment's cache
+                        docs, scores = _score_union_maxscore(
+                            cache, terms_sorted, idf, avgdl, k, dead=dead
                         )
-                    docs, scores = _topk(docs, scores, k)
                     out_q.extend([qid] * len(docs))
                     out_d.extend(docs.tolist())
                     out_s.extend(scores.tolist())

@@ -207,8 +207,17 @@ def minhash_dedup_pairs(
     rows_per_band = n_perm // n_bands
     sigs = minhash_signatures(df, n_perm, shingle_n, text_col, id_col)
     cand = minhash_lsh_candidates(sigs, n_bands, rows_per_band)
+    # verify with HASHED (int64) shingles, not the strings: Jaccard is
+    # a set statistic, so xxhash64'ing each shingle preserves it exactly
+    # up to hash collisions (~n²·2⁻⁶⁴ per pair — negligible) while the
+    # candidate join shuffles 8 bytes per shingle instead of ~30-50B of
+    # text, a ~5x cut in the verify stage's shuffle weight on near-dup-
+    # heavy corpora.
     sh = df.select(
-        F.col(id_col).alias("id"), token_shingles(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col).alias("id"),
+        F.transform(
+            token_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -24,11 +24,14 @@ import pyarrow.dataset as ds
 
 from ..functions import codecs
 from .bm25 import (
+    _BlockCache,
     _mask_deleted,
     _phrase_match_counts,
     _score_intersection,
+    _score_intersection_blockmax,
     _score_union_blockmax,
     _score_union_exhaustive,
+    _score_union_maxscore,
     _topk,
     load_deletes,
 )
@@ -38,6 +41,25 @@ from .index_build import bm25_idf, bm25_tf_weight, term_bucket
 def _list_np(list_scalar, dtype) -> np.ndarray:
     """pyarrow ListScalar -> numpy without per-element Python objects."""
     return list_scalar.values.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+
+
+class _CacheRow:
+    """Adapter: one pyarrow table row → the attribute shape _BlockCache
+    expects, with arrow-native list extraction (no per-element as_py)."""
+
+    __slots__ = (
+        "term", "df", "blob", "block_last", "block_off",
+        "block_max_tf", "block_min_dl",
+    )
+
+    def __init__(self, tbl, i: int):
+        self.term = tbl["term"][i].as_py()
+        self.df = tbl["df"][i].as_py()
+        self.blob = tbl["blob"][i].as_py()
+        self.block_last = _list_np(tbl["block_last"][i], np.int64)
+        self.block_off = _list_np(tbl["block_off"][i], np.int32)
+        self.block_max_tf = _list_np(tbl["block_max_tf"][i], np.int64)
+        self.block_min_dl = _list_np(tbl["block_min_dl"][i], np.int64)
 
 
 def _put_unique(d: dict, key, value) -> None:
@@ -150,7 +172,7 @@ class LocalSearcher:
             return []
         idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
 
-        cols = ["term", "segment", "blob", "block_last", "block_max_tf", "block_min_dl", "block_off"]
+        cols = ["term", "segment", "df", "blob", "block_last", "block_max_tf", "block_min_dl", "block_off"]
         tbl = self._term_rows(terms_sorted, cols)
         seg_arr = np.asarray(tbl["segment"].to_pylist())
         cand_docs, cand_scores = [], []
@@ -191,6 +213,23 @@ class LocalSearcher:
                 self._bmw_cache_blocks = sum(
                     len(d) for d in self._bmw_cache.values()
                 )
+            elif algo in ("auto", "maxscore") or (
+                mode_u == "AND" and algo != "exhaustive"
+            ):
+                # pruned paths, same kernels as the distributed searcher:
+                # AND → block-skip intersection, OR → MaxScore
+                cache = _BlockCache(
+                    _CacheRow(tbl, int(i)) for i in idxs
+                )
+                if mode_u == "AND":
+                    docs, scores = _score_intersection_blockmax(
+                        cache, terms_sorted, idf, self.avgdl, dead=dead
+                    )
+                    docs, scores = _topk(docs, scores, k)
+                else:
+                    docs, scores = _score_union_maxscore(
+                        cache, terms_sorted, idf, self.avgdl, k, dead=dead
+                    )
             else:
                 postings = {}
                 for i in idxs:

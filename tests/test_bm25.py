@@ -140,3 +140,55 @@ def test_blockmax_intersection_skips_and_matches_exhaustive():
     )
     np.testing.assert_array_equal(docs_pd, docs_ed)
     np.testing.assert_array_equal(scores_pd, scores_ed)
+
+
+def test_maxscore_union_skips_and_matches_exhaustive():
+    """`rare OR stopword`: MaxScore must (a) be bit-identical to the
+    exhaustive union (exact ties included), and (b) decode only the
+    stopword blocks the rare candidates touch — the case where a
+    1-block rare term defeats window-WAND's per-window bounds."""
+    import numpy as np
+
+    from hail_elasticsearch_pipelines_spark.functions import codecs
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+        _BlockCache,
+        _score_union_exhaustive,
+        _score_union_maxscore,
+        _topk,
+        bm25_idf,
+    )
+
+    rng = np.random.default_rng(5)
+    n_stop = 60_000
+    stop_d = np.sort(rng.choice(250_000, n_stop, replace=False)).astype(np.int64)
+    stop_tf = rng.integers(1, 9, n_stop).astype(np.int64)
+    stop_dl = rng.integers(30, 400, n_stop).astype(np.int64)
+    rare_d = np.sort(rng.choice(250_000, 50, replace=False)).astype(np.int64)
+    rare_tf = rng.integers(1, 4, 50).astype(np.int64)
+    rare_dl = rng.integers(30, 400, 50).astype(np.int64)
+
+    class Row:
+        def __init__(self, term, d, tf, dl):
+            blob, bl, bm, bo = codecs.encode_postings(d, tf, dls=dl)
+            self.term, self.df, self.blob = term, len(d), blob
+            self.block_last, self.block_off = bl, bo
+            self.block_max_tf = bm
+            starts = np.arange(0, len(d), codecs.BLOCK_SIZE)
+            self.block_min_dl = np.minimum.reduceat(dl, starts)
+
+    rows = [Row("aardvark", rare_d, rare_tf, rare_dl), Row("the", stop_d, stop_tf, stop_dl)]
+    idf = {"aardvark": bm25_idf(250_000, 50), "the": bm25_idf(250_000, n_stop)}
+    terms, avgdl, k = sorted(idf), 150.0, 10
+    cache = _BlockCache(rows)
+    docs_m, scores_m = _score_union_maxscore(cache, terms, idf, avgdl, k)
+    full = {
+        "aardvark": (rare_d, rare_tf, rare_dl),
+        "the": (stop_d, stop_tf, stop_dl),
+    }
+    docs_e, scores_e = _topk(*_score_union_exhaustive(full, terms, idf, avgdl), k)
+    np.testing.assert_array_equal(docs_m, docs_e)
+    np.testing.assert_array_equal(scores_m, scores_e)  # BIT-identical
+    assert "the" not in cache._full  # stopword never fully decoded
+    n_stop_blocks = len(cache.block_last["the"])
+    decoded = sum(1 for (t, _) in cache._blocks if t == "the")
+    assert decoded <= 50 and decoded < 0.2 * n_stop_blocks

@@ -60,3 +60,14 @@ def test_with_source_fetch(spark, small_index, small_oracle):
     urls = pdf.sort_values("url").reset_index(drop=True)["url"]
     for r in rows:
         assert r["url"] == urls[r["doc_id"]]
+
+
+def test_local_and_blockmax_matches_exhaustive(small_index):
+    """LocalSearcher AND with algo='auto' (block-skip intersection) is
+    bit-identical to the cached-exhaustive default."""
+    index_dir, _ = small_index
+    ls = LocalSearcher(index_dir)
+    for terms in (["the", "of"], ["the", "term0042"], ["term0042", "term0099"]):
+        a = ls.search(terms, "AND", 25, algo="auto")
+        b = ls.search(terms, "AND", 25, algo="exhaustive")
+        assert a == b, terms
