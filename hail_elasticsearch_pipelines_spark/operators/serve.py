@@ -129,18 +129,23 @@ class LocalSearcher:
         self._pos_cache_bytes += sz
         return out
 
-    def _decode_cached(self, term: str, seg: int, blob) -> tuple:
+    def _cache_put(self, term: str, seg: int, out: tuple) -> None:
         key = (term, seg)
-        hit = self._cache.get(key)
-        if hit is not None:
-            return hit
-        out = codecs.decode_postings(blob.as_py() if hasattr(blob, "as_py") else blob)
+        if key in self._cache:
+            return
         sz = sum(a.nbytes for a in out if a is not None)
         while self._cache and self._cache_bytes + sz > self._cache_cap:
             old = self._cache.pop(next(iter(self._cache)))  # FIFO eviction
             self._cache_bytes -= sum(a.nbytes for a in old if a is not None)
         self._cache[key] = out
         self._cache_bytes += sz
+
+    def _decode_cached(self, term: str, seg: int, blob) -> tuple:
+        hit = self._cache.get((term, seg))
+        if hit is not None:
+            return hit
+        out = codecs.decode_postings(blob.as_py() if hasattr(blob, "as_py") else blob)
+        self._cache_put(term, seg, out)
         return out
 
     def _bucket_filter(self, terms: list[str]):
@@ -161,10 +166,12 @@ class LocalSearcher:
         )
 
     def search(
-        self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "exhaustive"
+        self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "auto"
     ) -> list[tuple[int, float]]:
         """Top-k BM25 → [(doc_id, score)] by (score desc, doc_id asc).
-        Identical accumulation order to IndexSearcher → bit-identical."""
+        Identical accumulation order to IndexSearcher → bit-identical.
+        algo mirrors IndexSearcher.search: "auto" (AND → block-skip,
+        OR → MaxScore), "bmw", "maxscore", "exhaustive"."""
         terms_sorted = sorted(set(terms))
         dfs = self.global_dfs(terms_sorted)
         mode_u = mode.upper()
@@ -217,10 +224,18 @@ class LocalSearcher:
                 mode_u == "AND" and algo != "exhaustive"
             ):
                 # pruned paths, same kernels as the distributed searcher:
-                # AND → block-skip intersection, OR → MaxScore
+                # AND → block-skip intersection, OR → MaxScore.  The
+                # block cache is SEEDED from this searcher's persistent
+                # decoded-postings cache and harvests back into it, so
+                # warm serving keeps the hot-term decode amortization
+                # the exhaustive path had.
                 cache = _BlockCache(
                     _CacheRow(tbl, int(i)) for i in idxs
                 )
+                for t in cache.blob:
+                    hit = self._cache.get((t, int(seg)))
+                    if hit is not None:
+                        cache._full[t] = hit
                 if mode_u == "AND":
                     docs, scores = _score_intersection_blockmax(
                         cache, terms_sorted, idf, self.avgdl, dead=dead
@@ -230,6 +245,8 @@ class LocalSearcher:
                     docs, scores = _score_union_maxscore(
                         cache, terms_sorted, idf, self.avgdl, k, dead=dead
                     )
+                for t, out in cache._full.items():
+                    self._cache_put(t, int(seg), out)
             else:
                 postings = {}
                 for i in idxs:
