@@ -76,3 +76,114 @@ def test_stream_upsert_replaces_recrawls(spark, tmp_path):
     assert s.search(["oldtoken0"], "OR", 5) == []
     assert len(s.search(["newtoken0"], "OR", 5)) == 1
     assert len(s.search(["shared"], "OR", 50)) == 40
+
+
+def _mini_pages(rows):
+    """rows: list of (url, ts, text) → PAGES_SCHEMA pandas frame."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        [(u, ts, b"<html><body>x</body></html>", tx, "en") for u, ts, tx in rows],
+        columns=["url", "warc_ts", "html", "text", "lang"],
+    )
+
+
+def test_stream_crawl_stats_watermark_drops_late_rows(spark, tmp_path):
+    """Windowed agg with watermark (append mode): windows finalize once
+    the watermark passes their end, and a row arriving LATER than the
+    watermark is dropped — bounded state at crawl scale."""
+    import datetime as dt
+    import os
+    import time
+
+    from hail_elasticsearch_pipelines_spark.streaming.stats import stream_crawl_stats
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    t0 = dt.datetime(2025, 3, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    # batch 1: two rows in [00,01), one in [01,02), one at 05:00
+    # (advances the 2h watermark to 03:00 AFTER the batch)
+    b1 = _mini_pages(
+        [
+            ("u1", t0 + 0.5 * h, "alpha"),
+            ("u2", t0 + 0.75 * h, "beta"),
+            ("u3", t0 + 1.5 * h, "gamma"),
+            ("u4", t0 + 5 * h, "delta"),
+        ]
+    )
+    # batch 2: nothing late — lets the engine EVICT+EMIT the windows
+    # below watermark 03:00 ([00,01) and [01,02))
+    b2 = _mini_pages([("u6", t0 + 6 * h, "new")])
+    # batch 3: a row in the already-finalized [00,01) window, older
+    # than the standing watermark → dropped at input (no state left,
+    # no duplicate append emission)
+    b3 = _mini_pages([("u5", t0 + 0.75 * h, "late")])
+    paths = [str(src / f"b{i}.parquet") for i in (1, 2, 3)]
+    for pdf, p in zip((b1, b2, b3), paths):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(p)
+    now = time.time()
+    for i, p in enumerate(paths):  # force file-source batch order
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now + i * 10, now + i * 10))
+
+    stats = stream_crawl_stats(
+        spark, str(src) + "/*", window_duration="1 hour",
+        watermark="2 hours", max_files_per_trigger=1,
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("crawl_stats_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_stats"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (r["window_start"].hour, r["lang"]): r["n_pages"]
+        for r in spark.sql("select * from crawl_stats_test").collect()
+    }
+    # finalized windows only, late row NOT counted
+    assert out == {(0, "en"): 2, (1, "en"): 1}
+
+
+def test_stream_first_seen_urls_stateful(spark, tmp_path):
+    """applyInPandasWithState custom stateful op: each url emitted
+    exactly once across micro-batches, with its first-batch min ts."""
+    import datetime as dt
+    import os
+    import time
+
+    from hail_elasticsearch_pipelines_spark.streaming.stats import (
+        stream_first_seen_urls,
+    )
+
+    src = tmp_path / "frontier_src"
+    src.mkdir()
+    t0 = dt.datetime(2025, 3, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    b1 = _mini_pages([("a", t0 + 2 * m, "x"), ("b", t0, "y"), ("b", t0 + 5 * m, "y2")])
+    b2 = _mini_pages([("b", t0 + 9 * m, "y3"), ("c", t0 + 7 * m, "z")])
+    p1, p2 = str(src / "b1.parquet"), str(src / "b2.parquet")
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite").parquet(p1)
+    spark.createDataFrame(b2).coalesce(1).write.mode("overwrite").parquet(p2)
+    now = time.time()
+    for i, p in enumerate((p1, p2)):
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (now + i * 10, now + i * 10))
+
+    firsts = stream_first_seen_urls(spark, str(src) + "/*", max_files_per_trigger=1)
+    q = (
+        firsts.writeStream.format("memory")
+        .queryName("first_seen_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_first"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from first_seen_test").collect()
+    got = {r["url"]: r["first_ts"] for r in rows}
+    assert len(rows) == 3  # each url exactly once
+    assert got == {"a": t0 + 2 * m, "b": t0, "c": t0 + 7 * m}
