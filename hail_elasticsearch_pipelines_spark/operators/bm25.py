@@ -1032,90 +1032,257 @@ class IndexSearcher:
         )
 
     def search_many(self, specs: list[dict]) -> DataFrame:
-        """Batch query execution: ONE Spark job scores every query in
-        `specs` (dicts with query_id, terms, mode, k).  Each segment's
-        posting blobs are decoded once and shared across queries —
-        this is the throughput path (the per-query `search` latency is
-        dominated by Spark job scheduling in local mode).
+        """Batch query execution (the ES ``msearch`` analog).  Specs are
+        dicts with ``query_id``, ``k`` and ONE OF:
+          * ``terms`` + ``mode`` "OR"/"AND" — BM25 term query
+          * ``mode`` "BOOL" + ``query`` — boolean query string
+          * ``mode`` "PHRASE" + ``phrase`` — exact-phrase query
 
-        Returns DataFrame(query_id, rank, doc_id, score) with rank
-        1..k per query by (score desc, doc_id asc)."""
-        all_terms = sorted({t for s in specs for t in s["terms"]})
-        if not all_terms:
-            return self.spark.createDataFrame([], MULTI_RESULT_SCHEMA)
+        Job count is CONSTANT in the batch size: term+bool queries share
+        one scoring job (each segment's block cache decodes every blob
+        at most once across all queries); phrase queries add two (one
+        match job for ALL phrases — phrase df isn't known until matches
+        exist — plus the count).  Returns DataFrame(query_id, rank,
+        doc_id, score), rank 1..k by (score desc, doc_id asc), results
+        bit-identical per query to search/search_bool/search_phrase."""
+        from ..functions import boolquery as bq
+
         n_docs, avgdl = self.n_docs, self.avgdl
-        # single-job path: global dfs ride in on a broadcast termdict
-        # join (same as `search`) instead of a driver-side lookup job
-        rows = self._rows_with_global_df(all_terms)
-        if rows is None:
-            dfs = self.global_dfs(all_terms)
-            rows = self._term_rows(all_terms).withColumn(
-                "df_global",
-                F.create_map(
-                    *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
-                )[F.col("term")],
-            )
-        compiled = [
-            (
-                s["query_id"],
-                sorted(set(s["terms"])),
-                s.get("mode", "OR").upper(),
-                int(s.get("k", 10)),
-            )
-            for s in specs
-        ]
+        term_specs, bool_specs, phrase_specs = [], [], []
+        for s in specs:
+            mode = s.get("mode", "OR").upper()
+            if mode in ("OR", "AND"):
+                term_specs.append(
+                    (s["query_id"], sorted(set(s["terms"])), mode, int(s.get("k", 10)))
+                )
+            elif mode == "BOOL":
+                ast = bq.parse(s["query"])
+                pos_terms = bq.positive_terms(ast)
+                if not pos_terms:
+                    raise bq.QueryParseError(
+                        f"query {s['query_id']} has no positive terms"
+                    )
+                bool_specs.append(
+                    (
+                        s["query_id"], ast, bq.all_terms(ast),
+                        bq.required_terms(ast), pos_terms, int(s.get("k", 10)),
+                    )
+                )
+            elif mode == "PHRASE":
+                phrase_specs.append(
+                    (s["query_id"], list(s["phrase"]), int(s.get("k", 10)))
+                )
+            else:
+                raise ValueError(f"unknown search_many mode {mode!r}")
 
+        parts: list[DataFrame] = []
+        result_schema = T.StructType(
+            [T.StructField("query_id", T.StringType(), False)]
+            + RESULT_SCHEMA.fields
+        )
         get_deletes = self._segment_deletes_fn()
 
-        def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            out_q, out_d, out_s = [], [], []
-            if not pdf.empty:
-                _check_unique_terms(pdf)
-                dead = get_deletes(pdf["segment"].iloc[0])
-                idf = {
-                    t: bm25_idf(n_docs, int(d))
-                    for t, d in zip(pdf["term"], pdf["df_global"])
-                }
-                # ONE lazy block cache per segment: conjunctive queries
-                # skip-read through it (a rare term's candidates decode
-                # only the stopword blocks they touch), disjunctive
-                # queries trigger full decodes that are then SHARED by
-                # every later query touching the same term.
-                cache = _BlockCache(pdf.itertuples())
-                for qid, terms_sorted, mode, k in compiled:
-                    if mode == "AND":
-                        docs, scores = _score_intersection_blockmax(
-                            cache, terms_sorted, idf, avgdl, dead=dead
-                        )
-                        docs, scores = _topk(docs, scores, k)
-                    else:
-                        # MaxScore per query; essential full decodes and
-                        # gathered weak blocks are SHARED across the
-                        # batch through the segment's cache
-                        docs, scores = _score_union_maxscore(
-                            cache, terms_sorted, idf, avgdl, k, dead=dead
-                        )
-                    out_q.extend([qid] * len(docs))
-                    out_d.extend(docs.tolist())
-                    out_s.extend(scores.tolist())
-            return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+        all_terms = sorted(
+            {t for _, ts, _, _ in term_specs for t in ts}
+            | {t for _, _, ts, _, _, _ in bool_specs for t in ts}
+        )
+        if all_terms:
+            # single-job path: global dfs ride in on a broadcast termdict
+            # join (same as `search`) instead of a driver-side lookup job
+            rows = self._rows_with_global_df(all_terms)
+            if rows is None:
+                dfs = self.global_dfs(all_terms)
+                rows = self._term_rows(all_terms).withColumn(
+                    "df_global",
+                    F.create_map(
+                        *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
+                    )[F.col("term")],
+                )
+            compiled_t, compiled_b = term_specs, bool_specs
 
-        per_segment = rows.groupBy("segment").applyInPandas(
-            score_segment,
-            schema=T.StructType(
-                [T.StructField("query_id", T.StringType(), False)]
-                + RESULT_SCHEMA.fields
-            ),
+            def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+                out_q, out_d, out_s = [], [], []
+                if not pdf.empty:
+                    _check_unique_terms(pdf)
+                    dead = get_deletes(pdf["segment"].iloc[0])
+                    idf = {
+                        t: bm25_idf(n_docs, int(d))
+                        for t, d in zip(pdf["term"], pdf["df_global"])
+                    }
+                    # ONE lazy block cache per segment: conjunctive and
+                    # required-seeded queries skip-read through it;
+                    # essential full decodes are SHARED by every later
+                    # query touching the same term.
+                    cache = _BlockCache(pdf.itertuples())
+                    for qid, terms_sorted, mode, k in compiled_t:
+                        if mode == "AND":
+                            docs, scores = _score_intersection_blockmax(
+                                cache, terms_sorted, idf, avgdl, dead=dead
+                            )
+                            docs, scores = _topk(docs, scores, k)
+                        else:
+                            docs, scores = _score_union_maxscore(
+                                cache, terms_sorted, idf, avgdl, k, dead=dead
+                            )
+                        out_q.extend([qid] * len(docs))
+                        out_d.extend(docs.tolist())
+                        out_s.extend(scores.tolist())
+                    for qid, ast, q_terms, req, pos_terms, k in compiled_b:
+                        if req:
+                            docs, scores = _eval_bool_blockmax(
+                                cache, ast, req, pos_terms, idf, avgdl, dead=dead
+                            )
+                        else:
+                            postings = _mask_deleted(
+                                {t: cache.full(t) for t in q_terms if t in cache},
+                                dead,
+                            )
+                            cand = bq.eval_docs(
+                                ast, {t: p[0] for t, p in postings.items()}
+                            )
+                            if isinstance(cand, tuple) or cand.size == 0:
+                                continue
+                            scores = bq.score_candidates(
+                                cand, postings, pos_terms, idf, avgdl
+                            )
+                            docs = cand
+                        docs, scores = _topk(docs, scores, k)
+                        out_q.extend([qid] * len(docs))
+                        out_d.extend(docs.tolist())
+                        out_s.extend(scores.tolist())
+                return pd.DataFrame(
+                    {"query_id": out_q, "doc_id": out_d, "score": out_s}
+                )
+
+            parts.append(
+                rows.groupBy("segment").applyInPandas(
+                    score_segment, schema=result_schema
+                )
+            )
+
+        if phrase_specs:
+            parts.append(self._phrase_scores_many(phrase_specs))
+
+        if not parts:
+            return self.spark.createDataFrame([], MULTI_RESULT_SCHEMA)
+        per_segment = parts[0]
+        for p in parts[1:]:
+            per_segment = per_segment.unionByName(p)
+        k_pairs = (
+            [(qid, k) for qid, _, _, k in term_specs]
+            + [(qid, k) for qid, _, _, _, _, k in bool_specs]
+            + [(qid, k) for qid, _, k in phrase_specs]
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         k_map = F.create_map(
-            *[x for qid, _, _, k in compiled for x in (F.lit(qid), F.lit(k))]
+            *[x for qid, k in k_pairs for x in (F.lit(qid), F.lit(k))]
         )
         return (
             per_segment.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k_map[F.col("query_id")])
             .select("query_id", "rank", "doc_id", "score")
         )
+
+    def _phrase_scores_many(self, phrase_specs: list[tuple]) -> DataFrame:
+        """(query_id, doc_id, score) for a BATCH of phrase queries in
+        two jobs total: one segment-parallel match job for every phrase
+        (position blobs decoded once per (term, segment) across the
+        batch), one tiny count job for the per-query global df (the
+        phrase idf needs it), then JVM-side scoring — job count is
+        independent of the number of phrase queries."""
+        if not self.manifest["params"].get("with_positions", True):
+            raise ValueError(
+                "phrase queries need positional postings, but this index was "
+                "built with with_positions=False — rebuild with positions"
+            )
+        compiled = [(qid, list(ph)) for qid, ph, _ in phrase_specs]
+        all_terms = sorted({t for _, ph in compiled for t in ph})
+        get_deletes = self._segment_deletes_fn()
+
+        def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"query_id": [], "doc_id": [], "tf": [], "dl": []}
+            if pdf.empty:
+                return pd.DataFrame(out)
+            _check_unique_terms(pdf)
+            dead = get_deletes(pdf["segment"].iloc[0])
+            post = {}
+            for r in pdf.itertuples():
+                d, tf, dl = codecs.decode_postings(bytes(r.blob))
+                pos, offs = codecs.decode_position_lists(bytes(r.pos_blob), tf)
+                post[r.term] = (d, dl, pos, offs)
+            for qid, phrase_t in compiled:
+                if not all(t in post for t in phrase_t):
+                    continue
+                common = reduce(
+                    lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                    (post[t][0] for t in dict.fromkeys(phrase_t)),
+                )
+                if dead is not None and dead.size:
+                    common = common[~np.isin(common, dead, assume_unique=True)]
+                if common.size == 0:
+                    continue
+                d0, dl0, _, _ = post[phrase_t[0]]
+                dl_idx = np.searchsorted(d0, common)
+                tfs = _phrase_match_counts(post, phrase_t, common)
+                hit = tfs > 0
+                out["query_id"].extend([qid] * int(hit.sum()))
+                out["doc_id"].extend(common[hit].tolist())
+                out["tf"].extend(tfs[hit].tolist())
+                out["dl"].extend(dl0[dl_idx[hit]].tolist())
+            return pd.DataFrame(out)
+
+        rows = self._term_rows(all_terms).select(
+            "segment", "term", "blob", "pos_blob"
+        )
+        matches = rows.groupBy("segment").applyInPandas(
+            match_segment,
+            schema=T.StructType(
+                [
+                    T.StructField("query_id", T.StringType(), False),
+                    T.StructField("doc_id", T.LongType(), False),
+                    T.StructField("tf", T.LongType(), False),
+                    T.StructField("dl", T.LongType(), False),
+                ]
+            ),
+        )
+        matches.persist()
+        try:
+            counts = {
+                r["query_id"]: int(r["n"])
+                for r in matches.groupBy("query_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            if not counts:
+                return self.spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        [T.StructField("query_id", T.StringType(), False)]
+                        + RESULT_SCHEMA.fields
+                    ),
+                )
+            idf_map = F.create_map(
+                *[
+                    x
+                    for qid, n in counts.items()
+                    for x in (F.lit(qid), F.lit(bm25_idf(self.n_docs, n)))
+                ]
+            )
+            w = (F.lit(BM25_K1 + 1.0) * F.col("tf")) / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.lit(self.avgdl)
+                )
+            )
+            return matches.select(
+                "query_id",
+                "doc_id",
+                (idf_map[F.col("query_id")] * w).alias("score"),
+            ).localCheckpoint()  # cut lineage before unpersist
+        finally:
+            matches.unpersist()
 
 
 def bm25_exhaustive_df(

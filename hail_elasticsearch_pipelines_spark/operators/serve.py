@@ -275,10 +275,20 @@ class LocalSearcher:
         return list(zip(d.tolist(), s.tolist()))
 
     def search_many(self, specs: list[dict]) -> dict[str, list[tuple[int, float]]]:
-        return {
-            s["query_id"]: self.search(s["terms"], s.get("mode", "OR"), s.get("k", 10))
-            for s in specs
-        }
+        """msearch analog: term ("OR"/"AND"), "BOOL" (query string) and
+        "PHRASE" specs — same spec shape as IndexSearcher.search_many;
+        the searcher's caches amortize shared terms across the batch."""
+        out: dict[str, list[tuple[int, float]]] = {}
+        for s in specs:
+            mode = s.get("mode", "OR").upper()
+            k = int(s.get("k", 10))
+            if mode == "BOOL":
+                out[s["query_id"]] = self.search_bool(s["query"], k)
+            elif mode == "PHRASE":
+                out[s["query_id"]] = self.search_phrase(list(s["phrase"]), k)
+            else:
+                out[s["query_id"]] = self.search(s["terms"], mode, k)
+        return out
 
     def search_bool(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         """Boolean query string — same semantics as

@@ -277,3 +277,40 @@ def test_update_facet_field_equals_fresh_rebuild(spark, tmp_path):
         for r in spark.read.parquet(p + "/termdict").collect()
     )
     assert td(out) == td(out2)
+
+
+def test_search_many_msearch_parity(spark, small_index):
+    """The batch API accepts term, boolean, and phrase specs in ONE
+    call; every query's results are bit-identical to its single-query
+    API, and job count stays constant in the batch size."""
+    out, _ = small_index
+    s = IndexSearcher(spark, out)
+    specs = [
+        {"query_id": "t_or", "terms": ["the", "term0042"], "mode": "OR", "k": 8},
+        {"query_id": "t_and", "terms": ["the", "of"], "mode": "AND", "k": 8},
+        {"query_id": "b1", "mode": "BOOL", "query": "the AND (term0042 OR term0099) AND NOT term0007", "k": 8},
+        {"query_id": "b2", "mode": "BOOL", "query": "the AND lang:en", "k": 8},
+        {"query_id": "p1", "mode": "PHRASE", "phrase": ["the", "of"], "k": 8},
+    ]
+    res = s.search_many(specs).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid in got:
+        got[qid] = [(d, sc) for _, d, sc in sorted(got[qid])]
+    assert got["t_or"] == [
+        (r["doc_id"], r["score"]) for r in s.search(["the", "term0042"], "OR", 8).collect()
+    ]
+    assert got["t_and"] == [
+        (r["doc_id"], r["score"]) for r in s.search(["the", "of"], "AND", 8).collect()
+    ]
+    assert got["b1"] == [
+        (r["doc_id"], r["score"])
+        for r in s.search_bool("the AND (term0042 OR term0099) AND NOT term0007", k=8).collect()
+    ]
+    assert got["b2"] == [
+        (r["doc_id"], r["score"]) for r in s.search_bool("the AND lang:en", k=8).collect()
+    ]
+    assert got["p1"] == [
+        (r["doc_id"], r["score"]) for r in s.search_phrase(["the", "of"], k=8).collect()
+    ]
