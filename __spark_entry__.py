@@ -269,6 +269,13 @@ def _q_frame_sample(spark, sf):
     return mm.frame_sample_stub(d, every_n=30)
 
 
+def _q_image_resize(spark, sf):
+    d = _read(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return mm.image_resize_stub(d, target=224)
+
+
 def _q_pricing_summary(spark, sf):
     li = _read(spark, sf, "lineitem")
     return (
@@ -402,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs": _q_embedding_pairs,
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
+        "image_resize": _q_image_resize,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "customers_no_orders": _q_customers_no_orders,
@@ -723,6 +731,25 @@ def _frame_sample_sql(every_n: int = 30) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
 
 
+_IMAGE_RESIZE_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id, sha256(text) AS hx FROM documents
+), dims AS (
+  SELECT media_id, hx,
+    16 + (('0x' || substr(hx, 1, 2))::INT % 1024) AS src_w,
+    16 + (('0x' || substr(hx, 3, 2))::INT % 1024) AS src_h
+  FROM base
+), fit AS (
+  SELECT *, greatest(1, (src_w * 224) // greatest(src_w, src_h)) AS out_w,
+            greatest(1, (src_h * 224) // greatest(src_w, src_h)) AS out_h
+  FROM dims
+)
+SELECT media_id, src_w, src_h, out_w, out_h,
+       sha256(hx || ':' || out_w || 'x' || out_h) AS resized_sha
+FROM fit
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     or_sql = _bm25_sql(OR_TERMS, "OR", 20)
     and_sql = _bm25_sql(AND_TERMS, "AND", 20)
@@ -744,6 +771,7 @@ def oracle_sql() -> dict[str, str]:
         # the PLUMBING — row fan-out, every_n arithmetic, hash chain —
         # is value-checked via the SQL twin of the stub chain.
         "frame_sample": _frame_sample_sql(30),
+        "image_resize": _IMAGE_RESIZE_SQL,
         "bm25_or": or_sql,
         "bm25_and": and_sql,
         "bm25_index_or": or_sql,

@@ -98,6 +98,51 @@ def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.withColumn("media_meta", meta_udf(F.col(payload_col)))
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_w", T.IntegerType(), False),
+        T.StructField("src_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("resized_sha", T.StringType(), False),
+    ]
+)
+
+
+def image_resize_stub(
+    df: DataFrame, payload_col: str = "payload", target: int = 224
+) -> DataFrame:
+    """Image resize plumbing (mapInPandas, one row per image): aspect-fit
+    a source image into ``target`` × ``target`` with INTEGER arithmetic
+    (out = src * target // max(src_w, src_h)) and emit the resized
+    artifact's identity hash.  The decode/resample itself is stubbed
+    behind an import-try (PIL absent in this container): source dims
+    come from fake_decode_dims (first two sha256 bytes) and the
+    'resized bytes' hash is the hex-string chain
+    sha256(payload_sha || ':' || out_w || 'x' || out_h) — deliberately
+    SQL-expressible so the driver's DuckDB oracle value-checks the
+    fan-out and the aspect-fit arithmetic end to end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                b = bytes(payload)
+                hhex = hashlib.sha256(b).hexdigest()
+                w, h = fake_decode_dims(b)
+                m = max(w, h)
+                ow = max(1, (w * target) // m)
+                oh = max(1, (h * target) // m)
+                rsha = hashlib.sha256(f"{hhex}:{ow}x{oh}".encode()).hexdigest()
+                rows.append((int(mid), w, h, ow, oh, rsha))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
 def byte_histogram(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """256-bin byte histogram per payload (vectorized np.bincount) — the
     feature-extraction shape: binary in, fixed-width vector out."""
