@@ -297,7 +297,14 @@ def update_facet_field(
     Scale posture: cost is O(field's facet postings in affected
     buckets), never a corpus re-tokenize or full-index rewrite.  The
     update batch itself is collected (it is the operator's input, the
-    same driver-side scale as the upsert kill-list aggregation)."""
+    same driver-side scale as the upsert kill-list aggregation).
+
+    Crash window: bucket swaps are individually atomic but a crash
+    between two bucket swaps can leave a doc removed from its old
+    facet token (bucket A swapped) before it appears in the new one
+    (bucket B pending) — it temporarily matches NEITHER facet value.
+    BM25 scores and document retrievability are unaffected (facet
+    tokens only filter), and re-running the same update converges."""
     manifest = _load_manifest(index_dir)
     params, g = manifest["params"], manifest["globals"]
     dpp, seg_group = int(g["docs_per_part"]), int(params["seg_group"])
