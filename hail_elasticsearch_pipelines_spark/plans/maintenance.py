@@ -28,6 +28,7 @@ corpus.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 
@@ -76,6 +77,55 @@ def _segment_col(doc_id_col, dpp: int, seg_group: int):
     ).cast("int")
 
 
+class ConcurrentMaintenanceError(RuntimeError):
+    """Another maintenance op (extend/upsert/update/compact) holds the
+    index's lock."""
+
+
+@contextlib.contextmanager
+def _maintenance_lock(index_dir: str):
+    """Single-writer guard for index maintenance: O_EXCL lockfile with
+    the holder's pid.  Concurrent extend/compact/update would interleave
+    postings appends and dir swaps unpredictably — ES serializes these
+    through the cluster state; here a lockfile does.  A lock whose pid
+    is dead (crashed holder) is stolen — the on-disk formats are
+    crash-consistent, so retrying over a crashed op's leavings is safe.
+    (On a shared cluster fs the pid check is only advisory; a TTL lease
+    would replace it.)"""
+    lock = os.path.join(index_dir, "_MAINTENANCE_LOCK")
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    pid = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            alive = False
+            if pid:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except (ProcessLookupError, PermissionError):
+                    alive = False
+            if alive and pid != os.getpid():
+                raise ConcurrentMaintenanceError(
+                    f"index {index_dir} is being maintained by pid {pid}"
+                )
+            os.unlink(lock)  # stale (dead holder) — steal
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
 def _publish_tombstones(staging: str, deletes_path: str, id_base: int) -> None:
     """Move staged tombstone files into ``deletes/segment=K/`` sidecars.
 
@@ -107,6 +157,22 @@ def extend_index(
     index_dir: str,
     new_pages: DataFrame,
     mode: str = "create",
+    validation="default",
+) -> dict:
+    """See _extend_index_locked; runs under the single-writer
+    maintenance lock."""
+    with _maintenance_lock(index_dir):
+        return _extend_index_locked(
+            spark, index_dir, new_pages, mode=mode, validation=validation
+        )
+
+
+def _extend_index_locked(
+    spark: SparkSession,
+    index_dir: str,
+    new_pages: DataFrame,
+    mode: str = "create",
+    validation="default",
 ) -> dict:
     """Append a crawl batch to a published index.
 
@@ -210,6 +276,18 @@ def extend_index(
     new_stats = ib.corpus_stats(docs)
     if new_stats["n_docs"] == 0 and n_killed == 0:
         return manifest
+    # pre-append validation gate on the BATCH (same thresholds/typed
+    # errors as the build's pre-publish gate): a corrupted crawl batch
+    # fails here, before any postings/doclens append or tombstone
+    # publish — the live index is untouched.
+    batch_validation = None
+    if validation is not None and new_stats["n_docs"]:
+        from .validate import ValidationThresholds, validate_globals
+
+        thr = (
+            ValidationThresholds() if validation == "default" else validation
+        )
+        batch_validation = validate_globals(new_stats, thr)
 
     if new_stats["n_docs"]:
         partials = ib.build_partials(
@@ -263,6 +341,7 @@ def extend_index(
             "mode": mode,
             "docs_added": new_stats["n_docs"],
             "docs_tombstoned": n_killed,
+            "validation": batch_validation,
         }
     )
     _save_manifest(index_dir, manifest)
@@ -276,6 +355,15 @@ def upsert_index(spark: SparkSession, index_dir: str, new_pages: DataFrame) -> d
 
 
 def update_facet_field(
+    spark: SparkSession, index_dir: str, field: str, updates: DataFrame
+) -> dict:
+    """See _update_facet_field_locked; runs under the single-writer
+    maintenance lock."""
+    with _maintenance_lock(index_dir):
+        return _update_facet_field_locked(spark, index_dir, field, updates)
+
+
+def _update_facet_field_locked(
     spark: SparkSession, index_dir: str, field: str, updates: DataFrame
 ) -> dict:
     """Partial-document ``update``: re-tag ONE metadata facet field for
@@ -636,6 +724,13 @@ def _strip_tombstones(
 
 
 def compact_index(spark: SparkSession, index_dir: str, factor: int = 2) -> dict:
+    """See _compact_index_locked; runs under the single-writer
+    maintenance lock."""
+    with _maintenance_lock(index_dir):
+        return _compact_index_locked(spark, index_dir, factor)
+
+
+def _compact_index_locked(spark: SparkSession, index_dir: str, factor: int = 2) -> dict:
     """Forcemerge analog: physically drop tombstoned postings, then
     coarsen segments by ``factor``.  segment' = segment // factor remains
     a pure function of doc_id, so a doc's postings for every term still

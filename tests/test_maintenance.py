@@ -314,3 +314,93 @@ def test_search_many_msearch_parity(spark, small_index):
     assert got["p1"] == [
         (r["doc_id"], r["score"]) for r in s.search_phrase(["the", "of"], k=8).collect()
     ]
+
+
+def test_maintenance_lock_excludes_and_steals(spark, tmp_path):
+    """Single-writer lock: a live holder blocks other maintenance ops;
+    a dead holder's lock is stolen (crash-retry stays one command)."""
+    import os
+
+    import numpy as np
+
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+        ConcurrentMaintenanceError,
+        _maintenance_lock,
+        upsert_index,
+    )
+    from hail_elasticsearch_pipelines_spark.sources.corpus import gen_pages_pdf
+
+    out = str(tmp_path / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame(gen_pages_pdf(np.arange(40))),
+        out,
+        docs_per_part=37,
+        seg_group=2,
+        n_term_buckets=8,
+    )
+    lock = os.path.join(out, "_MAINTENANCE_LOCK")
+    # simulate a LIVE holder (this test's own pid is alive, use a
+    # long-lived system pid instead: pid 1)
+    with open(lock, "w") as f:
+        f.write("1")
+    with pytest.raises(ConcurrentMaintenanceError):
+        upsert_index(spark, out, spark.createDataFrame(gen_pages_pdf(np.arange(5))))
+    # dead holder → stolen, op proceeds, lock released afterwards
+    with open(lock, "w") as f:
+        f.write("999999999")
+    m = upsert_index(
+        spark, out, spark.createDataFrame(gen_pages_pdf(np.arange(40, 45)))
+    )
+    assert m["extensions"][-1]["docs_added"] == 5
+    assert not os.path.exists(lock)
+    # context manager round-trip
+    with _maintenance_lock(out):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+
+
+def test_extend_batch_validation_gate(spark, tmp_path):
+    """A corrupted crawl batch (all-empty extraction) fails the typed
+    validation gate BEFORE anything is appended — the live index is
+    untouched; validation=None disables the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import extend_index
+    from hail_elasticsearch_pipelines_spark.plans.validate import (
+        EmptyExtractionRateError,
+    )
+    from hail_elasticsearch_pipelines_spark.sources.corpus import (
+        BASE_TS,
+        gen_pages_pdf,
+    )
+
+    out = str(tmp_path / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame(gen_pages_pdf(np.arange(40))),
+        out,
+        docs_per_part=37,
+        seg_group=2,
+        n_term_buckets=8,
+    )
+    before = spark.read.parquet(out + "/doclens").count()
+    bad = pd.DataFrame(
+        [
+            (f"https://bad.example/{i}", BASE_TS, b"<html></html>", "", "en")
+            for i in range(10)
+        ],
+        columns=["url", "warc_ts", "html", "text", "lang"],
+    )
+    with pytest.raises(EmptyExtractionRateError):
+        extend_index(spark, out, spark.createDataFrame(bad), mode="create")
+    assert spark.read.parquet(out + "/doclens").count() == before
+    import os
+
+    assert not os.path.exists(out + "/_MAINTENANCE_LOCK")  # released on raise
+    # explicit opt-out still works
+    m = extend_index(
+        spark, out, spark.createDataFrame(bad), mode="create", validation=None
+    )
+    assert m["extensions"][-1]["validation"] is None
