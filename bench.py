@@ -118,6 +118,18 @@ def main():
     batch_sec = time.time() - t0
     q["bm25_batch_all"] = round(batch_sec, 3)
 
+    # mixed msearch batch: term + boolean + phrase specs, job count
+    # constant in batch size (1 scoring job + 2 phrase jobs)
+    mixed = list(reference_queries()) + [
+        {"query_id": "mb1", "mode": "BOOL", "query": "the AND (term0042 OR term0099) AND NOT term0007", "k": 10},
+        {"query_id": "mb2", "mode": "BOOL", "query": "the AND lang:en", "k": 10},
+        {"query_id": "mp1", "mode": "PHRASE", "phrase": ["of", "the"], "k": 10},
+        {"query_id": "mp2", "mode": "PHRASE", "phrase": ["term0042", "the"], "k": 10},
+    ]
+    t0 = time.time()
+    searcher.search_many(mixed).collect()
+    q["msearch_mixed"] = round(time.time() - t0, 3)
+
     # serving path: pyarrow LocalSearcher (no Spark jobs) — the
     # per-index-node latency an ES data node would show
     from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher

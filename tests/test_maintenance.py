@@ -404,3 +404,37 @@ def test_extend_batch_validation_gate(spark, tmp_path):
         spark, out, spark.createDataFrame(bad), mode="create", validation=None
     )
     assert m["extensions"][-1]["validation"] is None
+
+
+def test_search_many_constant_job_count(spark, small_index):
+    """Batch scaling contract: job count is constant in batch size —
+    one scoring job for all term+bool queries, two more for ALL phrase
+    queries combined (match + count), plus the final rank/collect."""
+    out, _ = small_index
+    s = IndexSearcher(spark, out)
+    specs = [
+        {"query_id": f"q{i}", "terms": ["the", f"term{40 + i:04d}"], "mode": "OR", "k": 5}
+        for i in range(8)
+    ] + [
+        {"query_id": f"b{i}", "mode": "BOOL", "query": f"the AND term{50 + i:04d}", "k": 5}
+        for i in range(4)
+    ] + [
+        {"query_id": "p0", "mode": "PHRASE", "phrase": ["the", "of"], "k": 5},
+        {"query_id": "p1", "mode": "PHRASE", "phrase": ["of", "the"], "k": 5},
+    ]
+    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+
+    def jobs_for(batch, group):
+        sc.setJobGroup(group, "batch job-count probe")
+        try:
+            s.search_many(batch).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    small = jobs_for([specs[0], specs[8], specs[12]], "msearch_small")  # 1+1+1
+    large = jobs_for(specs, "msearch_large")  # 8+4+2 queries
+    # the exact constant depends on AQE/broadcast stage splitting, but
+    # it must NOT grow with the number of queries in the batch
+    assert large <= small + 1, (small, large)
