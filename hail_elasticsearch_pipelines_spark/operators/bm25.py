@@ -732,11 +732,22 @@ class IndexSearcher:
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
+    # columns the term/bool scoring kernels need — pos_blob (the
+    # positional stream, comparable in bytes to the postings themselves)
+    # is deliberately ABSENT: applyInPandas ships every selected column
+    # through the shuffle into the Arrow worker, and only phrase
+    # queries read positions.
+    SCORING_COLS = (
+        "segment", "term", "df", "blob",
+        "block_last", "block_max_tf", "block_min_dl", "block_off",
+    )
+
     def _rows_with_global_df(self, terms_sorted: list[str]) -> DataFrame | None:
-        """Pruned posting rows annotated with each term's GLOBAL df via a
-        broadcast join against the (pruned) term dictionary — so scoring
-        runs as ONE Spark job, no driver-side df-lookup job first.
-        Returns None when the index predates the termdict table."""
+        """Pruned posting rows (scoring columns only) annotated with
+        each term's GLOBAL df via a broadcast join against the (pruned)
+        term dictionary — so scoring runs as ONE Spark job, no
+        driver-side df-lookup job first.  Returns None when the index
+        predates the termdict table."""
         if self._termdict is None:
             return None
         buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms_sorted})
@@ -747,7 +758,11 @@ class IndexSearcher:
             .groupBy("term")
             .agg(F.sum("df").alias("df_global"))
         )
-        return self._term_rows(terms_sorted).join(F.broadcast(td), "term")
+        return (
+            self._term_rows(terms_sorted)
+            .select(*self.SCORING_COLS)
+            .join(F.broadcast(td), "term")
+        )
 
     def search(
         self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "auto"
@@ -772,7 +787,7 @@ class IndexSearcher:
             dfs = self.global_dfs(terms_sorted)
             if not dfs or (mode_u == "AND" and any(t not in dfs for t in terms_sorted)):
                 return self.spark.createDataFrame([], RESULT_SCHEMA)
-            rows = self._term_rows(terms_sorted).withColumn(
+            rows = self._term_rows(terms_sorted).select(*self.SCORING_COLS).withColumn(
                 "df_global",
                 F.create_map(
                     *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
@@ -861,7 +876,7 @@ class IndexSearcher:
         rows = self._rows_with_global_df(terms)
         if rows is None:
             dfs = self.global_dfs(terms)
-            rows = self._term_rows(terms).withColumn(
+            rows = self._term_rows(terms).select(*self.SCORING_COLS).withColumn(
                 "df_global",
                 F.create_map(
                     *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
@@ -1092,7 +1107,7 @@ class IndexSearcher:
             rows = self._rows_with_global_df(all_terms)
             if rows is None:
                 dfs = self.global_dfs(all_terms)
-                rows = self._term_rows(all_terms).withColumn(
+                rows = self._term_rows(all_terms).select(*self.SCORING_COLS).withColumn(
                     "df_global",
                     F.create_map(
                         *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]

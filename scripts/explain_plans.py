@@ -23,7 +23,9 @@ from hail_elasticsearch_pipelines_spark.session import get_spark
 # expressions like tokenize are higher-order functions, which Spark
 # never whole-stage-codegens, but they still run entirely in the JVM)
 CHECKS = {
-    "bm25_index_or": (["PartitionFilters", "term_bucket"], []),
+    # pos_blob banned: positions are phrase-only; shipping them through
+    # the scoring shuffle would double the scan+exchange bytes
+    "bm25_index_or": (["PartitionFilters", "term_bucket"], ["pos_blob"]),
     "top_customers": (["BroadcastHashJoin"], ["SortMergeJoin"]),
     "token_count": (["ReadSchema"], ["EvalPython"]),
     "text_quality": (["ReadSchema"], ["EvalPython"]),
