@@ -25,6 +25,7 @@ import pyarrow.dataset as ds
 from ..functions import codecs
 from .bm25 import (
     _BlockCache,
+    _eval_bool_blockmax,
     _mask_deleted,
     _phrase_match_counts,
     _score_intersection,
@@ -300,10 +301,42 @@ class LocalSearcher:
         ast = bq.parse(query)
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
+        req = bq.required_terms(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
         dfs = self.global_dfs(terms)
         idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        if req:
+            # required conjuncts → same block-skip evaluation as the
+            # distributed searcher, seeded from the decoded-postings
+            # cache and harvesting back into it
+            cols = [
+                "term", "segment", "df", "blob",
+                "block_last", "block_max_tf", "block_min_dl", "block_off",
+            ]
+            tbl = self._term_rows(terms, cols)
+            seg_arr = np.asarray(tbl["segment"].to_pylist())
+            cand_d, cand_s = [], []
+            for seg in np.unique(seg_arr):
+                idxs = np.flatnonzero(seg_arr == seg)
+                cache = _BlockCache(_CacheRow(tbl, int(i)) for i in idxs)
+                for t in cache.blob:
+                    hit = self._cache.get((t, int(seg)))
+                    if hit is not None:
+                        cache._full[t] = hit
+                docs, scores = _eval_bool_blockmax(
+                    cache, ast, req, pos_terms, idf, self.avgdl,
+                    dead=self._deletes.get(int(seg)),
+                )
+                for t, out in cache._full.items():
+                    self._cache_put(t, int(seg), out)
+                docs, scores = _topk(docs, scores, k)
+                cand_d.append(docs)
+                cand_s.append(scores)
+            if not cand_d:
+                return []
+            d, s = _topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
+            return list(zip(d.tolist(), s.tolist()))
         tbl = self._term_rows(terms, ["term", "segment", "blob"])
         seg_arr = np.asarray(tbl["segment"].to_pylist())
         cand_d, cand_s = [], []
