@@ -96,30 +96,65 @@ def _score_intersection(
     return common, scores
 
 
+def _flat_delete_files(deletes_path: str) -> list[str]:
+    """Root-level (pre-sidecar, 'flat' layout) tombstone parquet files:
+    files sitting directly in deletes/ with a ``segment`` DATA column,
+    written by indexes older than the hive-sidecar layout."""
+    if not os.path.isdir(deletes_path):
+        return []
+    return sorted(
+        os.path.join(deletes_path, fn)
+        for fn in os.listdir(deletes_path)
+        if fn.endswith(".parquet")
+        and os.path.isfile(os.path.join(deletes_path, fn))
+    )
+
+
 def load_deletes(index_dir: str) -> dict[int, np.ndarray]:
     """ALL segments' tombstoned doc ids, sorted — the Lucene live-docs
     bitmap analog (the reference gets this from ES delete/update ops,
     hail_scripts/v02/utils/elasticsearch_client.py:106-113).
 
     Full materialization is for single-process consumers only: the
-    LocalSearcher (which holds the whole index hot by design) and
-    compact_index (which strips every tombstone anyway).  Distributed
-    scoring tasks instead call read_segment_deletes for THEIR segment's
-    sidecar — a driver-global dict would ride into every task closure
-    and turn heavy upsert churn into a multi-GB broadcast."""
+    LocalSearcher (which holds the whole index hot by design).
+    Distributed scoring (and compaction strip) tasks instead call
+    read_segment_deletes for THEIR segment's sidecar — a driver-global
+    dict would ride into every task closure and turn heavy upsert churn
+    into a multi-GB broadcast.
+
+    Handles all three on-disk layouts: hive sidecars
+    (``deletes/segment=K/``), legacy flat root files (``segment`` as a
+    data column), and a MIX of both (a legacy index whose first
+    new-code upsert published sidecars next to flat files) — the two
+    sources are unioned per segment, never treated as exclusive."""
     path = os.path.join(index_dir, "deletes")
     if not os.path.isdir(path):
         return {}
     import pyarrow.dataset as ds
 
-    tbl = ds.dataset(path, format="parquet", partitioning="hive").to_table(
-        columns=["segment", "doc_id"]
-    )
-    if tbl.num_rows == 0:
-        return {}
-    segs = tbl.column("segment").to_numpy(zero_copy_only=False)
-    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    return {int(s): np.unique(ids[segs == s]) for s in np.unique(segs)}
+    out: dict[int, list[np.ndarray]] = {}
+    for e in sorted(os.listdir(path)):
+        if not (e.startswith("segment=") and os.path.isdir(os.path.join(path, e))):
+            continue
+        seg = int(e.split("=", 1)[1])
+        tbl = ds.dataset(
+            os.path.join(path, e), format="parquet"
+        ).to_table(columns=["doc_id"])
+        if tbl.num_rows:
+            out.setdefault(seg, []).append(
+                tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            )
+    flat = _flat_delete_files(path)
+    if flat:
+        tbl = ds.dataset(flat, format="parquet").to_table(
+            columns=["segment", "doc_id"]
+        )
+        if tbl.num_rows:
+            segs = tbl.column("segment").to_numpy(zero_copy_only=False)
+            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            for s in np.unique(segs):
+                out.setdefault(int(s), []).append(ids[segs == s])
+    return {s: np.unique(np.concatenate(v)) for s, v in out.items()}
 
 
 # Executor-process cache of per-segment tombstone sidecars, keyed by
@@ -136,8 +171,11 @@ def read_segment_deletes(
     """Sorted tombstoned doc ids of ONE segment, read from that
     segment's sidecar (``deletes/segment=K/``) inside the scoring task
     that owns the segment — no driver materialization, no closure
-    shipping; each task reads only its own (small) sidecar.  Falls back
-    to filtering flat pre-sidecar delete files for legacy indexes."""
+    shipping; each task reads only its own (small) sidecar.  Legacy
+    flat root-level delete files (``segment`` as a data column) are
+    UNIONED with the sidecar, never treated as exclusive — a legacy
+    index whose first new-code upsert published sidecars next to flat
+    files must not resurrect its flat-era tombstones."""
     segment = int(segment)
     key = (index_dir, int(epoch), segment)
     if key in _SEG_DELETES_CACHE:
@@ -146,21 +184,23 @@ def read_segment_deletes(
 
     seg_dir = os.path.join(index_dir, "deletes", f"segment={segment}")
     root = os.path.join(index_dir, "deletes")
-    out: np.ndarray | None = None
+    parts: list[np.ndarray] = []
     if os.path.isdir(seg_dir):
         tbl = ds.dataset(seg_dir, format="parquet").to_table(columns=["doc_id"])
         if tbl.num_rows:
-            out = np.unique(tbl.column("doc_id").to_numpy(zero_copy_only=False))
-    elif os.path.isdir(root) and not any(
-        e.startswith("segment=") for e in os.listdir(root)
-    ):
-        dset = ds.dataset(root, format="parquet")
+            parts.append(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+    flat = _flat_delete_files(root)
+    if flat:
+        dset = ds.dataset(flat, format="parquet")
         if "segment" in dset.schema.names:  # legacy flat layout
             tbl = dset.to_table(
                 columns=["doc_id"], filter=ds.field("segment") == segment
             )
             if tbl.num_rows:
-                out = np.unique(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+                parts.append(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+    out: np.ndarray | None = (
+        np.unique(np.concatenate(parts)) if parts else None
+    )
     if len(_SEG_DELETES_CACHE) >= _SEG_DELETES_CACHE_MAX:
         _SEG_DELETES_CACHE.clear()
     _SEG_DELETES_CACHE[key] = out
@@ -944,10 +984,22 @@ class IndexSearcher:
             if "score" in results.columns
             else [F.asc("doc_id")]
         )
+        # persist before the probe collect so the large-set fallback
+        # reuses the already-computed search results instead of
+        # re-executing the whole search lineage a second time (ADVICE
+        # r3).  The small path unpersists immediately (its returned plan
+        # references only the collected rows); the large path returns a
+        # plan that READS the persisted results, so the cache is left in
+        # place for the caller's execution — Spark evicts it LRU-style
+        # under memory pressure, and the next with_source call on a new
+        # results frame does not grow it unboundedly (top-k frames are
+        # tiny; search_many output is bounded by k × batch size).
+        results = results.persist()
         rows = results.limit(max_collect + 1).collect()
         if len(rows) <= max_collect:
             hits = self.spark.createDataFrame(rows, results.schema)
             ids = [r["doc_id"] for r in rows]
+            results.unpersist()
             return (
                 doclens.filter(F.col("doc_id").isin(ids))
                 .join(F.broadcast(hits), "doc_id")

@@ -59,8 +59,12 @@ class _CacheRow:
         self.blob = tbl["blob"][i].as_py()
         self.block_last = _list_np(tbl["block_last"][i], np.int64)
         self.block_off = _list_np(tbl["block_off"][i], np.int32)
-        self.block_max_tf = _list_np(tbl["block_max_tf"][i], np.int64)
-        self.block_min_dl = _list_np(tbl["block_min_dl"][i], np.int64)
+        # legacy rows may carry NULL score-bound lists — keep None so
+        # _BlockCache omits bounds and the scorers take their explicit
+        # exhaustive fallback instead of crashing the serving path
+        bmt, bmd = tbl["block_max_tf"][i], tbl["block_min_dl"][i]
+        self.block_max_tf = None if not bmt.is_valid else _list_np(bmt, np.int64)
+        self.block_min_dl = None if not bmd.is_valid else _list_np(bmd, np.int64)
 
 
 def _put_unique(d: dict, key, value) -> None:

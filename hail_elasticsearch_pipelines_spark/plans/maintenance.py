@@ -92,38 +92,97 @@ def _maintenance_lock(index_dir: str):
     crash-consistent, so retrying over a crashed op's leavings is safe.
     (On a shared cluster fs the pid check is only advisory; a TTL lease
     would replace it.)"""
+    import fcntl
+
     lock = os.path.join(index_dir, "_MAINTENANCE_LOCK")
+    # Mutual exclusion comes from kernel flock — auto-released when the
+    # holder dies, so there is NO stale-lock steal logic to race (the
+    # r3 pid-file steal had an unfixable check-then-rename TOCTOU: two
+    # waiters observing a dead pid could free-for-all and one would
+    # delete the winner's fresh lock).  The pid content is diagnostic
+    # plus an ADVISORY guard for legacy lockfiles written without
+    # flock.  The open/flock/verify loop is the standard pattern for
+    # flock on an unlink-on-release path: after acquiring, re-stat the
+    # path and retry if our fd no longer names it (the previous holder
+    # unlinked between our open and flock).
     while True:
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            break
-        except FileExistsError:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
             try:
-                with open(lock) as f:
-                    pid = int(f.read().strip() or "0")
-            except (OSError, ValueError):
+                pid = int(os.read(fd, 64).decode().strip() or "0")
+            except ValueError:
                 pid = 0
-            alive = False
-            if pid:
-                try:
-                    os.kill(pid, 0)
-                    alive = True
-                except (ProcessLookupError, PermissionError):
-                    alive = False
-            if alive and pid != os.getpid():
+            os.close(fd)
+            raise ConcurrentMaintenanceError(
+                f"index {index_dir} is being maintained by pid {pid or '?'}"
+            ) from None
+        try:
+            if os.fstat(fd).st_ino != os.stat(lock).st_ino:
+                os.close(fd)
+                continue  # holder unlinked under us; retry on fresh inode
+        except FileNotFoundError:
+            os.close(fd)
+            continue
+        try:
+            pid = int(os.read(fd, 64).decode().strip() or "0")
+        except ValueError:
+            pid = 0
+        if pid and pid != os.getpid():
+            alive = True
+            try:
+                os.kill(pid, 0)
+            except (ProcessLookupError, PermissionError):
+                alive = False
+            if alive:  # legacy non-flock holder — honor it
+                os.close(fd)
                 raise ConcurrentMaintenanceError(
                     f"index {index_dir} is being maintained by pid {pid}"
                 )
-            os.unlink(lock)  # stale (dead holder) — steal
+        os.ftruncate(fd, 0)
+        os.pwrite(fd, str(os.getpid()).encode(), 0)
+        break
     try:
         yield
     finally:
-        try:
+        with contextlib.suppress(OSError):
             os.unlink(lock)
-        except OSError:
-            pass
+        os.close(fd)  # releases the flock
+
+
+def _migrate_flat_deletes(deletes_path: str) -> None:
+    """One-shot migration of legacy flat root-level delete files
+    (``segment`` as a data column) into per-segment hive sidecars.
+
+    Runs before the first sidecar publish on a legacy index so the two
+    layouts never coexist long-term.  Crash-safe ordering: sidecar
+    files are written and renamed in FIRST, flat files removed LAST —
+    a crash in between leaves a mixed layout that the readers union
+    (np.unique absorbs the duplication), never lost tombstones."""
+    from ..operators.bm25 import _flat_delete_files
+
+    flat = _flat_delete_files(deletes_path)
+    if not flat:
+        return
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    tbl = ds.dataset(flat, format="parquet").to_table(
+        columns=["segment", "doc_id"]
+    )
+    segs = tbl.column("segment").to_numpy(zero_copy_only=False)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    for s in np.unique(segs):
+        seg_dir = os.path.join(deletes_path, f"segment={int(s)}")
+        os.makedirs(seg_dir, exist_ok=True)
+        tmp = os.path.join(seg_dir, ".migrated-flat.parquet.tmp")
+        pq.write_table(pa.table({"doc_id": np.unique(ids[segs == s])}), tmp)
+        os.rename(tmp, os.path.join(seg_dir, "migrated-flat.parquet"))
+    for fn in flat:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(fn)
 
 
 def _publish_tombstones(staging: str, deletes_path: str, id_base: int) -> None:
@@ -133,7 +192,10 @@ def _publish_tombstones(staging: str, deletes_path: str, id_base: int) -> None:
     succeeded, so every crash state still serves the old doc (worst
     case: old+new both live until the upsert is retried — duplication,
     never loss).  Per-file rename is atomic on one filesystem; names
-    carry id_base so retried upserts never collide."""
+    carry id_base so retried upserts never collide.  Legacy flat-layout
+    delete files are migrated into sidecars first (ADVICE r3: a mixed
+    layout must never silently drop flat-era tombstones)."""
+    _migrate_flat_deletes(deletes_path)
     for entry in sorted(os.listdir(staging)):
         src_dir = os.path.join(staging, entry)
         if not (entry.startswith("segment=") and os.path.isdir(src_dir)):
