@@ -110,7 +110,27 @@ def _flat_delete_files(deletes_path: str) -> list[str]:
     )
 
 
-def load_deletes(index_dir: str) -> dict[int, np.ndarray]:
+_EPOCH_FILE_RE = None  # compiled lazily (re import kept out of task hot path)
+
+
+def _file_epoch(fn: str) -> int:
+    """Publish epoch encoded in a sidecar file name (``e<N>-...``);
+    0 for legacy/unprefixed files.  Lets a searcher pinned at epoch E
+    ignore tombstones published AFTER its snapshot — an upsert landing
+    mid-query must not make the old doc vanish before its replacement
+    becomes visible at reload (MVCC on the delete axis)."""
+    global _EPOCH_FILE_RE
+    if _EPOCH_FILE_RE is None:
+        import re
+
+        _EPOCH_FILE_RE = re.compile(r"^e(\d+)-")
+    m = _EPOCH_FILE_RE.match(fn)
+    return int(m.group(1)) if m else 0
+
+
+def load_deletes(
+    index_dir: str, epoch: int | None = None
+) -> dict[int, np.ndarray]:
     """ALL segments' tombstoned doc ids, sorted — the Lucene live-docs
     bitmap analog (the reference gets this from ES delete/update ops,
     hail_scripts/v02/utils/elasticsearch_client.py:106-113).
@@ -126,8 +146,14 @@ def load_deletes(index_dir: str) -> dict[int, np.ndarray]:
     (``deletes/segment=K/``), legacy flat root files (``segment`` as a
     data column), and a MIX of both (a legacy index whose first
     new-code upsert published sidecars next to flat files) — the two
-    sources are unioned per segment, never treated as exclusive."""
-    path = os.path.join(index_dir, "deletes")
+    sources are unioned per segment, never treated as exclusive.
+
+    ``epoch``: when given, only sidecar files published at or before
+    that epoch are read (snapshot semantics for a searcher pinned at
+    its manifest's deletes_epoch); None reads everything (latest)."""
+    from ..layout import table_path
+
+    path = table_path(index_dir, "deletes")
     if not os.path.isdir(path):
         return {}
     import pyarrow.dataset as ds
@@ -137,9 +163,16 @@ def load_deletes(index_dir: str) -> dict[int, np.ndarray]:
         if not (e.startswith("segment=") and os.path.isdir(os.path.join(path, e))):
             continue
         seg = int(e.split("=", 1)[1])
-        tbl = ds.dataset(
-            os.path.join(path, e), format="parquet"
-        ).to_table(columns=["doc_id"])
+        seg_dir = os.path.join(path, e)
+        files = sorted(
+            os.path.join(seg_dir, fn)
+            for fn in os.listdir(seg_dir)
+            if fn.endswith(".parquet")
+            and (epoch is None or _file_epoch(fn) <= epoch)
+        )
+        if not files:
+            continue
+        tbl = ds.dataset(files, format="parquet").to_table(columns=["doc_id"])
         if tbl.num_rows:
             out.setdefault(seg, []).append(
                 tbl.column("doc_id").to_numpy(zero_copy_only=False)
@@ -166,30 +199,44 @@ _SEG_DELETES_CACHE_MAX = 4096
 
 
 def read_segment_deletes(
-    index_dir: str, segment: int, epoch: int = 0
+    deletes_dir: str, segment: int, epoch: int = 0
 ) -> np.ndarray | None:
     """Sorted tombstoned doc ids of ONE segment, read from that
-    segment's sidecar (``deletes/segment=K/``) inside the scoring task
-    that owns the segment — no driver materialization, no closure
-    shipping; each task reads only its own (small) sidecar.  Legacy
-    flat root-level delete files (``segment`` as a data column) are
-    UNIONED with the sidecar, never treated as exclusive — a legacy
-    index whose first new-code upsert published sidecars next to flat
-    files must not resurrect its flat-era tombstones."""
+    segment's sidecar (``<deletes_dir>/segment=K/``) inside the scoring
+    task that owns the segment — no driver materialization, no closure
+    shipping; each task reads only its own (small) sidecar.
+
+    ``deletes_dir`` is the MANIFEST-RESOLVED deletes directory (the
+    driver resolves the generation pointer once and ships the string),
+    and only sidecar files published at or before ``epoch`` are read —
+    together these pin the task to its searcher's snapshot even while
+    an upsert publishes new tombstones or a compaction retires the
+    directory.  Legacy flat root-level delete files (``segment`` as a
+    data column) are UNIONED with the sidecar, never treated as
+    exclusive — a legacy index whose first new-code upsert published
+    sidecars next to flat files must not resurrect flat-era
+    tombstones."""
     segment = int(segment)
-    key = (index_dir, int(epoch), segment)
+    key = (deletes_dir, int(epoch), segment)
     if key in _SEG_DELETES_CACHE:
         return _SEG_DELETES_CACHE[key]
     import pyarrow.dataset as ds
 
-    seg_dir = os.path.join(index_dir, "deletes", f"segment={segment}")
-    root = os.path.join(index_dir, "deletes")
+    seg_dir = os.path.join(deletes_dir, f"segment={segment}")
     parts: list[np.ndarray] = []
     if os.path.isdir(seg_dir):
-        tbl = ds.dataset(seg_dir, format="parquet").to_table(columns=["doc_id"])
-        if tbl.num_rows:
-            parts.append(tbl.column("doc_id").to_numpy(zero_copy_only=False))
-    flat = _flat_delete_files(root)
+        files = sorted(
+            os.path.join(seg_dir, fn)
+            for fn in os.listdir(seg_dir)
+            if fn.endswith(".parquet") and _file_epoch(fn) <= epoch
+        )
+        if files:
+            tbl = ds.dataset(files, format="parquet").to_table(
+                columns=["doc_id"]
+            )
+            if tbl.num_rows:
+                parts.append(tbl.column("doc_id").to_numpy(zero_copy_only=False))
+    flat = _flat_delete_files(deletes_dir)
     if flat:
         dset = ds.dataset(flat, format="parquet")
         if "segment" in dset.schema.names:  # legacy flat layout
@@ -702,48 +749,56 @@ class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, "manifest.json")) as f:
-            self.manifest = json.load(f)
+        self._load_snapshot()
+
+    def _load_snapshot(self) -> None:
+        """Pin this searcher to the CURRENT manifest generation: table
+        paths are resolved through the manifest's generation pointers
+        once, so a maintenance op publishing a new generation (atomic
+        manifest flip) never changes what this searcher reads — old
+        state until reload_manifest(), complete new state after, never
+        a mix."""
+        from ..layout import load_manifest, table_path
+
+        self.manifest = load_manifest(self.index_dir)
         self.n_docs = self.manifest["globals"]["n_docs"]
         self.avgdl = self.manifest["globals"]["avgdl"]
         self.n_term_buckets = self.manifest["params"]["n_term_buckets"]
-        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-        td_path = os.path.join(index_dir, "termdict")
-        self._termdict = (
-            spark.read.parquet(td_path) if os.path.exists(td_path) else None
+        self._postings = self.spark.read.parquet(
+            table_path(self.index_dir, "postings", self.manifest)
         )
+        td_path = table_path(self.index_dir, "termdict", self.manifest)
+        self._termdict = (
+            self.spark.read.parquet(td_path) if os.path.exists(td_path) else None
+        )
+        self._doclens_path = table_path(self.index_dir, "doclens", self.manifest)
         self._refresh_deletes_state()
 
     def _refresh_deletes_state(self) -> None:
         """Tombstone consultation is per-segment INSIDE scoring tasks
-        (read_segment_deletes); the driver only captures whether any
-        deletes exist at all plus the manifest epoch for cache keying —
-        two scalars in the closure instead of every tombstone."""
-        self._has_deletes = os.path.isdir(os.path.join(self.index_dir, "deletes"))
+        (read_segment_deletes); the driver only captures the resolved
+        deletes dir plus the manifest epoch for snapshot pinning and
+        cache keying — two strings/ints in the closure instead of every
+        tombstone."""
+        from ..layout import table_path
+
+        self._deletes_dir = table_path(self.index_dir, "deletes", self.manifest)
+        self._has_deletes = os.path.isdir(self._deletes_dir)
         self._deletes_epoch = int(self.manifest.get("deletes_epoch", 0))
 
     def _segment_deletes_fn(self):
-        """Closure-safe (index_dir, has, epoch) → per-task delete lookup."""
-        index_dir = self.index_dir
+        """Closure-safe (deletes_dir, has, epoch) → per-task delete
+        lookup, pinned to this searcher's snapshot."""
+        deletes_dir = self._deletes_dir
         has, epoch = self._has_deletes, self._deletes_epoch
         if not has:
             return lambda seg: None
-        return lambda seg: read_segment_deletes(index_dir, int(seg), epoch)
+        return lambda seg: read_segment_deletes(deletes_dir, int(seg), epoch)
 
     def reload_manifest(self) -> None:
-        """Re-read globals after extend_index/upsert_index/compact_index."""
-        with open(os.path.join(self.index_dir, "manifest.json")) as f:
-            self.manifest = json.load(f)
-        self.n_docs = self.manifest["globals"]["n_docs"]
-        self.avgdl = self.manifest["globals"]["avgdl"]
-        self._postings = self.spark.read.parquet(
-            os.path.join(self.index_dir, "postings")
-        )
-        td_path = os.path.join(self.index_dir, "termdict")
-        self._termdict = (
-            self.spark.read.parquet(td_path) if os.path.exists(td_path) else None
-        )
-        self._refresh_deletes_state()
+        """Advance to the latest published generation after
+        extend_index/upsert_index/update_facet_field/compact_index."""
+        self._load_snapshot()
 
     def _term_rows(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
@@ -974,7 +1029,7 @@ class IndexSearcher:
         holding the hits.  Larger sets (search_many output, big k)
         fall back to a broadcast join: no driver-side row
         materialization, no mega-IN-list expression."""
-        doclens = self.spark.read.parquet(os.path.join(self.index_dir, "doclens"))
+        doclens = self.spark.read.parquet(self._doclens_path)
         # url + any stored metadata fields the field manifest kept
         fetched = [
             c for c in doclens.columns if c not in ("doc_id", "doc_len")

@@ -1,13 +1,16 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata structs.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata structs.
 
-The Spark-side machinery (schemas, Arrow batch shapes, partition-size
-controls) is real and tested; the actual media DECODE is stubbed behind
-an import-try (decode libs are not in this container) with a
-deterministic fake used by tests — the same pattern as the reference's
-dummy VEP runner (luigi_pipeline/lib/hail_vep_runners.py:21): the
-expensive external step is mocked, the pipeline around it is exercised
-for real.
+Image DECODE is real where a decoder exists: PIL when installed (any
+format), else the stdlib-zlib PNG codec (functions/png.py) for PNG
+payloads — ``media_metadata`` reports true dims and ``resize_images``
+produces actual resized PNG bytes, both unit-tested on generated PNGs.
+Payloads no decoder handles (and video frame decode, which needs av)
+fall back to a deterministic fake — the reference's dummy-VEP pattern
+(luigi_pipeline/lib/hail_vep_runners.py:21): the external step is
+mocked, the pipeline around it exercised for real.  The fake is
+SQL-expressible on purpose, so the driver's DuckDB oracle value-checks
+the Spark plumbing end to end on its synthetic (non-PNG) payloads.
 """
 
 from __future__ import annotations
@@ -49,7 +52,10 @@ def sniff_mime(payload: bytes) -> str | None:
 
 
 def _try_real_decode(payload: bytes):
-    """Real decode if PIL is available (not in this container)."""
+    """REAL image dims when possible: PIL if installed (any format),
+    else the stdlib-zlib PNG decoder (functions/png.py) for PNG
+    payloads.  None → caller falls back to the deterministic fake (the
+    dummy-VEP pattern, luigi_pipeline/lib/hail_vep_runners.py:21)."""
     try:
         import io
 
@@ -58,9 +64,18 @@ def _try_real_decode(payload: bytes):
         img = Image.open(io.BytesIO(payload))
         return img.width, img.height
     except ImportError:
-        return None
+        pass
     except Exception:
         return None
+    try:
+        from ..functions import png
+
+        if png.is_png(payload):
+            arr = png.decode_png(payload)
+            return arr.shape[1], arr.shape[0]
+    except Exception:
+        return None
+    return None
 
 
 def fake_decode_dims(payload: bytes) -> tuple[int, int]:
@@ -141,6 +156,91 @@ def image_resize_stub(
             )
 
     return df.select("media_id", payload_col).mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+RESIZE_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_w", T.IntegerType(), False),
+        T.StructField("src_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("resized_png", T.BinaryType(), True),
+        T.StructField("resized_sha", T.StringType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, payload_col: str = "payload", target: int = 224
+) -> DataFrame:
+    """REAL image resize: decode (PIL when installed, else the stdlib
+    PNG codec), aspect-fit into ``target``² with deterministic
+    nearest-neighbor resampling, re-encode as PNG, and emit the resized
+    bytes + identity hash.  Rows whose payload no decoder handles fall
+    back to the stub arithmetic (fake dims, hash-chain sha,
+    decoded=false) so mixed corpora flow through one operator.
+
+    Same Spark shape as image_resize_stub (mapInPandas, one row per
+    image, Arrow-batched) — rows are independent, so this scales with
+    partition count; decode cost stays in the executor's Python worker
+    and only (dims, resized bytes) cross Arrow back."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png
+
+        try:  # soft-import: PIL covers every format when installed
+            import io
+
+            from PIL import Image
+
+            def _decode(b: bytes):
+                try:
+                    return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+                except Exception:
+                    return None
+
+        except ImportError:
+
+            def _decode(b: bytes):
+                if png.is_png(b):
+                    try:
+                        return png.decode_png(b)
+                    except ValueError:
+                        return None
+                return None
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                b = bytes(payload)
+                arr = _decode(b)
+                if arr is not None:
+                    h, w = arr.shape[:2]
+                    m = max(w, h)
+                    ow = max(1, (w * target) // m)
+                    oh = max(1, (h * target) // m)
+                    resized = png.encode_png(png.resize_nearest(arr, ow, oh))
+                    rsha = hashlib.sha256(resized).hexdigest()
+                    rows.append((int(mid), w, h, ow, oh, resized, rsha, True))
+                else:
+                    hhex = hashlib.sha256(b).hexdigest()
+                    w, h = fake_decode_dims(b)
+                    m = max(w, h)
+                    ow = max(1, (w * target) // m)
+                    oh = max(1, (h * target) // m)
+                    rsha = hashlib.sha256(
+                        f"{hhex}:{ow}x{oh}".encode()
+                    ).hexdigest()
+                    rows.append((int(mid), w, h, ow, oh, None, rsha, False))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_REAL_SCHEMA.fields]
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        gen, schema=RESIZE_REAL_SCHEMA
+    )
 
 
 def byte_histogram(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -79,21 +79,35 @@ def _put_unique(d: dict, key, value) -> None:
 
 class LocalSearcher:
     def __init__(self, index_dir: str):
-        with open(os.path.join(index_dir, "manifest.json")) as f:
-            self.manifest = json.load(f)
+        self.index_dir = index_dir
+        self._load_snapshot()
+
+    def _load_snapshot(self) -> None:
+        """Pin to the CURRENT manifest generation (see
+        IndexSearcher._load_snapshot): table paths resolve through the
+        manifest's generation pointers once, deletes are read at the
+        manifest's epoch, so a concurrent maintenance publish never
+        changes what this searcher serves mid-query."""
+        from ..layout import load_manifest, table_path
+
+        self.manifest = load_manifest(self.index_dir)
         self.n_docs = self.manifest["globals"]["n_docs"]
         self.avgdl = self.manifest["globals"]["avgdl"]
         self.n_term_buckets = self.manifest["params"]["n_term_buckets"]
         self._postings = ds.dataset(
-            os.path.join(index_dir, "postings"), format="parquet", partitioning="hive"
+            table_path(self.index_dir, "postings", self.manifest),
+            format="parquet",
+            partitioning="hive",
         )
-        td = os.path.join(index_dir, "termdict")
+        td = table_path(self.index_dir, "termdict", self.manifest)
         self._termdict = (
             ds.dataset(td, format="parquet", partitioning="hive")
             if os.path.exists(td)
             else None
         )
-        self._deletes = load_deletes(index_dir)
+        self._deletes = load_deletes(
+            self.index_dir, epoch=int(self.manifest.get("deletes_epoch", 0))
+        )
         # bounded decoded-postings cache (the ES page/query-cache
         # analog): hot terms — stopwords above all — stop paying the
         # PFor decode on every query.  Keyed by (term, segment); valid
@@ -111,6 +125,25 @@ class LocalSearcher:
         self._pos_cache: dict[tuple[str, int], tuple] = {}
         self._pos_cache_bytes = 0
         self._pos_cache_cap = 128 * 1024 * 1024
+
+    def reload(self) -> bool:
+        """Advance a long-lived serving process to the latest published
+        generation (the IndexSearcher.reload_manifest analog — the ES
+        index-refresh the reference gets from the cluster,
+        hail_scripts/shared/elasticsearch_client_v7.py:109-149).
+        Re-reads the manifest; when anything changed (generation flip,
+        deletes epoch bump, globals), rebuilds datasets/deletes and
+        DROPS the three caches — they are keyed (term, segment) and
+        only valid for one snapshot.  No-op (caches kept warm) when the
+        manifest is unchanged.  Returns True iff a new snapshot was
+        loaded."""
+        from ..layout import load_manifest
+
+        new = load_manifest(self.index_dir)
+        if new == self.manifest:
+            return False
+        self._load_snapshot()
+        return True
 
     def _bmw_blocks_for(self, seg: int) -> dict:
         if self._bmw_cache_blocks >= self._bmw_cache_max_blocks:

@@ -29,7 +29,6 @@ corpus.
 from __future__ import annotations
 
 import contextlib
-import json
 import os
 
 import numpy as np
@@ -37,20 +36,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import layout
 from ..functions import codecs
 from ..operators import index_build as ib
-from ..operators.bm25 import load_deletes
-from .pipeline import _swap_dir, _update_termdict, _write_termdict
+from .pipeline import _update_termdict, _write_termdict
 
-
-def _load_manifest(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "manifest.json")) as f:
-        return json.load(f)
-
-
-def _save_manifest(index_dir: str, manifest: dict) -> None:
-    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
+_load_manifest = layout.load_manifest
+_save_manifest = layout.save_manifest_atomic
 
 
 def _postings_metrics(postings: DataFrame) -> dict:
@@ -84,14 +76,14 @@ class ConcurrentMaintenanceError(RuntimeError):
 
 @contextlib.contextmanager
 def _maintenance_lock(index_dir: str):
-    """Single-writer guard for index maintenance: O_EXCL lockfile with
-    the holder's pid.  Concurrent extend/compact/update would interleave
-    postings appends and dir swaps unpredictably — ES serializes these
-    through the cluster state; here a lockfile does.  A lock whose pid
-    is dead (crashed holder) is stolen — the on-disk formats are
-    crash-consistent, so retrying over a crashed op's leavings is safe.
-    (On a shared cluster fs the pid check is only advisory; a TTL lease
-    would replace it.)"""
+    """Single-writer guard for index maintenance: kernel flock on a
+    pid-stamped lockfile.  Concurrent extend/compact/update would
+    interleave postings appends and generation flips unpredictably —
+    ES serializes these through the cluster state; here flock does.  A
+    crashed holder's lock is released by the kernel automatically, and
+    the on-disk formats are crash-consistent, so retrying over a
+    crashed op's leavings is safe.  (flock does not span a shared
+    cluster fs; there a TTL lease service would replace this.)"""
     import fcntl
 
     lock = os.path.join(index_dir, "_MAINTENANCE_LOCK")
@@ -185,16 +177,22 @@ def _migrate_flat_deletes(deletes_path: str) -> None:
             os.unlink(fn)
 
 
-def _publish_tombstones(staging: str, deletes_path: str, id_base: int) -> None:
+def _publish_tombstones(
+    staging: str, deletes_path: str, id_base: int, epoch: int = 0
+) -> None:
     """Move staged tombstone files into ``deletes/segment=K/`` sidecars.
 
     Runs ONLY after the replacement postings/doclens/termdict appends
     succeeded, so every crash state still serves the old doc (worst
     case: old+new both live until the upsert is retried — duplication,
     never loss).  Per-file rename is atomic on one filesystem; names
-    carry id_base so retried upserts never collide.  Legacy flat-layout
-    delete files are migrated into sidecars first (ADVICE r3: a mixed
-    layout must never silently drop flat-era tombstones)."""
+    carry id_base so retried upserts never collide, and the ``e<epoch>-``
+    prefix lets searchers pinned at an older deletes_epoch ignore these
+    files (snapshot semantics — the old doc must not vanish from a
+    pinned searcher before its replacement becomes visible at reload).
+    Legacy flat-layout delete files are migrated into sidecars first
+    (ADVICE r3: a mixed layout must never silently drop flat-era
+    tombstones)."""
     _migrate_flat_deletes(deletes_path)
     for entry in sorted(os.listdir(staging)):
         src_dir = os.path.join(staging, entry)
@@ -207,7 +205,7 @@ def _publish_tombstones(staging: str, deletes_path: str, id_base: int) -> None:
                 continue
             os.rename(
                 os.path.join(src_dir, fn),
-                os.path.join(dst_dir, f"ext-{id_base}-{i:04d}.parquet"),
+                os.path.join(dst_dir, f"e{epoch}-ext-{id_base}-{i:04d}.parquet"),
             )
     import shutil
 
@@ -252,14 +250,20 @@ def _extend_index_locked(
     if mode not in ("create", "upsert"):
         raise ValueError(f"unknown extend mode {mode!r}")
     manifest = _load_manifest(index_dir)
+    # grace-period GC: directories retired by the PREVIOUS op's
+    # generation flip (plus crash orphans) are only removed now, so
+    # readers pinned to the previous generation had a full maintenance
+    # interval to finish
+    layout.gc_stale_dirs(index_dir, manifest)
     params = manifest["params"]
     g = manifest["globals"]
     dpp = int(g["docs_per_part"])
     seg_group = int(params["seg_group"])
     n_term_buckets = int(params["n_term_buckets"])
 
-    doclens_path = os.path.join(index_dir, "doclens")
-    deletes_path = os.path.join(index_dir, "deletes")
+    doclens_path = layout.table_path(index_dir, "doclens", manifest)
+    deletes_path = layout.table_path(index_dir, "deletes", manifest)
+    postings_path = layout.table_path(index_dir, "postings", manifest)
     existing = spark.read.parquet(doclens_path)
     max_id = existing.agg(F.max("doc_id")).collect()[0][0]
     # New ids must start at the next SEGMENT boundary, not merely the next
@@ -363,25 +367,45 @@ def _extend_index_locked(
             F.crc32(F.col("term").cast("binary")) % F.lit(n_term_buckets),
         )
         merged.persist()
+        table_flips: dict[str, str] = {}
         try:
             # new segments append as extra files per bucket (ES: more
-            # segments; compact_index is the forcemerge that folds them in)
+            # segments; compact_index is the forcemerge that folds them
+            # in).  Appends are ADDITIVE — a reader pinned to its
+            # snapshot (file listing captured at construction) never
+            # sees them until reload; new readers see complete rows.
             merged.write.mode("append").partitionBy("term_bucket").parquet(
-                os.path.join(index_dir, "postings")
+                postings_path
             )
             stored = [c for c in stored_fields if c in docs.columns]
             docs.select("doc_id", "url", "doc_len", *stored).write.mode(
                 "append"
             ).parquet(doclens_path)
             # incremental: fold ONLY the new batch into the termdict —
-            # O(batch + termdict), never O(full postings)
-            _update_termdict(spark, index_dir, merged)
+            # O(batch + termdict), never O(full postings).  Written to
+            # a fresh GENERATION dir and published by the atomic
+            # manifest flip below (the old staged in-place swap had a
+            # window with no termdict on disk at all).
+            td_rel = layout.next_gen_rel(manifest, "termdict")
+            _update_termdict(
+                spark,
+                index_dir,
+                merged,
+                src_path=layout.table_path(index_dir, "termdict", manifest),
+                dest_path=os.path.join(index_dir, td_rel),
+            )
+            table_flips["termdict"] = td_rel
         finally:
             merged.unpersist()
+    else:
+        table_flips = {}
 
     if tombstone_staging is not None:
-        _publish_tombstones(tombstone_staging, deletes_path, id_base)
-        manifest["deletes_epoch"] = int(manifest.get("deletes_epoch", 0)) + 1
+        new_epoch = int(manifest.get("deletes_epoch", 0)) + 1
+        _publish_tombstones(
+            tombstone_staging, deletes_path, id_base, epoch=new_epoch
+        )
+        manifest["deletes_epoch"] = new_epoch
 
     g["n_docs"] += new_stats["n_docs"] - n_killed
     g["total_tokens"] += new_stats["total_tokens"] - killed_tokens
@@ -395,8 +419,10 @@ def _extend_index_locked(
     manifest["metrics"] = {
         "docs_indexed": g["n_docs"],
         "n_tombstones": n_tombstones,
-        **_postings_metrics(spark.read.parquet(os.path.join(index_dir, "postings"))),
+        **_postings_metrics(spark.read.parquet(postings_path)),
     }
+    if table_flips:
+        layout.flip_tables(manifest, table_flips)
     manifest.setdefault("extensions", []).append(
         {
             "id_base": id_base,
@@ -425,6 +451,47 @@ def update_facet_field(
         return _update_facet_field_locked(spark, index_dir, field, updates)
 
 
+# Executor-process cache of per-segment facet-update sidecars, keyed by
+# the op's unique staging dir (generation-suffixed) + segment — the
+# distributed replacement for r3's driver-collected update batch.
+_SEG_UPDATES_CACHE: dict[tuple[str, int], tuple] = {}
+_SEG_UPDATES_CACHE_MAX = 1024
+
+
+def _read_segment_updates(updates_dir: str, segment: int) -> tuple:
+    """(sorted updated doc ids, {facet token: (sorted ids, doc_lens)})
+    of ONE segment, read INSIDE the rewrite task from the op's hive
+    sidecar (``stages/facet_update-g<G>/segment=K/``).  Each task reads
+    only its own segments' slices, so a corpus-wide retag (10^9 rows)
+    never materializes on the driver or rides a task closure."""
+    key = (updates_dir, int(segment))
+    hit = _SEG_UPDATES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as ds
+
+    seg_dir = os.path.join(updates_dir, f"segment={int(segment)}")
+    if not os.path.isdir(seg_dir):
+        out: tuple = (None, {})
+    else:
+        tbl = ds.dataset(seg_dir, format="parquet").to_table(
+            columns=["doc_id", "doc_len", "new_token"]
+        )
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = tbl.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = np.asarray(tbl.column("new_token").to_pylist(), dtype=object)
+        order = np.argsort(ids, kind="stable")
+        ids, dls, toks = ids[order], dls[order], toks[order]
+        tok_map = {
+            str(t): (ids[toks == t], dls[toks == t]) for t in set(toks.tolist())
+        }
+        out = (ids, tok_map)
+    if len(_SEG_UPDATES_CACHE) >= _SEG_UPDATES_CACHE_MAX:
+        _SEG_UPDATES_CACHE.clear()
+    _SEG_UPDATES_CACHE[key] = out
+    return out
+
+
 def _update_facet_field_locked(
     spark: SparkSession, index_dir: str, field: str, updates: DataFrame
 ) -> dict:
@@ -439,23 +506,30 @@ def _update_facet_field_locked(
     docs are removed from EVERY existing facet term of the field and
     inserted into their new value's facet token (tf=1, dl=doc_len,
     position = doc_len + the field's facet slot — exactly what a fresh
-    build of the re-tagged corpus emits).  Only the parquet buckets
-    holding the field's facet terms are rewritten; document text,
-    doc ids, doc lengths, n_docs and avgdl are untouched, so every
-    BM25 score is bit-identical — only facet filtering changes.
+    build of the re-tagged corpus emits).  Only the affected facet
+    buckets' rows are rewritten; document text, doc ids, doc lengths,
+    n_docs and avgdl are untouched, so every BM25 score is
+    bit-identical — only facet filtering changes.
 
-    Scale posture: cost is O(field's facet postings in affected
-    buckets), never a corpus re-tokenize or full-index rewrite.  The
-    update batch itself is collected (it is the operator's input, the
-    same driver-side scale as the upsert kill-list aggregation).
+    Fully distributed (r3 verdict): urls resolve to doc ids with a
+    join against live doclens (tombstoned rows anti-joined out — dead
+    docs are not retagged), the resolved batch is written to a
+    per-segment hive sidecar, and each rewrite task reads only ITS
+    segments' update slices — no driver-side collect of operator
+    input, so a corpus-wide retag scales like any other shuffle.
 
-    Crash window: bucket swaps are individually atomic but a crash
-    between two bucket swaps can leave a doc removed from its old
-    facet token (bucket A swapped) before it appears in the new one
-    (bucket B pending) — it temporarily matches NEITHER facet value.
-    BM25 scores and document retrievability are unaffected (facet
-    tokens only filter), and re-running the same update converges."""
+    Publish is ATOMIC (generation pointers, layout.py): affected
+    buckets are written into a fresh ``postings-g<G>`` dir, unaffected
+    bucket directories are HARDLINKED in (metadata-only, no data
+    copy), termdict (and doclens when the field is stored) get their
+    own generation dirs, and one manifest replace flips readers to all
+    of them — a concurrent reader sees the whole pre-update index or
+    the whole post-update index, never a doc matching neither facet
+    value (the r3 inter-bucket crash/visibility window)."""
+    import shutil
+
     manifest = _load_manifest(index_dir)
+    layout.gc_stale_dirs(index_dir, manifest)
     params, g = manifest["params"], manifest["globals"]
     dpp, seg_group = int(g["docs_per_part"]), int(params["seg_group"])
     n_term_buckets = int(params["n_term_buckets"])
@@ -470,34 +544,57 @@ def _update_facet_field_locked(
         )
     facet_slot = facet_fields.index(field)
     with_positions = bool(params.get("with_positions", True))
-    postings_path = os.path.join(index_dir, "postings")
-    doclens_path = os.path.join(index_dir, "doclens")
-
-    # resolve urls → (doc_id, doc_len, new token); ignore unknown urls
-    doclens = spark.read.parquet(doclens_path)
-    resolved = (
-        doclens.join(updates.select("url", "new_value"), "url")
-        .select("doc_id", "doc_len", "new_value")
-        .collect()
-    )
-    if not resolved:
-        return manifest
-    by_doc = {
-        int(r["doc_id"]): (int(r["doc_len"]), ib.facet_token(field, r["new_value"]))
-        for r in resolved
-    }
-    seg_of = lambda d: (d // dpp) // seg_group  # noqa: E731
-    removals: dict[int, np.ndarray] = {}
-    inserts: dict[tuple[str, int], list[tuple[int, int]]] = {}
-    for d, (dl, tok) in by_doc.items():
-        s = seg_of(d)
-        removals.setdefault(s, []).append(d)  # type: ignore[arg-type]
-        inserts.setdefault((tok, s), []).append((d, dl))
-    removals = {s: np.unique(np.asarray(v, np.int64)) for s, v in removals.items()}
-
-    # every facet term of the field currently in the index + new tokens
+    postings_path = layout.table_path(index_dir, "postings", manifest)
+    doclens_path = layout.table_path(index_dir, "doclens", manifest)
+    deletes_path = layout.table_path(index_dir, "deletes", manifest)
     prefix = f"__{field}_"
-    td_path = os.path.join(index_dir, "termdict")
+
+    # resolve urls → (doc_id, doc_len, new_token, segment), DISTRIBUTED:
+    # live doclens (deletes anti-joined — tombstoned docs keep a doclens
+    # row until compaction and must not be retagged) joined to the
+    # batch; duplicate urls in one batch collapse deterministically to
+    # max(new_value); unknown urls drop out of the inner join
+    doclens = spark.read.parquet(doclens_path)
+    live = doclens.select("doc_id", "doc_len", "url")
+    if os.path.isdir(deletes_path):
+        dead_ids = spark.read.parquet(deletes_path).select("doc_id").distinct()
+        live = live.join(dead_ids, "doc_id", "left_anti")
+    resolved_plan = (
+        live.join(updates.select("url", "new_value"), "url")
+        .groupBy("doc_id")
+        .agg(
+            F.first("doc_len").alias("doc_len"),
+            F.max("new_value").alias("new_value"),
+        )
+        .select(
+            "doc_id",
+            "doc_len",
+            F.concat(
+                F.lit(prefix),
+                ib.facet_value_col(F.col("new_value")),
+                F.lit("__"),
+            ).alias("new_token"),
+            _segment_col(F.col("doc_id"), dpp, seg_group).alias("segment"),
+        )
+    )
+    gen = int(manifest.get("generation", 0)) + 1
+    updates_dir = os.path.join(index_dir, "stages", f"facet_update-g{gen}")
+    (
+        resolved_plan.repartition(F.col("segment"))
+        .write.mode("overwrite")
+        .partitionBy("segment")
+        .parquet(updates_dir)
+    )
+    resolved = spark.read.parquet(updates_dir)
+    n_updated = int(resolved.count())
+    if n_updated == 0:
+        shutil.rmtree(updates_dir, ignore_errors=True)
+        return manifest
+
+    # affected facet vocabulary = the field's existing facet tokens
+    # (termdict scan — vocabulary-bounded, NOT batch-bounded) ∪ the
+    # batch's distinct new tokens
+    td_path = layout.table_path(index_dir, "termdict", manifest)
     td = spark.read.parquet(td_path)
     existing_terms = {
         r["term"]
@@ -507,7 +604,10 @@ def _update_facet_field_locked(
         .select("term")
         .collect()
     }
-    all_terms = sorted(existing_terms | {tok for tok, _ in inserts})
+    new_tokens = {
+        r["new_token"] for r in resolved.select("new_token").distinct().collect()
+    }
+    all_terms = sorted(existing_terms | new_tokens)
     buckets = sorted({ib.term_bucket(t, n_term_buckets) for t in all_terms})
     term_set = set(all_terms)
     cols = [f.name for f in ib.POSTINGS_SCHEMA.fields]
@@ -550,7 +650,7 @@ def _update_facet_field_locked(
             rows = []
             for r in pdf.itertuples():
                 term, seg = r.term, int(r.segment)
-                dead = removals.get(seg)
+                dead, tok_map = _read_segment_updates(updates_dir, seg)
                 if term not in term_set or dead is None:
                     rows.append(
                         (
@@ -564,7 +664,7 @@ def _update_facet_field_locked(
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
                 keep = ~np.isin(d, dead, assume_unique=True)
                 d2, tf2, dl2 = d[keep], tf[keep], dl[keep]
-                pos2 = offs2 = None
+                pos2 = None
                 if with_positions:
                     pos, offs = codecs.decode_position_lists(bytes(r.pos_blob), tf)
                     ki = np.flatnonzero(keep)
@@ -572,12 +672,9 @@ def _update_facet_field_locked(
                     pos2 = (
                         np.concatenate(sl) if sl else np.array([], np.int64)
                     )
-                ins = inserts.get((term, seg))
-                if ins:
-                    add_d = np.array(sorted(x[0] for x in ins), np.int64)
-                    add_dl = np.array(
-                        [by_doc[int(x)][0] for x in add_d], np.int64
-                    )
+                ins = tok_map.get(term)
+                if ins is not None:
+                    add_d, add_dl = ins
                     where = np.searchsorted(d2, add_d)
                     d2 = np.insert(d2, where, add_d)
                     tf2 = np.insert(tf2, where, 1)
@@ -594,39 +691,47 @@ def _update_facet_field_locked(
                 rows.append(_encode_row(term, seg, d2, tf2, dl2, pos2))
             yield pd.DataFrame(rows, columns=cols)
 
-    # existing (term, segment) rows are discovered by the scan itself;
-    # rows that need CREATING (new facet value in a segment with no row
-    # yet) are found by diffing against this pruned listing
     pruned = spark.read.parquet(postings_path).filter(
         F.col("term_bucket").isin(buckets)
     )
-    have = {
-        (r["term"], int(r["segment"]))
-        for r in pruned.filter(F.col("term").isin(all_terms))
-        .select("term", "segment")
-        .collect()
-    }
     rewritten = pruned.drop("term_bucket").select(*cols).mapInPandas(
         rewrite, schema=ib.POSTINGS_SCHEMA
     )
-    new_rows = []
-    for (tok, seg), ins in inserts.items():
-        if (tok, seg) in have:
-            continue
-        add_d = np.array(sorted(x[0] for x in ins), np.int64)
-        add_dl = np.array([by_doc[int(x)][0] for x in add_d], np.int64)
+
+    # rows that need CREATING (a new facet value in a segment with no
+    # postings row for it yet): anti-join the resolved batch against
+    # the existing (term, segment) listing — all distributed, then one
+    # applyInPandas per missing (token, segment) group encodes the row
+    have = (
+        pruned.filter(F.col("term").isin(all_terms))
+        .select(F.col("term").alias("new_token"), "segment")
+        .distinct()
+    )
+    missing = resolved.join(have, ["new_token", "segment"], "left_anti")
+
+    def encode_group(key, pdf):
+        tok, seg = key
+        order = np.argsort(pdf["doc_id"].to_numpy())
+        add_d = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+        add_dl = pdf["doc_len"].to_numpy()[order].astype(np.int64)
         pos = (add_dl + facet_slot) if with_positions else None
-        new_rows.append(
-            _encode_row(tok, seg, add_d, np.ones(len(add_d), np.int64), add_dl, pos)
-        )
-    if new_rows:
-        rewritten = rewritten.unionByName(
-            spark.createDataFrame(
-                pd.DataFrame(new_rows, columns=cols), schema=ib.POSTINGS_SCHEMA
-            )
+        return pd.DataFrame(
+            [
+                _encode_row(
+                    tok, int(seg), add_d,
+                    np.ones(len(add_d), np.int64), add_dl, pos,
+                )
+            ],
+            columns=cols,
         )
 
-    staging = postings_path + "__updating"
+    created = missing.groupBy("new_token", "segment").applyInPandas(
+        encode_group, schema=ib.POSTINGS_SCHEMA
+    )
+    rewritten = rewritten.unionByName(created)
+
+    postings_rel = layout.next_gen_rel(manifest, "postings")
+    new_postings_path = os.path.join(index_dir, postings_rel)
     (
         rewritten.withColumn(
             "term_bucket",
@@ -636,24 +741,27 @@ def _update_facet_field_locked(
         .sortWithinPartitions("term_bucket", "term", "segment")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(staging)
+        .parquet(new_postings_path)
     )
-    # swap ONLY the affected bucket directories (a bucket missing from
-    # staging means the rewrite emptied it entirely — remove it)
-    import shutil
+    # unaffected buckets ride into the new generation as per-file
+    # HARDLINKS — metadata-only; a 100 TB index re-tags one facet
+    # writing only the affected buckets' bytes
+    affected = set(buckets)
+    for entry in os.listdir(postings_path):
+        if not entry.startswith("term_bucket="):
+            continue
+        if int(entry.split("=", 1)[1]) in affected:
+            continue
+        layout.link_tree(
+            os.path.join(postings_path, entry),
+            os.path.join(new_postings_path, entry),
+        )
+    flips = {"postings": postings_rel}
 
-    for b in buckets:
-        src = os.path.join(staging, f"term_bucket={b}")
-        dst = os.path.join(postings_path, f"term_bucket={b}")
-        if os.path.isdir(src):
-            _swap_dir(src, dst)
-        else:
-            shutil.rmtree(dst, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
-
-    # termdict: replace the affected terms' rows with recomputed stats
+    # termdict: replace the affected terms' rows with stats recomputed
+    # from the new generation
     new_td = (
-        spark.read.parquet(postings_path)
+        spark.read.parquet(new_postings_path)
         .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
         .groupBy("term_bucket", "term")
         .agg(
@@ -663,33 +771,35 @@ def _update_facet_field_locked(
         )
     )
     combined = td.filter(~F.col("term").isin(all_terms)).unionByName(new_td)
-    td_staging = td_path + "__staging"
+    td_rel = layout.next_gen_rel(manifest, "termdict")
     (
         combined.repartition("term_bucket")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(td_staging)
+        .parquet(os.path.join(index_dir, td_rel))
     )
-    _swap_dir(td_staging, td_path)
+    flips["termdict"] = td_rel
 
     # stored-field refresh (only when the field rides doclens)
     if field in doclens.columns:
         orig_cols = doclens.columns
-        upd = updates.select("url", F.col("new_value").alias("__new__"))
+        upd = updates.groupBy("url").agg(F.max("new_value").alias("__new__"))
         dl_new = (
-            doclens.join(F.broadcast(upd), "url", "left")
+            doclens.join(upd, "url", "left")
             .withColumn(field, F.coalesce(F.col("__new__"), F.col(field)))
             .select(*orig_cols)
         )
-        dl_staging = doclens_path + "__updating"
-        dl_new.write.mode("overwrite").parquet(dl_staging)
-        _swap_dir(dl_staging, doclens_path)
+        dl_rel = layout.next_gen_rel(manifest, "doclens")
+        dl_new.write.mode("overwrite").parquet(os.path.join(index_dir, dl_rel))
+        flips["doclens"] = dl_rel
 
     manifest.setdefault("updates", []).append(
-        {"field": field, "docs_updated": len(by_doc)}
+        {"field": field, "docs_updated": n_updated}
     )
+    layout.flip_tables(manifest, flips)
     _save_manifest(index_dir, manifest)
+    shutil.rmtree(updates_dir, ignore_errors=True)
     return manifest
 
 
@@ -715,21 +825,36 @@ def _splice_positions(
 
 
 def _strip_tombstones(
-    postings: DataFrame, deleted_by_seg: dict[int, np.ndarray]
+    postings: DataFrame, deletes_dir: str, epoch: int
 ) -> DataFrame:
     """Rewrite posting rows with tombstoned docs physically removed
     (blob re-encoded, df/cf/min_doc/block index recomputed; rows left
     empty are dropped).  mapInPandas — no shuffle, each file rewritten
-    in place of its scan task."""
+    in place of its scan task.
+
+    Each task reads ITS segments' tombstone sidecars via
+    read_segment_deletes (executor-cached, exactly like the query
+    path) — the closure carries two scalars, not a driver-materialized
+    dict of every segment's tombstones, which under heavy upsert churn
+    between compactions was the last multi-GB closure broadcast in the
+    engine (r3 verdict)."""
+    from ..operators.bm25 import read_segment_deletes
+
     cols = [f.name for f in ib.POSTINGS_SCHEMA.fields]
 
     def strip(batches):
+        seg_dead: dict[int, np.ndarray | None] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
             rows = []
             for r in pdf.itertuples():
-                dead = deleted_by_seg.get(int(r.segment))
+                seg = int(r.segment)
+                if seg not in seg_dead:
+                    seg_dead[seg] = read_segment_deletes(
+                        deletes_dir, seg, epoch
+                    )
+                dead = seg_dead[seg]
                 blob = bytes(r.blob)
                 pos_blob = bytes(r.pos_blob)
                 if dead is None or dead.size == 0:
@@ -798,17 +923,30 @@ def _compact_index_locked(spark: SparkSession, index_dir: str, factor: int = 2) 
     a pure function of doc_id, so a doc's postings for every term still
     land in exactly ONE query task and per-term rows stay disjoint
     ascending → concat-merge applies.  After compaction df/cf are exact
-    again and the deletes set is empty."""
+    again and the deletes set is empty.
+
+    Publish is ATOMIC: postings/doclens/termdict are written into fresh
+    generation dirs and readers flip to all three (plus the emptied
+    deletes pointer and bumped epoch) with ONE manifest replace — a
+    concurrent reader sees the whole pre-compaction index or the whole
+    post-compaction index, never stripped postings next to un-stripped
+    doclens (the r3 multi-directory swap window)."""
     manifest = _load_manifest(index_dir)
-    postings_path = os.path.join(index_dir, "postings")
-    deletes_path = os.path.join(index_dir, "deletes")
-    doclens_path = os.path.join(index_dir, "doclens")
-    deleted_by_seg = load_deletes(index_dir)
-    n_stripped = int(sum(v.size for v in deleted_by_seg.values()))
+    layout.gc_stale_dirs(index_dir, manifest)
+    postings_path = layout.table_path(index_dir, "postings", manifest)
+    deletes_path = layout.table_path(index_dir, "deletes", manifest)
+    doclens_path = layout.table_path(index_dir, "doclens", manifest)
+    epoch = int(manifest.get("deletes_epoch", 0))
+    has_deletes = os.path.isdir(deletes_path) and any(os.scandir(deletes_path))
+    n_stripped = (
+        int(spark.read.parquet(deletes_path).select("doc_id").distinct().count())
+        if has_deletes
+        else 0
+    )
 
     postings = spark.read.parquet(postings_path)
-    if deleted_by_seg:
-        postings = _strip_tombstones(postings, deleted_by_seg)
+    if has_deletes:
+        postings = _strip_tombstones(postings, deletes_path, epoch)
     remapped = postings.withColumn(
         "segment", (F.col("segment") / F.lit(factor)).cast("int")
     ).drop("n_bytes", "term_bucket")
@@ -820,39 +958,47 @@ def _compact_index_locked(spark: SparkSession, index_dir: str, factor: int = 2) 
     n_out = max(
         spark.sparkContext.defaultParallelism, manifest["params"]["n_term_buckets"]
     )
-    staging = postings_path + "__compacting"
+    postings_rel = layout.next_gen_rel(manifest, "postings")
+    new_postings_path = os.path.join(index_dir, postings_rel)
     (
         merged.repartitionByRange(n_out, "term_bucket", "term", "segment")
         .sortWithinPartitions("term_bucket", "term", "segment")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(staging)
+        .parquet(new_postings_path)
     )
-    _swap_dir(staging, postings_path)
+    flips = {"postings": postings_rel}
 
-    if deleted_by_seg:
+    if has_deletes:
         # doclens: physically drop tombstoned rows (broadcast anti-join —
-        # tombstones are a small fraction by construction), then retire
-        # the tombstones themselves
+        # tombstones are a small fraction by construction); the deletes
+        # pointer flips to a fresh (nonexistent = empty) dir and the old
+        # sidecars are GC'd by the NEXT maintenance op
         dead_df = spark.read.parquet(deletes_path).select("doc_id").distinct()
         doclens = spark.read.parquet(doclens_path)
         live = doclens.join(F.broadcast(dead_df), "doc_id", "left_anti")
-        dl_staging = doclens_path + "__compacting"
-        live.write.mode("overwrite").parquet(dl_staging)
-        _swap_dir(dl_staging, doclens_path)
-        import shutil
+        doclens_rel = layout.next_gen_rel(manifest, "doclens")
+        live.write.mode("overwrite").parquet(os.path.join(index_dir, doclens_rel))
+        flips["doclens"] = doclens_rel
+        flips["deletes"] = layout.next_gen_rel(manifest, "deletes")
+        manifest["deletes_epoch"] = epoch + 1
 
-        shutil.rmtree(deletes_path, ignore_errors=True)
-        manifest["deletes_epoch"] = int(manifest.get("deletes_epoch", 0)) + 1
-
-    _write_termdict(spark, index_dir)
+    td_rel = layout.next_gen_rel(manifest, "termdict")
+    _write_termdict(
+        spark,
+        index_dir,
+        postings_path=new_postings_path,
+        dest_path=os.path.join(index_dir, td_rel),
+    )
+    flips["termdict"] = td_rel
     manifest["metrics"] = {
         "docs_indexed": manifest["globals"]["n_docs"],
         "n_tombstones": 0,
-        **_postings_metrics(spark.read.parquet(postings_path)),
+        **_postings_metrics(spark.read.parquet(new_postings_path)),
     }
     manifest.setdefault("compactions", []).append(
         {"factor": factor, "tombstones_dropped": n_stripped}
     )
+    layout.flip_tables(manifest, flips)
     _save_manifest(index_dir, manifest)
     return manifest

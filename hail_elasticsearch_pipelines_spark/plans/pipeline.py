@@ -42,6 +42,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import layout
 from ..operators import index_build as ib
 from . import sizing
 
@@ -51,38 +52,57 @@ from . import sizing
 INDEX_FORMAT_VERSION = 5  # v5: __dlen_{2^k}__ bucket facet tokens indexed
 
 
-def _write_termdict(spark: SparkSession, out_dir: str) -> None:
+def _write_termdict(
+    spark: SparkSession,
+    out_dir: str,
+    postings_path: str | None = None,
+    dest_path: str | None = None,
+) -> None:
     """Term dictionary: (term_bucket, term, df, cf, n_rows) aggregated
     over the postings table.  The ES mapping/field-caps analog — query-
     side idf lookups scan THIS small table (partition-pruned by
-    term_bucket) instead of touching posting blobs."""
-    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    term_bucket) instead of touching posting blobs.
+
+    Default paths serve the initial build (plain names, staged swap —
+    no readers exist yet).  Maintenance ops pass explicit paths: the
+    postings GENERATION they just wrote and a fresh termdict generation
+    dir, published later by the op's single atomic manifest flip."""
+    postings = spark.read.parquet(
+        postings_path or os.path.join(out_dir, "postings")
+    )
     td = postings.groupBy("term_bucket", "term").agg(
         F.sum("df").alias("df"),
         F.sum("cf").alias("cf"),
         F.count("*").alias("n_rows"),
     )
+    plan = td.repartition("term_bucket").sortWithinPartitions("term")
+    if dest_path is not None:
+        plan.write.mode("overwrite").partitionBy("term_bucket").parquet(dest_path)
+        return
     staging = os.path.join(out_dir, "termdict__staging")
-    (
-        td.repartition("term_bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(staging)
-    )
+    plan.write.mode("overwrite").partitionBy("term_bucket").parquet(staging)
     _swap_dir(staging, os.path.join(out_dir, "termdict"))
 
 
 def _update_termdict(
-    spark: SparkSession, out_dir: str, new_postings: DataFrame
+    spark: SparkSession,
+    out_dir: str,
+    new_postings: DataFrame,
+    src_path: str | None = None,
+    dest_path: str | None = None,
 ) -> None:
     """Incremental termdict maintenance for appends: aggregate ONLY the
     new batch's rows and fold them into the existing termdict — touches
     O(batch) + O(termdict), never the full postings table (which
     _write_termdict re-scans).  ``new_postings`` must carry term_bucket/
     term/df/cf and should be persisted by the caller (it is consumed
-    once here and once by the postings append)."""
-    final = os.path.join(out_dir, "termdict")
+    once here and once by the postings append).
+
+    With ``dest_path`` the combined termdict is written into that fresh
+    generation dir (published by the caller's atomic manifest flip —
+    concurrent readers keep the old termdict until then); without it,
+    legacy in-place staged swap."""
+    final = src_path or os.path.join(out_dir, "termdict")
     new_td = new_postings.groupBy("term_bucket", "term").agg(
         F.sum("df").alias("df"),
         F.sum("cf").alias("cf"),
@@ -101,14 +121,12 @@ def _update_termdict(
         )
     else:
         combined = new_td
+    plan = combined.repartition("term_bucket").sortWithinPartitions("term")
+    if dest_path is not None:
+        plan.write.mode("overwrite").partitionBy("term_bucket").parquet(dest_path)
+        return
     staging = final + "__staging"
-    (
-        combined.repartition("term_bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(staging)
-    )
+    plan.write.mode("overwrite").partitionBy("term_bucket").parquet(staging)
     _swap_dir(staging, final)
 
 
@@ -391,6 +409,12 @@ class IndexBuildPipeline:
         manifest = {
             "format_version": INDEX_FORMAT_VERSION,
             "fingerprint": fp,
+            # generation-pointer layout (layout.py): the initial build
+            # publishes plain table dirs at generation 0; maintenance
+            # ops rewrite tables into <name>-g<G> dirs and flip these
+            # pointers with one atomic manifest replace
+            "generation": 0,
+            "tables": {n: n for n in layout.TABLES},
             "params": {
                 "docs_per_part": self.docs_per_part,
                 "seg_group": self.seg_group,
@@ -415,8 +439,7 @@ class IndexBuildPipeline:
             "bm25": {"k1": ib.BM25_K1, "b": ib.BM25_B},
             "validation": self._validation_report,
         }
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f, indent=2)
+        layout.save_manifest_atomic(self.out, manifest)
         with open(marker, "w") as f:
             f.write(fp)
         return manifest

@@ -97,7 +97,7 @@ def test_flat_layout_read_back(legacy_index):
     assert set(got) == set(orig)
     for s, v in orig.items():
         np.testing.assert_array_equal(got[s], v)
-        np.testing.assert_array_equal(read_segment_deletes(out, s, epoch=101), v)
+        np.testing.assert_array_equal(read_segment_deletes(os.path.join(out, "deletes"), s, epoch=101), v)
 
 
 def test_mixed_layout_unions_flat_and_sidecar(legacy_index, tmp_path):
@@ -118,10 +118,10 @@ def test_mixed_layout_unions_flat_and_sidecar(legacy_index, tmp_path):
         for s in sorted(orig)[1:]:
             np.testing.assert_array_equal(got[s], orig[s])
             np.testing.assert_array_equal(
-                read_segment_deletes(out, s, epoch=202), orig[s]
+                read_segment_deletes(os.path.join(out, "deletes"), s, epoch=202), orig[s]
             )
         np.testing.assert_array_equal(
-            read_segment_deletes(out, some_seg, epoch=202),
+            read_segment_deletes(os.path.join(out, "deletes"), some_seg, epoch=202),
             np.union1d(orig[some_seg], extra),
         )
     finally:

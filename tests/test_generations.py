@@ -1,0 +1,230 @@
+"""Generation-pointer publish: maintenance ops must be ATOMIC for
+concurrent readers — a searcher sees the whole pre-op index or the
+whole post-op index, never a mix (r3 verdict item 1).
+
+Reference analog: ES alias/routing swap + staged loading nodes give the
+reference atomic visibility for re-exports
+(hail_scripts/shared/elasticsearch_client_v7.py:109-149,
+luigi_pipeline/lib/hail_tasks.py:230-244); here a one-file manifest
+replace flips every rewritten table's generation pointer at once.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hail_elasticsearch_pipelines_spark.layout import load_manifest, table_path
+from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+    compact_index,
+    extend_index,
+    update_facet_field,
+    upsert_index,
+)
+from hail_elasticsearch_pipelines_spark.sources.corpus import gen_pages_pdf
+from test_upsert import _recrawl_pdf
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    base = gen_pages_pdf(np.arange(120))
+    build_index(
+        spark,
+        spark.createDataFrame(base),
+        out,
+        docs_per_part=37,
+        seg_group=2,
+        n_term_buckets=8,
+    )
+    return out, base
+
+
+def _retag(spark, out, base, n=10, value="zz"):
+    en_urls = sorted(base[base["lang"] == "en"]["url"].unique())[:n]
+    upd = spark.createDataFrame(
+        pd.DataFrame({"url": en_urls, "new_value": [value] * len(en_urls)})
+    )
+    return update_facet_field(spark, out, "lang", upd), en_urls
+
+
+def test_update_facet_field_pinned_searcher_sees_old_then_new(spark, built):
+    out, base = built
+    pre = LocalSearcher(out)
+    pre_en = pre.search_bool("the AND lang:en", k=500)
+    pre_zz = pre.search_bool("the AND lang:zz", k=500)
+    assert pre_zz == []
+
+    m, en_urls = _retag(spark, out, base)
+    assert m["updates"][-1]["docs_updated"] == len(en_urls)
+    assert m["generation"] >= 1
+
+    # pinned searcher: EXACT pre-op results (old generation dirs intact)
+    assert pre.search_bool("the AND lang:en", k=500) == pre_en
+    assert pre.search_bool("the AND lang:zz", k=500) == []
+
+    # reload: complete post-op state; a fresh searcher agrees
+    assert pre.reload() is True
+    post = LocalSearcher(out)
+    new_zz = post.search_bool("the AND lang:zz", k=500)
+    assert new_zz and pre.search_bool("the AND lang:zz", k=500) == new_zz
+    assert pre.reload() is False  # unchanged manifest → caches kept
+
+    # BM25 scoring is untouched by a facet retag
+    assert post.search(["the"], "OR", 30) == pre.search(["the"], "OR", 30)
+
+
+def test_compact_pinned_searchers_see_old_then_new(spark, built):
+    out, base = built
+    upsert_index(spark, out, spark.createDataFrame(_recrawl_pdf(np.arange(5, 25))))
+    pre_local = LocalSearcher(out)
+    pre_dist = IndexSearcher(spark, out)
+    pre_res = pre_local.search(["the"], "OR", 30)
+    pre_dist_res = [
+        (r["doc_id"], r["score"])
+        for r in pre_dist.search(["the"], "OR", 30).collect()
+    ]
+
+    compact_index(spark, out, factor=2)
+
+    # pinned searchers keep serving the pre-compaction snapshot
+    # (old postings generation + old deletes dir still on disk)
+    assert pre_local.search(["the"], "OR", 30) == pre_res
+    assert [
+        (r["doc_id"], r["score"])
+        for r in pre_dist.search(["the"], "OR", 30).collect()
+    ] == pre_dist_res
+
+    # reload → post-compaction state (df/cf exact again, so scores —
+    # and thus the top-k set — may legitimately change; both reloaded
+    # searchers must agree exactly with a fresh post-state searcher)
+    pre_local.reload()
+    pre_dist.reload_manifest()
+    post_res = pre_local.search(["the"], "OR", 30)
+    assert LocalSearcher(out).search(["the"], "OR", 30) == post_res
+    assert [
+        (r["doc_id"], r["score"])
+        for r in pre_dist.search(["the"], "OR", 30).collect()
+    ] == post_res
+
+
+def test_upsert_pinned_searcher_keeps_old_doc_until_reload(spark, built):
+    """Epoch-pinned deletes: an upsert's tombstones must NOT make the
+    old doc vanish from a searcher constructed before the upsert (its
+    replacement isn't visible there either) — no mixed state."""
+    out, base = built
+    pre = LocalSearcher(out)
+    k = 400
+    pre_ids = {d for d, _ in pre.search(["the"], "OR", k)}
+
+    m = upsert_index(
+        spark, out, spark.createDataFrame(_recrawl_pdf(np.arange(5, 15)))
+    )
+    assert m["extensions"][-1]["docs_tombstoned"] == 10
+
+    # pinned: identical visible doc set (old docs alive, new invisible)
+    assert {d for d, _ in pre.search(["the"], "OR", k)} == pre_ids
+
+    # reload: tombstoned docs gone, replacements visible
+    assert pre.reload() is True
+    post_ids = {d for d, _ in pre.search(["the"], "OR", k)}
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import load_deletes
+
+    dead = {int(i) for v in load_deletes(out).values() for i in v}
+    assert dead and not (post_ids & dead)
+    id_base = m["extensions"][-1]["id_base"]
+    assert any(d >= id_base for d in post_ids)
+
+
+def test_gc_grace_period_removes_previous_generation(spark, built):
+    out, base = built
+    _retag(spark, out, base)
+    m = load_manifest(out)
+    assert m["tables"]["postings"].startswith("postings-g")
+    # previous generation (plain dirs) still on disk — grace period
+    assert os.path.isdir(os.path.join(out, "postings"))
+    assert os.path.isdir(os.path.join(out, "termdict"))
+
+    # next maintenance op GC's them
+    extend_index(
+        spark,
+        out,
+        spark.createDataFrame(gen_pages_pdf(np.arange(200, 210))),
+        mode="create",
+    )
+    assert not os.path.isdir(os.path.join(out, "postings"))
+    assert not os.path.isdir(os.path.join(out, "termdict"))
+    # current generation intact and serving
+    assert LocalSearcher(out).search(["the"], "OR", 5)
+
+
+def test_hardlinked_buckets_share_inodes(spark, built):
+    """update_facet_field must not copy unaffected buckets — their files
+    ride into the new generation as hardlinks (same inode)."""
+    out, base = built
+    old_postings = table_path(out, "postings")
+    old_inodes = {}
+    for entry in os.listdir(old_postings):
+        if entry.startswith("term_bucket="):
+            d = os.path.join(old_postings, entry)
+            for fn in os.listdir(d):
+                if fn.endswith(".parquet"):
+                    old_inodes[(entry, fn)] = os.stat(os.path.join(d, fn)).st_ino
+    _retag(spark, out, base)
+    new_postings = table_path(out, "postings")
+    assert new_postings != old_postings
+    shared = 0
+    for (entry, fn), ino in old_inodes.items():
+        p = os.path.join(new_postings, entry, fn)
+        if os.path.exists(p) and os.stat(p).st_ino == ino:
+            shared += 1
+    assert shared > 0, "no hardlinked unaffected buckets found"
+
+
+def test_queries_concurrent_with_update_see_old_or_new_only(spark, built):
+    """The r3 verdict's done-criterion: queries racing an
+    update_facet_field must each equal the pre-state or the post-state
+    oracle — never a doc matching neither facet value.  Fresh
+    LocalSearchers are constructed in a loop on another thread while
+    the update runs (each pins whatever manifest it loads)."""
+    out, base = built
+    pre = LocalSearcher(out)
+    pre_en = pre.search_bool("the AND lang:en", k=500)
+    stop = threading.Event()
+    observed, errors = [], []
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                s = LocalSearcher(out)
+                en = s.search_bool("the AND lang:en", k=500)
+                zz = s.search_bool("the AND lang:zz", k=500)
+                observed.append((tuple(en), tuple(zz)))
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        _m, en_urls = _retag(spark, out, base)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    post = LocalSearcher(out)
+    post_en = post.search_bool("the AND lang:en", k=500)
+    post_zz = post.search_bool("the AND lang:zz", k=500)
+    assert errors == []
+    assert observed, "query thread never completed a query"
+    pre_state = (tuple(pre_en), ())
+    post_state = (tuple(post_en), tuple(post_zz))
+    for got in observed:
+        assert got in (pre_state, post_state), (
+            "mixed-state result observed during update"
+        )

@@ -233,7 +233,9 @@ def test_update_facet_field_equals_fresh_rebuild(spark, tmp_path):
     zz_hits = {
         r["doc_id"] for r in s.search_bool("the AND lang:zz", k=500).collect()
     }
-    dl = spark.read.parquet(out + "/doclens").select("doc_id", "url").collect()
+    from hail_elasticsearch_pipelines_spark.layout import table_path
+
+    dl = spark.read.parquet(table_path(out, "doclens")).select("doc_id", "url").collect()
     url_of = {int(r["doc_id"]): r["url"] for r in dl}
     assert {url_of[d] for d in zz_hits} <= set(en_urls) and zz_hits
     # ...and lang:en no longer matches them
@@ -260,7 +262,7 @@ def test_update_facet_field_equals_fresh_rebuild(spark, tmp_path):
 
     def snapshot(path):
         rows = (
-            spark.read.parquet(path + "/postings")
+            spark.read.parquet(table_path(path, "postings"))
             .select("term", "segment", "df", "cf", "min_doc", "blob", "pos_blob")
             .collect()
         )
@@ -274,7 +276,7 @@ def test_update_facet_field_equals_fresh_rebuild(spark, tmp_path):
     # termdict agrees too
     td = lambda p: sorted(
         (r["term"], r["df"], r["cf"])
-        for r in spark.read.parquet(p + "/termdict").collect()
+        for r in spark.read.parquet(table_path(p, "termdict")).collect()
     )
     assert td(out) == td(out2)
 

@@ -170,7 +170,11 @@ def test_compact_drops_tombstones_exact_scores(spark, upserted):
     assert m2["compactions"][-1]["tombstones_dropped"] == len(dead)
     import os
 
-    assert not os.path.exists(os.path.join(out, "deletes"))
+    from hail_elasticsearch_pipelines_spark.layout import table_path
+
+    # the RESOLVED deletes pointer is empty (the old generation's dir
+    # stays on disk for grace-period readers until the next op's GC)
+    assert not os.path.exists(table_path(out, "deletes"))
     oracle = OracleIndex(docs)
     s = IndexSearcher(spark, out)
     s.reload_manifest()
@@ -197,7 +201,9 @@ def test_compact_drops_tombstones_exact_scores(spark, upserted):
     ]
     assert got == expected
     # doclens no longer holds tombstoned rows
-    doclens = spark.read.parquet(out + "/doclens")
+    from hail_elasticsearch_pipelines_spark.layout import table_path
+
+    doclens = spark.read.parquet(table_path(out, "doclens"))
     assert doclens.count() == len(docs)
     assert m2["metrics"]["posting_rows"] <= before_rows
 
@@ -228,15 +234,20 @@ def test_incremental_termdict_matches_full_rebuild(spark, tmp_path):
     )
     extend_index(spark, out, spark.createDataFrame(gen_pages_pdf(np.arange(100, 160))))
 
-    def snapshot():
+    from hail_elasticsearch_pipelines_spark.layout import table_path
+
+    def snapshot(path):
         return sorted(
             (r["term_bucket"], r["term"], r["df"], r["cf"], r["n_rows"])
-            for r in spark.read.parquet(out + "/termdict").collect()
+            for r in spark.read.parquet(path).collect()
         )
 
-    incremental = snapshot()
-    _write_termdict(spark, out)  # full rebuild from postings
-    assert incremental == snapshot()
+    incremental = snapshot(table_path(out, "termdict"))
+    rebuilt = str(tmp_path / "td_rebuild")
+    _write_termdict(  # full rebuild from postings
+        spark, out, postings_path=table_path(out, "postings"), dest_path=rebuilt
+    )
+    assert incremental == snapshot(rebuilt)
 
 
 def test_upsert_publishes_tombstones_after_data(spark, tmp_path, monkeypatch):
@@ -308,6 +319,6 @@ def test_upsert_publishes_tombstones_after_data(spark, tmp_path, monkeypatch):
     for seg, ids in full.items():
         np.testing.assert_array_equal(fn(seg), ids)
         np.testing.assert_array_equal(
-            read_segment_deletes(out, seg, s._deletes_epoch), ids
+            read_segment_deletes(s._deletes_dir, seg, s._deletes_epoch), ids
         )
     assert fn(10**6) is None  # untombstoned segment reads as None
