@@ -860,7 +860,12 @@ class IndexSearcher:
         )
 
     def search(
-        self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "auto"
+        self,
+        terms: list[str],
+        mode: str = "OR",
+        k: int = 10,
+        algo: str = "auto",
+        segment_prune: bool = False,
     ) -> DataFrame:
         """Top-k BM25.  Returns DataFrame(doc_id, score) already sorted
         by (score desc, doc_id asc), exactly k rows or fewer.
@@ -869,7 +874,20 @@ class IndexSearcher:
         "bmw" (OR → window block-max WAND), "maxscore" (OR → MaxScore),
         "exhaustive" (always full decode).  All paths are rank- AND
         score-identical; algo only changes how much of each posting
-        list is decoded."""
+        list is decoded.
+
+        segment_prune=True adds CROSS-SEGMENT pruning (two-phase): a
+        metadata-only collect computes per-segment score bounds (see
+        LocalSearcher._segment_bounds), the best-bound segment is
+        scored first as a probe, and segments whose bound is strictly
+        below the probe's k-th score never get a scoring task at all —
+        bit-identical (strict inequality forbids ties).  Costs one
+        extra small job + one tiny collect, so it's opt-in here: the
+        win is proportional to segment count (at 10^12 docs a
+        rare-but-widespread term's task fan-out collapses), while on a
+        handful of segments the fixed job overhead dominates.  The
+        sequential LocalSearcher has it always-on for free.
+        ``last_segments_skipped`` reports the count."""
         terms_sorted = sorted(set(terms))
         mode_u = mode.upper()
         avgdl = self.avgdl
@@ -946,10 +964,89 @@ class IndexSearcher:
             docs, scores = _topk(docs, scores, k)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
+        self.last_segments_skipped = 0
+        if segment_prune and algo not in ("bmw", "exhaustive"):
+            pruned = self._two_phase_segment_prune(
+                rows, score_segment, terms_sorted, mode_u, k
+            )
+            if pruned is not None:
+                return pruned
         per_segment = rows.groupBy("segment").applyInPandas(
             score_segment, schema=RESULT_SCHEMA
         )
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _two_phase_segment_prune(
+        self, rows: DataFrame, score_segment, terms_sorted, mode_u, k
+    ) -> DataFrame | None:
+        """Probe-then-prune: bounds from a metadata-only collect (tiny —
+        |terms| × |segments| scalars, no blobs cross the wire thanks to
+        parquet column pruning), one scoring task for the best-bound
+        segment, then scoring tasks ONLY for segments whose bound can
+        still reach the probe's k-th score.  Returns None when pruning
+        cannot pay (fewer than 3 candidate segments)."""
+        meta = rows.select(
+            "segment",
+            "term",
+            "df_global",
+            F.array_max("block_max_tf").alias("mx"),
+            F.array_min("block_min_dl").alias("mn"),
+        ).collect()
+        bounds: dict[int, float] = {}
+        present: dict[int, int] = {}
+        for r in meta:
+            seg = int(r["segment"])
+            if r["mx"] is None or r["mn"] is None:
+                b = float("inf")  # legacy row without bounds: never skip
+            else:
+                idf_t = bm25_idf(self.n_docs, int(r["df_global"]))
+                b = idf_t * float(
+                    bm25_tf_weight(
+                        np.array([r["mx"]], np.float64),
+                        np.array([r["mn"]], np.float64),
+                        self.avgdl,
+                    )[0]
+                )
+            bounds[seg] = bounds.get(seg, 0.0) + b
+            present[seg] = present.get(seg, 0) + 1
+        segs = [
+            s
+            for s in bounds
+            if mode_u != "AND" or present[s] == len(terms_sorted)
+        ]
+        if len(segs) < 3:
+            return None
+        # probe the top-P bound segments TOGETHER: one segment's local
+        # k-th is diluted by its own weak matches, so the probe takes
+        # enough segments that its union's k-th approaches the global
+        # k-th — a stronger (still conservative) floor
+        order = sorted(segs, key=lambda s: (-bounds[s], s))
+        n_probe = min(max(2, -(-k // 4)), max(1, len(segs) // 2))
+        probe_segs = order[:n_probe]
+        probe = (
+            rows.filter(F.col("segment").isin(probe_segs))
+            .groupBy("segment")
+            .applyInPandas(score_segment, schema=RESULT_SCHEMA)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        floor = float(probe[k - 1]["score"]) if len(probe) >= k else None
+        survivors = [
+            s
+            for s in order[n_probe:]
+            if floor is None or not bounds[s] < floor
+        ]
+        self.last_segments_skipped = len(segs) - n_probe - len(survivors)
+        probe_df = self.spark.createDataFrame(probe, RESULT_SCHEMA)
+        if survivors:
+            rest = (
+                rows.filter(F.col("segment").isin(survivors))
+                .groupBy("segment")
+                .applyInPandas(score_segment, schema=RESULT_SCHEMA)
+            )
+            probe_df = probe_df.unionByName(rest)
+        return probe_df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_bool(self, query: str, k: int = 10) -> DataFrame:
         """Boolean query string (`a AND (b OR c) AND NOT d`) — the ES

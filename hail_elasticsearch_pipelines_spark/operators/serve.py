@@ -203,21 +203,69 @@ class LocalSearcher:
             filter=self._bucket_filter(terms), columns=columns
         )
 
+    def _segment_bounds(
+        self, terms_sorted: list[str], idf: dict[str, float]
+    ) -> tuple[dict[int, float], dict[int, int]]:
+        """Per-segment BM25 score upper bounds from a METADATA-ONLY read
+        (term, segment, block_max_tf, block_min_dl — no posting blobs):
+        bound(seg) = Σ_t idf_t · w(max over blocks of max_tf, min over
+        blocks of min_dl).  Mixing one block's max_tf with another's
+        min_dl only loosens the bound (w is ↑ in tf, ↓ in dl), so it
+        stays safe.  Legacy rows without block bounds force +inf (never
+        skipped).  Returns (bounds, per-segment present-term counts)."""
+        mtbl = self._term_rows(
+            terms_sorted, ["term", "segment", "block_max_tf", "block_min_dl"]
+        )
+        bounds: dict[int, float] = {}
+        present: dict[int, int] = {}
+        segs = mtbl["segment"].to_pylist()
+        for i in range(mtbl.num_rows):
+            seg = int(segs[i])
+            t = mtbl["term"][i].as_py()
+            bmt, bmd = mtbl["block_max_tf"][i], mtbl["block_min_dl"][i]
+            if not bmt.is_valid or not bmd.is_valid:
+                b = float("inf")
+            else:
+                b = idf[t] * float(
+                    bm25_tf_weight(
+                        np.array([_list_np(bmt, np.int64).max()], np.float64),
+                        np.array([_list_np(bmd, np.int64).min()], np.float64),
+                        self.avgdl,
+                    )[0]
+                )
+            bounds[seg] = bounds.get(seg, 0.0) + b
+            present[seg] = present.get(seg, 0) + 1
+        return bounds, present
+
     def search(
         self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "auto"
     ) -> list[tuple[int, float]]:
         """Top-k BM25 → [(doc_id, score)] by (score desc, doc_id asc).
         Identical accumulation order to IndexSearcher → bit-identical.
         algo mirrors IndexSearcher.search: "auto" (AND → block-skip,
-        OR → MaxScore), "bmw", "maxscore", "exhaustive"."""
+        OR → MaxScore), "bmw", "maxscore", "exhaustive".
+
+        The pruned paths (auto/maxscore/AND-block-skip) add
+        CROSS-SEGMENT pruning (the Lucene/ES per-segment max-score
+        analog the reference delegates to ES): segments are scored in
+        descending bound order and a segment whose bound is strictly
+        below the current k-th score is skipped before its posting
+        blobs are ever read or decoded — bit-identical because every
+        doc in it scores ≤ bound < k-th (strict, so ties are
+        impossible).  ``last_segments_skipped`` reports the count."""
         terms_sorted = sorted(set(terms))
         dfs = self.global_dfs(terms_sorted)
         mode_u = mode.upper()
+        self.last_segments_skipped = 0
         if not dfs or (mode_u == "AND" and any(t not in dfs for t in terms_sorted)):
             return []
         idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
 
         cols = ["term", "segment", "df", "blob", "block_last", "block_max_tf", "block_min_dl", "block_off"]
+        if algo in ("auto", "maxscore") or (
+            mode_u == "AND" and algo != "exhaustive"
+        ):
+            return self._search_pruned(terms_sorted, mode_u, k, idf, cols)
         tbl = self._term_rows(terms_sorted, cols)
         seg_arr = np.asarray(tbl["segment"].to_pylist())
         cand_docs, cand_scores = [], []
@@ -258,33 +306,6 @@ class LocalSearcher:
                 self._bmw_cache_blocks = sum(
                     len(d) for d in self._bmw_cache.values()
                 )
-            elif algo in ("auto", "maxscore") or (
-                mode_u == "AND" and algo != "exhaustive"
-            ):
-                # pruned paths, same kernels as the distributed searcher:
-                # AND → block-skip intersection, OR → MaxScore.  The
-                # block cache is SEEDED from this searcher's persistent
-                # decoded-postings cache and harvests back into it, so
-                # warm serving keeps the hot-term decode amortization
-                # the exhaustive path had.
-                cache = _BlockCache(
-                    _CacheRow(tbl, int(i)) for i in idxs
-                )
-                for t in cache.blob:
-                    hit = self._cache.get((t, int(seg)))
-                    if hit is not None:
-                        cache._full[t] = hit
-                if mode_u == "AND":
-                    docs, scores = _score_intersection_blockmax(
-                        cache, terms_sorted, idf, self.avgdl, dead=dead
-                    )
-                    docs, scores = _topk(docs, scores, k)
-                else:
-                    docs, scores = _score_union_maxscore(
-                        cache, terms_sorted, idf, self.avgdl, k, dead=dead
-                    )
-                for t, out in cache._full.items():
-                    self._cache_put(t, int(seg), out)
             else:
                 postings = {}
                 for i in idxs:
@@ -311,6 +332,70 @@ class LocalSearcher:
         all_s = np.concatenate(cand_scores)
         d, s = _topk(all_d, all_s, k)
         return list(zip(d.tolist(), s.tolist()))
+
+    def _search_pruned(
+        self,
+        terms_sorted: list[str],
+        mode_u: str,
+        k: int,
+        idf: dict[str, float],
+        cols: list[str],
+    ) -> list[tuple[int, float]]:
+        """auto/maxscore/AND-block-skip scoring with cross-segment
+        pruning: metadata pass → bound-descending segment order →
+        running k-th floor → segments that cannot reach the floor are
+        skipped before their blobs are read.  Within each surviving
+        segment the same kernels as the distributed searcher run,
+        seeded from / harvesting into the decoded-postings cache."""
+        bounds, present = self._segment_bounds(terms_sorted, idf)
+        segs = [
+            s
+            for s in bounds
+            if mode_u != "AND" or present[s] == len(terms_sorted)
+        ]
+        # bound desc, segment asc for deterministic order on ties
+        order = sorted(segs, key=lambda s: (-bounds[s], s))
+        acc_d = np.array([], np.int64)
+        acc_s = np.array([], np.float64)
+        floor = -np.inf
+        for seg in order:
+            if len(acc_d) >= k and bounds[seg] < floor:
+                self.last_segments_skipped += 1
+                continue
+            tbl = self._postings.to_table(
+                filter=self._bucket_filter(terms_sorted)
+                & (ds.field("segment") == int(seg)),
+                columns=cols,
+            )
+            if tbl.num_rows == 0:
+                continue
+            dead = self._deletes.get(int(seg))
+            cache = _BlockCache(
+                _CacheRow(tbl, i) for i in range(tbl.num_rows)
+            )
+            for t in cache.blob:
+                hit = self._cache.get((t, int(seg)))
+                if hit is not None:
+                    cache._full[t] = hit
+            if mode_u == "AND":
+                docs, scores = _score_intersection_blockmax(
+                    cache, terms_sorted, idf, self.avgdl, dead=dead
+                )
+                docs, scores = _topk(docs, scores, k)
+            else:
+                docs, scores = _score_union_maxscore(
+                    cache, terms_sorted, idf, self.avgdl, k, dead=dead
+                )
+            for t, out in cache._full.items():
+                self._cache_put(t, int(seg), out)
+            acc_d, acc_s = _topk(
+                np.concatenate([acc_d, docs]),
+                np.concatenate([acc_s, scores]),
+                k,
+            )
+            if len(acc_d) >= k:
+                floor = float(acc_s[-1])
+        return list(zip(acc_d.tolist(), acc_s.tolist()))
 
     def search_many(self, specs: list[dict]) -> dict[str, list[tuple[int, float]]]:
         """msearch analog: term ("OR"/"AND"), "BOOL" (query string) and
