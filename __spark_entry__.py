@@ -177,6 +177,16 @@ def _q_bm25_index_bmw(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_bm25_index_segprune(spark, sf):
+    """Two-phase cross-segment pruning (r4): probe the best-bound
+    segments, skip segments whose bound can't reach the probe's k-th
+    score — must stay value-identical to the exhaustive SQL oracle."""
+    r = _searcher(spark, sf).search(
+        OR_TERMS, mode="OR", k=20, algo="auto", segment_prune=True
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 PHRASE = ["row", "scan"]
 BOOL_QUERY = "fast AND (key OR table) AND NOT dup"
 
@@ -274,6 +284,37 @@ def _q_image_resize(spark, sf):
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
     )
     return mm.image_resize_stub(d, target=224)
+
+
+def _q_image_resize_real(spark, sf):
+    """REAL image decode end to end (r4): a deterministic uniform-gray
+    PNG is synthesized per doc (w = 16 + doc_id % 50, h = 16 +
+    doc_id % 37), resize_images decodes it with the stdlib PNG codec
+    (operators/multimodal.py + functions/png.py) and aspect-fits.  The
+    oracle recomputes the dims arithmetic directly — a wrong decode
+    cannot produce the right src dims, so the decode path itself is
+    value-checked (the resized PNG bytes are pytest-verified; DuckDB
+    cannot decode PNG)."""
+    import numpy as np
+    import pandas as pd
+
+    from hail_elasticsearch_pipelines_spark.functions import png as _png
+
+    d = _read(spark, sf, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                w, h = 16 + int(mid) % 50, 16 + int(mid) % 37
+                arr = np.full((h, w), int(mid) % 256, np.uint8)
+                rows.append((int(mid), _png.encode_png(arr)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    pay = d.mapInPandas(gen, schema="media_id long, payload binary")
+    return mm.resize_images(pay, target=224).select(
+        "media_id", "src_w", "src_h", "out_w", "out_h", "decoded"
+    )
 
 
 def _q_pricing_summary(spark, sf):
@@ -402,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_or": _q_bm25_index_or,
         "bm25_index_and": _q_bm25_index_and,
         "bm25_index_bmw": _q_bm25_index_bmw,
+        "bm25_index_segprune": _q_bm25_index_segprune,
         "phrase_search": _q_phrase_search,
         "bool_search": _q_bool_search,
         "cosine_topk": _q_cosine_topk,
@@ -410,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
         "image_resize": _q_image_resize,
+        "image_resize_real": _q_image_resize_real,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "customers_no_orders": _q_customers_no_orders,
@@ -750,6 +793,21 @@ FROM fit
 """
 
 
+_IMAGE_RESIZE_REAL_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         (16 + (doc_id % 50))::INT AS src_w,
+         (16 + (doc_id % 37))::INT AS src_h
+  FROM documents
+)
+SELECT media_id, src_w, src_h,
+       greatest(1, (src_w * 224) // greatest(src_w, src_h))::INT AS out_w,
+       greatest(1, (src_h * 224) // greatest(src_w, src_h))::INT AS out_h,
+       TRUE AS decoded
+FROM dims
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     or_sql = _bm25_sql(OR_TERMS, "OR", 20)
     and_sql = _bm25_sql(AND_TERMS, "AND", 20)
@@ -772,11 +830,13 @@ def oracle_sql() -> dict[str, str]:
         # is value-checked via the SQL twin of the stub chain.
         "frame_sample": _frame_sample_sql(30),
         "image_resize": _IMAGE_RESIZE_SQL,
+        "image_resize_real": _IMAGE_RESIZE_REAL_SQL,
         "bm25_or": or_sql,
         "bm25_and": and_sql,
         "bm25_index_or": or_sql,
         "bm25_index_and": and_sql,
         "bm25_index_bmw": or_sql,
+        "bm25_index_segprune": or_sql,
         "phrase_search": _phrase_sql(PHRASE, 20),
         "bool_search": f"""
 WITH tok AS (

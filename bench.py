@@ -50,7 +50,9 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 # scaling-efficiency comparison would be invalid if part sizing floated
 # with the core count) and parts stay small enough to balance
 DOCS_PER_PART = int(os.environ.get("SPARK_GRAFT_DPP", "4000"))
-BUILD_REPS = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "1"))
+# best-of-2 by default (r3 verdict: single-rep driver builds measured
+# VM weather, not code — cold-JIT/noisy-neighbor bursts are 30-50%)
+BUILD_REPS = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "2"))
 # fused normalize+docs (corpus text materialized once) is the bench
 # default; SPARK_GRAFT_FUSE=0 restores the normalize checkpoint
 FUSE = os.environ.get("SPARK_GRAFT_FUSE", "1") == "1"
@@ -101,14 +103,18 @@ def main():
     # -- BM25 query latency over the reference query set ----------------
     searcher = IndexSearcher(spark, idx_dir)
     lat_ms = []
+    per_query_reps: dict[str, list[float]] = {}
     for rep in range(3):
         for spec in reference_queries():
             t0 = time.time()
             searcher.search(spec["terms"], mode=spec["mode"], k=spec["k"]).collect()
             dt = (time.time() - t0) * 1000
             lat_ms.append(dt)
-            if rep == 0:
-                q[f"bm25_{spec['query_id']}"] = round(dt / 1000, 3)
+            per_query_reps.setdefault(spec["query_id"], []).append(round(dt, 1))
+    for qid, reps in per_query_reps.items():
+        # best-of-3 per query (raw reps emitted separately): round-over-
+        # round deltas should compare code, not which rep hit a burst
+        q[f"bm25_{qid}"] = round(min(reps) / 1000, 3)
     p50 = float(np.percentile(lat_ms, 50))
     p99 = float(np.percentile(lat_ms, 99))
 
@@ -171,12 +177,44 @@ def main():
     q["and_selective_exhaustive"] = cold(
         lambda ls: ls.search(SEL_AND, "AND", 10, algo="exhaustive")
     )
+    # cross-segment pruning probe (r4): distributed two-phase probe
+    # vs the plain one-job path on the same rare+stopword query
+    t0 = time.time()
+    searcher.search(SEL_OR, "OR", 10, algo="auto", segment_prune=True).collect()
+    q["or_selective_dist_segprune"] = round(time.time() - t0, 4)
+    segprune_skipped = getattr(searcher, "last_segments_skipped", 0)
+    t0 = time.time()
+    searcher.search(SEL_OR, "OR", 10, algo="auto").collect()
+    q["or_selective_dist_plain"] = round(time.time() - t0, 4)
+
     # stopword phrase: the vectorized adjacency matcher's showcase
     q["phrase_stopword_cold"] = cold(lambda ls: ls.search_phrase(["of", "the"], 10))
     t0 = time.time()
     local.search_phrase(["of", "the"], 10)
     local.search_phrase(["of", "the"], 10)
     q["phrase_stopword_warm"] = round((time.time() - t0) / 2, 4)
+
+    # -- distributed facet retag: 10^5-url partial-doc update over the
+    # bench index (r3 verdict: operator input must never collect on the
+    # driver; this times the join-resolve + sidecar + bucket rewrite +
+    # generation publish end to end)
+    import pandas as _pd
+
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+        update_facet_field,
+    )
+
+    retag_urls = [
+        r["url"]
+        for r in spark.read.parquet(os.path.join(idx_dir, "doclens"))
+        .select("url").limit(100_000).collect()
+    ]
+    upd = spark.createDataFrame(
+        _pd.DataFrame({"url": retag_urls, "new_value": ["retag"] * len(retag_urls)})
+    )
+    t0 = time.time()
+    update_facet_field(spark, idx_dir, "lang", upd)
+    q["facet_retag_100k"] = round(time.time() - t0, 3)
 
     # -- headline operator queries over SF_DIR testdata -----------------
     docs = _read(spark, "documents")
@@ -230,6 +268,8 @@ def main():
                 "bm25_local_p50_ms": round(local_p50, 2),
                 "bm25_local_p99_ms": round(local_p99, 2),
                 "build_reps_sec": [round(x, 2) for x in build_times],
+                "per_query_reps_ms": per_query_reps,
+                "segprune_segments_skipped": segprune_skipped,
                 "cpus": CPUS,
             }
         )

@@ -984,7 +984,10 @@ class IndexSearcher:
         parquet column pruning), one scoring task for the best-bound
         segment, then scoring tasks ONLY for segments whose bound can
         still reach the probe's k-th score.  Returns None when pruning
-        cannot pay (fewer than 3 candidate segments)."""
+        cannot pay (fewer than 3 candidate segments — pre-gated on the
+        manifest's segment count so the metadata job isn't launched)."""
+        if int(self.manifest.get("metrics", {}).get("n_segments", 999) or 999) < 3:
+            return None
         meta = rows.select(
             "segment",
             "term",

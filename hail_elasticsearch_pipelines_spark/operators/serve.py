@@ -203,19 +203,16 @@ class LocalSearcher:
             filter=self._bucket_filter(terms), columns=columns
         )
 
-    def _segment_bounds(
-        self, terms_sorted: list[str], idf: dict[str, float]
+    def _bounds_from_table(
+        self, mtbl, idf: dict[str, float]
     ) -> tuple[dict[int, float], dict[int, int]]:
-        """Per-segment BM25 score upper bounds from a METADATA-ONLY read
-        (term, segment, block_max_tf, block_min_dl — no posting blobs):
+        """Per-segment BM25 score upper bounds from any row table
+        carrying (term, segment, block_max_tf, block_min_dl):
         bound(seg) = Σ_t idf_t · w(max over blocks of max_tf, min over
         blocks of min_dl).  Mixing one block's max_tf with another's
         min_dl only loosens the bound (w is ↑ in tf, ↓ in dl), so it
         stays safe.  Legacy rows without block bounds force +inf (never
         skipped).  Returns (bounds, per-segment present-term counts)."""
-        mtbl = self._term_rows(
-            terms_sorted, ["term", "segment", "block_max_tf", "block_min_dl"]
-        )
         bounds: dict[int, float] = {}
         present: dict[int, int] = {}
         segs = mtbl["segment"].to_pylist()
@@ -236,6 +233,19 @@ class LocalSearcher:
             bounds[seg] = bounds.get(seg, 0.0) + b
             present[seg] = present.get(seg, 0) + 1
         return bounds, present
+
+    def _segment_bounds(
+        self, terms_sorted: list[str], idf: dict[str, float]
+    ) -> tuple[dict[int, float], dict[int, int]]:
+        """Bounds from a METADATA-ONLY read (no posting blobs) — the
+        IO-saving path for many-segment indexes."""
+        return self._bounds_from_table(
+            self._term_rows(
+                terms_sorted,
+                ["term", "segment", "block_max_tf", "block_min_dl"],
+            ),
+            idf,
+        )
 
     def search(
         self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "auto"
@@ -347,7 +357,19 @@ class LocalSearcher:
         skipped before their blobs are read.  Within each surviving
         segment the same kernels as the distributed searcher run,
         seeded from / harvesting into the decoded-postings cache."""
-        bounds, present = self._segment_bounds(terms_sorted, idf)
+        # few-segment indexes: one bulk read (blobs included — the same
+        # IO as exhaustive) and bounds computed from it; decode-level
+        # skipping still applies.  Many segments: metadata-first, so
+        # ruled-out segments' blobs are never fetched at all.
+        n_seg_total = int(
+            self.manifest.get("metrics", {}).get("n_segments", 0) or 999
+        )
+        bulk_tbl = None
+        if n_seg_total <= 8:
+            bulk_tbl = self._term_rows(terms_sorted, cols)
+            bounds, present = self._bounds_from_table(bulk_tbl, idf)
+        else:
+            bounds, present = self._segment_bounds(terms_sorted, idf)
         segs = [
             s
             for s in bounds
@@ -358,21 +380,11 @@ class LocalSearcher:
         acc_d = np.array([], np.int64)
         acc_s = np.array([], np.float64)
         floor = -np.inf
-        for seg in order:
-            if len(acc_d) >= k and bounds[seg] < floor:
-                self.last_segments_skipped += 1
-                continue
-            tbl = self._postings.to_table(
-                filter=self._bucket_filter(terms_sorted)
-                & (ds.field("segment") == int(seg)),
-                columns=cols,
-            )
-            if tbl.num_rows == 0:
-                continue
+
+        def score_one(seg: int, tbl, row_idx: np.ndarray):
+            nonlocal acc_d, acc_s, floor
             dead = self._deletes.get(int(seg))
-            cache = _BlockCache(
-                _CacheRow(tbl, i) for i in range(tbl.num_rows)
-            )
+            cache = _BlockCache(_CacheRow(tbl, int(i)) for i in row_idx)
             for t in cache.blob:
                 hit = self._cache.get((t, int(seg)))
                 if hit is not None:
@@ -395,6 +407,53 @@ class LocalSearcher:
             )
             if len(acc_d) >= k:
                 floor = float(acc_s[-1])
+
+        if bulk_tbl is not None or len(order) <= 2:
+            # single bulk read: score in bound order, skip decodes once
+            # the floor rules a segment out
+            tbl = bulk_tbl if bulk_tbl is not None else self._term_rows(
+                terms_sorted, cols
+            )
+            seg_arr = np.asarray(tbl["segment"].to_pylist())
+            for seg in order:
+                if len(acc_d) >= k and bounds[seg] < floor:
+                    self.last_segments_skipped += 1
+                    continue
+                score_one(seg, tbl, np.flatnonzero(seg_arr == seg))
+            return list(zip(acc_d.tolist(), acc_s.tolist()))
+
+        # 3-read plan (reads bounded regardless of segment count):
+        # 1. metadata (done above, no blobs), 2. the best-bound
+        # segment's blobs → first floor, 3. ONE bulk blob read for the
+        # segments whose bound reaches that floor.  As the floor rises
+        # during scoring, further segments skip their DECODE (the blob
+        # bytes were fetched in the bulk read — IO for segments ruled
+        # out by the first floor was never issued at all).
+        best = order[0]
+        tbl = self._postings.to_table(
+            filter=self._bucket_filter(terms_sorted)
+            & (ds.field("segment") == int(best)),
+            columns=cols,
+        )
+        if tbl.num_rows:
+            score_one(best, tbl, np.arange(tbl.num_rows))
+        survivors = [
+            s for s in order[1:] if not (len(acc_d) >= k and bounds[s] < floor)
+        ]
+        self.last_segments_skipped += len(order) - 1 - len(survivors)
+        if not survivors:
+            return list(zip(acc_d.tolist(), acc_s.tolist()))
+        tbl = self._postings.to_table(
+            filter=self._bucket_filter(terms_sorted)
+            & ds.field("segment").isin([int(s) for s in survivors]),
+            columns=cols,
+        )
+        seg_arr = np.asarray(tbl["segment"].to_pylist())
+        for seg in survivors:
+            if len(acc_d) >= k and bounds[seg] < floor:
+                self.last_segments_skipped += 1  # decode skipped
+                continue
+            score_one(seg, tbl, np.flatnonzero(seg_arr == seg))
         return list(zip(acc_d.tolist(), acc_s.tolist()))
 
     def search_many(self, specs: list[dict]) -> dict[str, list[tuple[int, float]]]:

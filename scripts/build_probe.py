@@ -5,6 +5,7 @@ Usage: python scripts/build_probe.py CPUS N_DOCS [REPS]
 Env:   SPARK_GRAFT_FUSE=1            fuse normalize+docs (default 1)
        SPARK_GRAFT_PARQUET_CODEC     stage parquet codec (default snappy)
        SPARK_GRAFT_SHUFFLE_CODEC     spark.io.compression.codec (default lz4)
+       SPARK_GRAFT_ARROW_BATCH       arrow maxRecordsPerBatch (default 10000)
 """
 
 from __future__ import annotations
@@ -39,6 +40,10 @@ def main():
         ]
     if os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC"):
         extra["spark.io.compression.codec"] = os.environ["SPARK_GRAFT_SHUFFLE_CODEC"]
+    if os.environ.get("SPARK_GRAFT_ARROW_BATCH"):
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = os.environ[
+            "SPARK_GRAFT_ARROW_BATCH"
+        ]
     spark = get_spark(
         app_name="build_probe",
         master=f"local[{cpus}]",
