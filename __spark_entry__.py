@@ -187,6 +187,26 @@ def _q_bm25_index_segprune(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_bm25_page2(spark, sf):
+    """search_after keyset pagination (r4): page 2 fetched via the
+    (score, doc_id) cursor of page 1's last hit must equal the oracle's
+    rows 11..20 of the full ranking."""
+    s = _searcher(spark, sf)
+    page1 = s.search(OR_TERMS, mode="OR", k=10, algo="exhaustive").collect()
+    last = page1[-1]
+    r = s.search_page(
+        OR_TERMS, mode="OR", k=10, after=(float(last["score"]), int(last["doc_id"]))
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_facet_counts(spark, sf):
+    """ES terms-aggregation analog (r4): per-facet-value doc counts over
+    ALL docs matching the OR query — lang (constant 'en' for this
+    corpus adapter) and the power-of-two dlen bucket pseudo-field."""
+    return _searcher(spark, sf).search_facets(OR_TERMS, ["lang", "dlen"], "OR")
+
+
 PHRASE = ["row", "scan"]
 BOOL_QUERY = "fast AND (key OR table) AND NOT dup"
 
@@ -444,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_and": _q_bm25_index_and,
         "bm25_index_bmw": _q_bm25_index_bmw,
         "bm25_index_segprune": _q_bm25_index_segprune,
+        "bm25_page2": _q_bm25_page2,
+        "facet_counts": _q_facet_counts,
         "phrase_search": _q_phrase_search,
         "bool_search": _q_bool_search,
         "cosine_topk": _q_cosine_topk,
@@ -476,7 +498,7 @@ def _micro_sql(expr: str) -> str:
     return f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
 
 
-def _bm25_sql(terms: list[str], mode: str, k: int) -> str:
+def _bm25_sql(terms: list[str], mode: str, k: int, offset: int = 0) -> str:
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     n_terms = len(set(terms))
     having = f"HAVING count(*) = {n_terms}" if mode == "AND" else ""
@@ -504,7 +526,7 @@ WITH tok AS (
   SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id {having}
 )
 SELECT doc_id, {_micro_sql('score')} AS score_micro
-FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k}
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}
 """
 
 
@@ -793,6 +815,25 @@ FROM fit
 """
 
 
+_FACET_COUNTS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), hits AS (
+  SELECT len(toks)::BIGINT AS dlen FROM tok
+  WHERE len(list_intersect(toks, ['fast', 'key', 'table'])) > 0
+)
+SELECT * FROM (
+  SELECT 'dlen' AS field,
+         CAST(CAST(pow(2, CAST(floor(log2(greatest(dlen, 1))) AS INT)) AS BIGINT) AS VARCHAR) AS value,
+         COUNT(*)::BIGINT AS doc_count
+  FROM hits GROUP BY 2
+  UNION ALL
+  SELECT 'lang' AS field, 'en' AS value, COUNT(*)::BIGINT AS doc_count FROM hits
+)
+ORDER BY field, doc_count DESC, value
+"""
+
+
 _IMAGE_RESIZE_REAL_SQL = """
 WITH dims AS (
   SELECT doc_id AS media_id,
@@ -837,6 +878,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_and": and_sql,
         "bm25_index_bmw": or_sql,
         "bm25_index_segprune": or_sql,
+        "bm25_page2": _bm25_sql(OR_TERMS, "OR", 10, offset=10),
+        "facet_counts": _FACET_COUNTS_SQL,
         "phrase_search": _phrase_sql(PHRASE, 20),
         "bool_search": f"""
 WITH tok AS (

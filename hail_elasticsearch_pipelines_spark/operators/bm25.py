@@ -53,6 +53,14 @@ MULTI_RESULT_SCHEMA = T.StructType(
     ]
 )
 
+FACET_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+    ]
+)
+
 
 def _score_union_exhaustive(
     postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
@@ -1112,6 +1120,200 @@ class IndexSearcher:
 
         per_segment = rows.groupBy("segment").applyInPandas(
             score_segment, schema=RESULT_SCHEMA
+        )
+        return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _facet_terms_of(self, fields: list[str]) -> dict[str, list[str]]:
+        """field → its indexed facet tokens, from the term dictionary
+        (vocabulary-bounded — never the postings).  Pseudo-field
+        ``dlen`` covers the power-of-two doc-length bucket tokens."""
+        src = self._termdict if self._termdict is not None else self._postings
+        out: dict[str, list[str]] = {f: [] for f in fields}
+        conds = None
+        for f in fields:
+            c = F.col("term").startswith(f"__{f}_") & F.col("term").endswith("__")
+            conds = c if conds is None else (conds | c)
+        rows = src.filter(conds).select("term").distinct().collect()
+        for r in rows:
+            t = r["term"]
+            for f in fields:
+                if t.startswith(f"__{f}_"):
+                    out[f].append(t)
+                    break
+        return out
+
+    def search_facets(
+        self,
+        query: list[str] | str,
+        fields: list[str],
+        mode: str = "OR",
+    ) -> DataFrame:
+        """ES ``terms`` aggregation: per-facet-value counts of ALL docs
+        matching the query — DataFrame(field, value, doc_count), sorted
+        by (field, doc_count desc, value).  ``query`` is a term list
+        with mode "OR"/"AND", or a boolean query string with
+        mode="BOOL".  The reference's seqr UI gets faceted search from
+        ES aggregations on the exported index
+        (hail_scripts/shared/elasticsearch_utils.py:38-77 facet-typed
+        mapping); here the facet tokens' postings ARE the agg input.
+
+        Scale posture: one scoring-shaped job — each segment task
+        decodes the query terms' postings once, forms the full match
+        set (facet counting is inherently match-set-complete; no top-k
+        shortcut exists, same as ES), intersects each facet token's
+        postings (sorted-array searchsorted), and emits (field, value,
+        partial count); a tiny groupBy-sum merges segments.  Facet
+        vocabulary rides an isin filter so the postings scan stays
+        term_bucket-pruned."""
+        from ..functions import boolquery as bq
+
+        mode_u = mode.upper()
+        if mode_u == "BOOL":
+            ast = bq.parse(query)  # type: ignore[arg-type]
+            qterms = sorted(set(bq.all_terms(ast)))
+        else:
+            ast = None
+            qterms = sorted(set(query))
+        facet_terms = self._facet_terms_of(fields)
+        fterms = sorted({t for ts in facet_terms.values() for t in ts})
+        all_terms = sorted(set(qterms) | set(fterms))
+        if not all_terms or not qterms:
+            return self.spark.createDataFrame([], FACET_RESULT_SCHEMA)
+        rows = self._term_rows(all_terms).select("segment", "term", "blob")
+        qset = set(qterms)
+        field_of = {
+            t: f for f, ts in facet_terms.items() for t in ts
+        }
+        get_deletes = self._segment_deletes_fn()
+        bool_ast = ast
+
+        def facet_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame(
+                    {"field": [], "value": [], "doc_count": []}
+                )
+            _check_unique_terms(pdf)
+            dead = get_deletes(pdf["segment"].iloc[0])
+            qdocs: dict[str, np.ndarray] = {}
+            facet_rows: list[tuple[str, bytes]] = []
+            for r in pdf.itertuples():
+                if r.term in qset:
+                    d, _tf, _dl = codecs.decode_postings(bytes(r.blob))
+                    qdocs[r.term] = d
+                if r.term in field_of:
+                    facet_rows.append((r.term, bytes(r.blob)))
+            if bool_ast is not None:
+                cand = bq.eval_docs(bool_ast, qdocs)
+                matches = (
+                    np.array([], np.int64)
+                    if isinstance(cand, tuple)
+                    else cand
+                )
+            elif mode_u == "AND":
+                if any(t not in qdocs for t in qterms):
+                    matches = np.array([], np.int64)
+                else:
+                    matches = reduce(
+                        lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                        (qdocs[t] for t in qterms),
+                    )
+            else:
+                present = [qdocs[t] for t in qterms if t in qdocs]
+                matches = (
+                    reduce(np.union1d, present)
+                    if present
+                    else np.array([], np.int64)
+                )
+            if dead is not None and dead.size and matches.size:
+                matches = matches[~np.isin(matches, dead, assume_unique=True)]
+            out = []
+            if matches.size:
+                for t, blob in facet_rows:
+                    fd, _tf, _dl = codecs.decode_postings(blob)
+                    n = int(
+                        np.isin(fd, matches, assume_unique=True).sum()
+                    )
+                    if n:
+                        f = field_of[t]
+                        value = t[len(f"__{f}_") : -2]
+                        out.append((f, value, n))
+            return pd.DataFrame(
+                out, columns=["field", "value", "doc_count"]
+            )
+
+        per_segment = rows.groupBy("segment").applyInPandas(
+            facet_segment, schema=FACET_RESULT_SCHEMA
+        )
+        return (
+            per_segment.groupBy("field", "value")
+            .agg(F.sum("doc_count").alias("doc_count"))
+            .orderBy("field", F.desc("doc_count"), "value")
+        )
+
+    def search_page(
+        self,
+        terms: list[str],
+        mode: str = "OR",
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Keyset pagination — the ES ``search_after`` cursor: top-k
+        matches strictly AFTER cursor position ``(score, doc_id)`` in
+        the global (score desc, doc_id asc) order.  Stateless and
+        O(k)-per-page like ES's search_after (vs from+size's O(from+k)
+        deep-page blowup): each segment task scores exhaustively, drops
+        docs at-or-before the cursor, and keeps its local top-k; the
+        global merge is k rows per segment.  Page 1 = after=None."""
+        terms_sorted = sorted(set(terms))
+        mode_u = mode.upper()
+        avgdl, n_docs = self.avgdl, self.n_docs
+        get_deletes = self._segment_deletes_fn()
+        rows = self._rows_with_global_df(terms_sorted)
+        if rows is None:
+            dfs = self.global_dfs(terms_sorted)
+            if not dfs:
+                return self.spark.createDataFrame([], RESULT_SCHEMA)
+            rows = self._term_rows(terms_sorted).select(
+                *self.SCORING_COLS
+            ).withColumn(
+                "df_global",
+                F.create_map(
+                    *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
+                )[F.col("term")],
+            )
+        cursor = after
+
+        def page_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            _check_unique_terms(pdf)
+            dead = get_deletes(pdf["segment"].iloc[0])
+            idf = {
+                t: bm25_idf(n_docs, int(d))
+                for t, d in zip(pdf["term"], pdf["df_global"])
+            }
+            postings = {}
+            for r in pdf.itertuples():
+                d, tf, dl = codecs.decode_postings(bytes(r.blob))
+                postings[r.term] = (d, tf, dl)
+            postings = _mask_deleted(postings, dead)
+            if mode_u == "AND":
+                docs, scores = _score_intersection(
+                    postings, terms_sorted, idf, avgdl
+                )
+            else:
+                docs, scores = _score_union_exhaustive(
+                    postings, terms_sorted, idf, avgdl
+                )
+            if cursor is not None and docs.size:
+                s_a, d_a = float(cursor[0]), int(cursor[1])
+                keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+                docs, scores = docs[keep], scores[keep]
+            docs, scores = _topk(docs, scores, k)
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        per_segment = rows.groupBy("segment").applyInPandas(
+            page_segment, schema=RESULT_SCHEMA
         )
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

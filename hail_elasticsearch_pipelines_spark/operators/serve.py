@@ -49,12 +49,13 @@ class _CacheRow:
     expects, with arrow-native list extraction (no per-element as_py)."""
 
     __slots__ = (
-        "term", "df", "blob", "block_last", "block_off",
+        "term", "segment", "df", "blob", "block_last", "block_off",
         "block_max_tf", "block_min_dl",
     )
 
     def __init__(self, tbl, i: int):
         self.term = tbl["term"][i].as_py()
+        self.segment = tbl["segment"][i].as_py()
         self.df = tbl["df"][i].as_py()
         self.blob = tbl["blob"][i].as_py()
         self.block_last = _list_np(tbl["block_last"][i], np.int64)
@@ -65,6 +66,12 @@ class _CacheRow:
         bmt, bmd = tbl["block_max_tf"][i], tbl["block_min_dl"][i]
         self.block_max_tf = None if not bmt.is_valid else _list_np(bmt, np.int64)
         self.block_min_dl = None if not bmd.is_valid else _list_np(bmd, np.int64)
+
+    def nbytes(self) -> int:
+        n = len(self.blob) + self.block_last.nbytes + self.block_off.nbytes
+        if self.block_max_tf is not None:
+            n += self.block_max_tf.nbytes + self.block_min_dl.nbytes
+        return n
 
 
 def _put_unique(d: dict, key, value) -> None:
@@ -125,6 +132,16 @@ class LocalSearcher:
         self._pos_cache: dict[tuple[str, int], tuple] = {}
         self._pos_cache_bytes = 0
         self._pos_cache_cap = 128 * 1024 * 1024
+        # term-ROWS cache: term → {segment: _CacheRow} (undecoded blob +
+        # block metadata).  The pyarrow dataset scan is the warm-path
+        # floor (~20 ms per to_table on a 200k-doc index regardless of
+        # OS page cache — row-group stat evaluation + parquet decode);
+        # holding hot terms' rows on the heap removes it entirely, the
+        # same move as ES/Lucene serving segments out of memory.  Valid
+        # for this searcher's pinned snapshot; reload() drops it.
+        self._rows_cache: dict[str, dict[int, _CacheRow]] = {}
+        self._rows_cache_bytes = 0
+        self._rows_cache_cap = 512 * 1024 * 1024
 
     def reload(self) -> bool:
         """Advance a long-lived serving process to the latest published
@@ -202,6 +219,66 @@ class LocalSearcher:
         return self._postings.to_table(
             filter=self._bucket_filter(terms), columns=columns
         )
+
+    SCORING_ROW_COLS = [
+        "term", "segment", "df", "blob",
+        "block_last", "block_max_tf", "block_min_dl", "block_off",
+    ]
+
+    def _rows_for(self, terms: list[str]) -> dict[str, dict[int, "_CacheRow"]]:
+        """Hot-row lookup: per term, its posting rows across segments —
+        ONE dataset scan for the cache-missing terms only; warm terms
+        never touch the dataset again.  Terms absent from the index get
+        a negative entry so repeated queries don't re-scan for them."""
+        missing = [t for t in terms if t not in self._rows_cache]
+        if missing:
+            tbl = self._term_rows(missing, self.SCORING_ROW_COLS)
+            for i in range(tbl.num_rows):
+                row = _CacheRow(tbl, i)
+                seg_map = self._rows_cache.setdefault(row.term, {})
+                if int(row.segment) not in seg_map:
+                    self._rows_cache_bytes += row.nbytes()
+                seg_map[int(row.segment)] = row
+            for t in missing:
+                self._rows_cache.setdefault(t, {})
+            while (
+                self._rows_cache_bytes > self._rows_cache_cap
+                and len(self._rows_cache) > len(terms)
+            ):
+                # FIFO eviction of whole terms, skipping this query's
+                old_t = next(
+                    (t for t in self._rows_cache if t not in set(terms)), None
+                )
+                if old_t is None:
+                    break
+                old = self._rows_cache.pop(old_t)
+                self._rows_cache_bytes -= sum(r.nbytes() for r in old.values())
+        return {t: self._rows_cache[t] for t in terms}
+
+    def _bounds_from_rows(
+        self,
+        rows: dict[str, dict[int, "_CacheRow"]],
+        idf: dict[str, float],
+    ) -> tuple[dict[int, float], dict[int, int]]:
+        """Per-segment score bounds from cached rows (no dataset read):
+        same math as _bounds_from_table."""
+        bounds: dict[int, float] = {}
+        present: dict[int, int] = {}
+        for t, seg_map in rows.items():
+            for seg, r in seg_map.items():
+                if r.block_max_tf is None or r.block_min_dl is None:
+                    b = float("inf")
+                else:
+                    b = idf.get(t, 0.0) * float(
+                        bm25_tf_weight(
+                            np.array([r.block_max_tf.max()], np.float64),
+                            np.array([r.block_min_dl.min()], np.float64),
+                            self.avgdl,
+                        )[0]
+                    )
+                bounds[seg] = bounds.get(seg, 0.0) + b
+                present[seg] = present.get(seg, 0) + 1
+        return bounds, present
 
     def _bounds_from_table(
         self, mtbl, idf: dict[str, float]
@@ -352,24 +429,17 @@ class LocalSearcher:
         cols: list[str],
     ) -> list[tuple[int, float]]:
         """auto/maxscore/AND-block-skip scoring with cross-segment
-        pruning: metadata pass → bound-descending segment order →
-        running k-th floor → segments that cannot reach the floor are
-        skipped before their blobs are read.  Within each surviving
-        segment the same kernels as the distributed searcher run,
-        seeded from / harvesting into the decoded-postings cache."""
-        # few-segment indexes: one bulk read (blobs included — the same
-        # IO as exhaustive) and bounds computed from it; decode-level
-        # skipping still applies.  Many segments: metadata-first, so
-        # ruled-out segments' blobs are never fetched at all.
-        n_seg_total = int(
-            self.manifest.get("metrics", {}).get("n_segments", 0) or 999
-        )
-        bulk_tbl = None
-        if n_seg_total <= 8:
-            bulk_tbl = self._term_rows(terms_sorted, cols)
-            bounds, present = self._bounds_from_table(bulk_tbl, idf)
-        else:
-            bounds, present = self._segment_bounds(terms_sorted, idf)
+        pruning over the hot term-rows cache: segments score in
+        bound-descending order with a running k-th floor; a segment
+        whose bound cannot reach the floor is skipped before any of its
+        blobs are DECODED.  Cold terms cost one dataset scan
+        (_rows_for); warm terms never touch the dataset — the pyarrow
+        scan was the warm-path latency floor (r4 bench).  Within each
+        surviving segment the same kernels as the distributed searcher
+        run, seeded from / harvesting into the decoded-postings
+        cache."""
+        rows = self._rows_for(terms_sorted)
+        bounds, present = self._bounds_from_rows(rows, idf)
         segs = [
             s
             for s in bounds
@@ -380,11 +450,17 @@ class LocalSearcher:
         acc_d = np.array([], np.int64)
         acc_s = np.array([], np.float64)
         floor = -np.inf
-
-        def score_one(seg: int, tbl, row_idx: np.ndarray):
-            nonlocal acc_d, acc_s, floor
+        for seg in order:
+            if len(acc_d) >= k and bounds[seg] < floor:
+                self.last_segments_skipped += 1
+                continue
+            seg_rows = [
+                rows[t][seg] for t in terms_sorted if seg in rows.get(t, {})
+            ]
+            if not seg_rows:
+                continue
             dead = self._deletes.get(int(seg))
-            cache = _BlockCache(_CacheRow(tbl, int(i)) for i in row_idx)
+            cache = _BlockCache(seg_rows)
             for t in cache.blob:
                 hit = self._cache.get((t, int(seg)))
                 if hit is not None:
@@ -407,54 +483,147 @@ class LocalSearcher:
             )
             if len(acc_d) >= k:
                 floor = float(acc_s[-1])
-
-        if bulk_tbl is not None or len(order) <= 2:
-            # single bulk read: score in bound order, skip decodes once
-            # the floor rules a segment out
-            tbl = bulk_tbl if bulk_tbl is not None else self._term_rows(
-                terms_sorted, cols
-            )
-            seg_arr = np.asarray(tbl["segment"].to_pylist())
-            for seg in order:
-                if len(acc_d) >= k and bounds[seg] < floor:
-                    self.last_segments_skipped += 1
-                    continue
-                score_one(seg, tbl, np.flatnonzero(seg_arr == seg))
-            return list(zip(acc_d.tolist(), acc_s.tolist()))
-
-        # 3-read plan (reads bounded regardless of segment count):
-        # 1. metadata (done above, no blobs), 2. the best-bound
-        # segment's blobs → first floor, 3. ONE bulk blob read for the
-        # segments whose bound reaches that floor.  As the floor rises
-        # during scoring, further segments skip their DECODE (the blob
-        # bytes were fetched in the bulk read — IO for segments ruled
-        # out by the first floor was never issued at all).
-        best = order[0]
-        tbl = self._postings.to_table(
-            filter=self._bucket_filter(terms_sorted)
-            & (ds.field("segment") == int(best)),
-            columns=cols,
-        )
-        if tbl.num_rows:
-            score_one(best, tbl, np.arange(tbl.num_rows))
-        survivors = [
-            s for s in order[1:] if not (len(acc_d) >= k and bounds[s] < floor)
-        ]
-        self.last_segments_skipped += len(order) - 1 - len(survivors)
-        if not survivors:
-            return list(zip(acc_d.tolist(), acc_s.tolist()))
-        tbl = self._postings.to_table(
-            filter=self._bucket_filter(terms_sorted)
-            & ds.field("segment").isin([int(s) for s in survivors]),
-            columns=cols,
-        )
-        seg_arr = np.asarray(tbl["segment"].to_pylist())
-        for seg in survivors:
-            if len(acc_d) >= k and bounds[seg] < floor:
-                self.last_segments_skipped += 1  # decode skipped
-                continue
-            score_one(seg, tbl, np.flatnonzero(seg_arr == seg))
         return list(zip(acc_d.tolist(), acc_s.tolist()))
+    def search_facets(
+        self,
+        query: list[str] | str,
+        fields: list[str],
+        mode: str = "OR",
+    ) -> list[tuple[str, str, int]]:
+        """ES ``terms`` aggregation, serving-path twin of
+        IndexSearcher.search_facets: [(field, value, doc_count)] sorted
+        by (field, count desc, value), counting ALL matching live docs.
+        Same semantics, no Spark jobs."""
+        from functools import reduce
+
+        from ..functions import boolquery as bq
+
+        mode_u = mode.upper()
+        if mode_u == "BOOL":
+            ast = bq.parse(query)  # type: ignore[arg-type]
+            qterms = sorted(set(bq.all_terms(ast)))
+        else:
+            ast = None
+            qterms = sorted(set(query))
+        prefixes = {f: f"__{f}_" for f in fields}
+        src = self._termdict if self._termdict is not None else self._postings
+        tnames = src.to_table(columns=["term"]).column("term").to_pylist()
+        fterms = sorted(
+            {
+                t
+                for t in tnames
+                if t.endswith("__")
+                and any(t.startswith(p) for p in prefixes.values())
+            }
+        )
+        all_terms = sorted(set(qterms) | set(fterms))
+        if not qterms:
+            return []
+        tbl = self._term_rows(all_terms, ["term", "segment", "blob"])
+        seg_arr = np.asarray(tbl["segment"].to_pylist())
+        counts: dict[tuple[str, str], int] = {}
+        qset = set(qterms)
+        for seg in np.unique(seg_arr):
+            idxs = np.flatnonzero(seg_arr == seg)
+            qdocs: dict[str, np.ndarray] = {}
+            facet_rows: list[tuple[str, int]] = []
+            for i in idxs:
+                t = tbl["term"][int(i)].as_py()
+                if t in qset:
+                    d, _tf, _dl = self._decode_cached(
+                        t, int(seg), tbl["blob"][int(i)]
+                    )
+                    qdocs[t] = d
+                if t in fterms:
+                    facet_rows.append((t, int(i)))
+            if ast is not None:
+                cand = bq.eval_docs(ast, qdocs)
+                matches = (
+                    np.array([], np.int64) if isinstance(cand, tuple) else cand
+                )
+            elif mode_u == "AND":
+                if any(t not in qdocs for t in qterms):
+                    matches = np.array([], np.int64)
+                else:
+                    matches = reduce(
+                        lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                        (qdocs[t] for t in qterms),
+                    )
+            else:
+                present = [qdocs[t] for t in qterms if t in qdocs]
+                matches = (
+                    reduce(np.union1d, present)
+                    if present
+                    else np.array([], np.int64)
+                )
+            dead = self._deletes.get(int(seg))
+            if dead is not None and dead.size and matches.size:
+                matches = matches[~np.isin(matches, dead, assume_unique=True)]
+            if not matches.size:
+                continue
+            for t, i in facet_rows:
+                fd, _tf, _dl = self._decode_cached(t, int(seg), tbl["blob"][i])
+                n = int(np.isin(fd, matches, assume_unique=True).sum())
+                if n:
+                    f = next(
+                        f for f, p in prefixes.items() if t.startswith(p)
+                    )
+                    value = t[len(prefixes[f]) : -2]
+                    key = (f, value)
+                    counts[key] = counts.get(key, 0) + n
+        return sorted(
+            ((f, v, c) for (f, v), c in counts.items()),
+            key=lambda x: (x[0], -x[2], x[1]),
+        )
+
+    def search_page(
+        self,
+        terms: list[str],
+        mode: str = "OR",
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Keyset pagination (ES ``search_after``), serving-path twin of
+        IndexSearcher.search_page: top-k matches strictly after cursor
+        (score, doc_id) in (score desc, doc_id asc) order."""
+        terms_sorted = sorted(set(terms))
+        dfs = self.global_dfs(terms_sorted)
+        mode_u = mode.upper()
+        if not dfs or (mode_u == "AND" and any(t not in dfs for t in terms_sorted)):
+            return []
+        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        tbl = self._term_rows(terms_sorted, ["term", "segment", "blob"])
+        seg_arr = np.asarray(tbl["segment"].to_pylist())
+        cand_d, cand_s = [], []
+        for seg in np.unique(seg_arr):
+            idxs = np.flatnonzero(seg_arr == seg)
+            postings = {}
+            for i in idxs:
+                t = tbl["term"][int(i)].as_py()
+                d, tf, dl = self._decode_cached(t, int(seg), tbl["blob"][int(i)])
+                _put_unique(postings, t, (d, tf, dl))
+            postings = _mask_deleted(postings, self._deletes.get(int(seg)))
+            if mode_u == "AND":
+                if not all(t in postings for t in terms_sorted):
+                    continue
+                docs, scores = _score_intersection(
+                    postings, terms_sorted, idf, self.avgdl
+                )
+            else:
+                docs, scores = _score_union_exhaustive(
+                    postings, terms_sorted, idf, self.avgdl
+                )
+            if after is not None and docs.size:
+                s_a, d_a = float(after[0]), int(after[1])
+                keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+                docs, scores = docs[keep], scores[keep]
+            docs, scores = _topk(docs, scores, k)
+            cand_d.append(docs)
+            cand_s.append(scores)
+        if not cand_d:
+            return []
+        d, s = _topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
+        return list(zip(d.tolist(), s.tolist()))
 
     def search_many(self, specs: list[dict]) -> dict[str, list[tuple[int, float]]]:
         """msearch analog: term ("OR"/"AND"), "BOOL" (query string) and
@@ -490,15 +659,40 @@ class LocalSearcher:
         if req:
             # required conjuncts → same block-skip evaluation as the
             # distributed searcher, seeded from the decoded-postings
-            # cache and harvesting back into it
+            # cache and harvesting back into it.  Cross-segment pruning
+            # (r4): segments missing a required term are dropped from
+            # metadata alone, the rest score in bound-desc order (bound
+            # summed over POSITIVE terms only — facet/NOT terms filter,
+            # never score) with a running k-th floor.
             cols = [
                 "term", "segment", "df", "blob",
                 "block_last", "block_max_tf", "block_min_dl", "block_off",
             ]
             tbl = self._term_rows(terms, cols)
             seg_arr = np.asarray(tbl["segment"].to_pylist())
-            cand_d, cand_s = [], []
-            for seg in np.unique(seg_arr):
+            pos_idf = {t: idf.get(t, 0.0) for t in pos_terms}
+            bounds, _present = self._bounds_from_table(tbl, {
+                **{t: 0.0 for t in terms}, **pos_idf
+            })
+            req_count: dict[int, int] = {}
+            req_set = set(req)
+            terms_col = tbl["term"].to_pylist()
+            for i in range(tbl.num_rows):
+                if terms_col[i] in req_set:
+                    s_ = int(seg_arr[i])
+                    req_count[s_] = req_count.get(s_, 0) + 1
+            order = sorted(
+                (s for s in bounds if req_count.get(s, 0) == len(req_set)),
+                key=lambda s: (-bounds[s], s),
+            )
+            self.last_segments_skipped = 0
+            acc_d = np.array([], np.int64)
+            acc_s = np.array([], np.float64)
+            floor = -np.inf
+            for seg in order:
+                if len(acc_d) >= k and bounds[seg] < floor:
+                    self.last_segments_skipped += 1
+                    continue
                 idxs = np.flatnonzero(seg_arr == seg)
                 cache = _BlockCache(_CacheRow(tbl, int(i)) for i in idxs)
                 for t in cache.blob:
@@ -512,12 +706,14 @@ class LocalSearcher:
                 for t, out in cache._full.items():
                     self._cache_put(t, int(seg), out)
                 docs, scores = _topk(docs, scores, k)
-                cand_d.append(docs)
-                cand_s.append(scores)
-            if not cand_d:
-                return []
-            d, s = _topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
-            return list(zip(d.tolist(), s.tolist()))
+                acc_d, acc_s = _topk(
+                    np.concatenate([acc_d, docs]),
+                    np.concatenate([acc_s, scores]),
+                    k,
+                )
+                if len(acc_d) >= k:
+                    floor = float(acc_s[-1])
+            return list(zip(acc_d.tolist(), acc_s.tolist()))
         tbl = self._term_rows(terms, ["term", "segment", "blob"])
         seg_arr = np.asarray(tbl["segment"].to_pylist())
         cand_d, cand_s = [], []

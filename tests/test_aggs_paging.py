@@ -1,0 +1,190 @@
+"""ES terms-aggregation (search_facets) and search_after keyset
+pagination (search_page) — r4 additions.
+
+Reference analog: the seqr UI's faceted search and result paging are
+served by Elasticsearch aggregations/search_after on the exported
+index (facet-typed mapping hail_scripts/shared/elasticsearch_utils.py:
+38-77); here the facet tokens' postings are the agg input and the
+cursor is evaluated inside the scoring tasks."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from hail_elasticsearch_pipelines_spark.functions.extract import py_extract_text
+from hail_elasticsearch_pipelines_spark.functions.tokenize import py_tokenize
+from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+from hail_elasticsearch_pipelines_spark.operators.index_build import (
+    build_index,
+    py_dlen_bucket,
+)
+from hail_elasticsearch_pipelines_spark.sources.corpus import gen_pages_pdf
+
+N_DOCS = 260
+
+
+@pytest.fixture(scope="module")
+def agg_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("aggs") / "idx")
+    base = gen_pages_pdf(np.arange(N_DOCS))
+    build_index(
+        spark,
+        spark.createDataFrame(base),
+        out,
+        docs_per_part=32,
+        seg_group=2,
+        n_term_buckets=8,
+    )
+    # url-sorted dedupe mirrors the engine's id assignment
+    pdf = (
+        base.sort_values("warc_ts")
+        .drop_duplicates("url", keep="last")
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    docs = {}
+    for i, row in pdf.iterrows():
+        text = row["text"] if row["text"] is not None else py_extract_text(row["html"])
+        docs[i] = (py_tokenize(text), row["lang"])
+    return out, docs
+
+
+def _match_ids(docs, terms, mode):
+    tset = set(terms)
+    out = []
+    for d, (toks, _lang) in docs.items():
+        present = tset & set(toks)
+        if (mode == "OR" and present) or (mode == "AND" and present == tset):
+            out.append(d)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["OR", "AND"])
+def test_facet_counts_match_python_oracle(spark, agg_index, mode):
+    out, docs = agg_index
+    terms = ["the", "of"]
+    s = IndexSearcher(spark, out)
+    got = {
+        (r["field"], r["value"]): r["doc_count"]
+        for r in s.search_facets(terms, ["lang", "dlen"], mode).collect()
+    }
+    matches = _match_ids(docs, terms, mode)
+    want = Counter()
+    for d in matches:
+        toks, lang = docs[d]
+        want[("lang", lang)] += 1
+        want[("dlen", str(py_dlen_bucket(len(toks))))] += 1
+    assert got == dict(want), mode
+
+
+def test_facet_counts_bool_mode(spark, agg_index):
+    out, docs = agg_index
+    s = IndexSearcher(spark, out)
+    q = "the AND NOT term0042"
+    got = {
+        (r["field"], r["value"]): r["doc_count"]
+        for r in s.search_facets(q, ["lang"], mode="BOOL").collect()
+    }
+    want = Counter()
+    for d, (toks, lang) in docs.items():
+        if "the" in toks and "term0042" not in toks:
+            want[("lang", lang)] += 1
+    assert got == dict(want)
+
+
+def test_facet_counts_exclude_tombstoned(spark, agg_index, tmp_path):
+    """Facet counts must not count tombstoned docs."""
+    import pandas as pd
+
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import upsert_index
+    from test_upsert import _recrawl_pdf
+
+    out, docs = agg_index
+    s0 = IndexSearcher(spark, out)
+    before = {
+        (r["field"], r["value"]): r["doc_count"]
+        for r in s0.search_facets(["the"], ["lang"], "OR").collect()
+    }
+    assert sum(before.values()) > 0
+    upsert_index(spark, out, spark.createDataFrame(_recrawl_pdf(np.arange(3, 9))))
+    s = IndexSearcher(spark, out)
+    after = {
+        (r["field"], r["value"]): r["doc_count"]
+        for r in s.search_facets(["the"], ["lang"], "OR").collect()
+    }
+    # cross-check against the (tombstone-proven) search path: facet
+    # totals must equal the LIVE match count — tombstoned old docs and
+    # their replacements never double-count
+    n_match = s.search(["the"], "OR", k=100_000, algo="exhaustive").count()
+    assert sum(after.values()) == n_match
+    assert sum(before.values()) != 0
+
+
+def test_search_page_walks_full_ranking(spark, agg_index):
+    """Paging with the cursor reconstructs the exhaustive ranking
+    exactly, page by page, with no overlaps or gaps."""
+    out, docs = agg_index
+    s = IndexSearcher(spark, out)
+    terms = ["the", "of"]
+    full = [
+        (r["doc_id"], r["score"])
+        for r in s.search(terms, "OR", k=10_000, algo="exhaustive").collect()
+    ]
+    assert len(full) > 30
+    paged = []
+    after = None
+    while True:
+        rows = s.search_page(terms, "OR", k=17, after=after).collect()
+        if not rows:
+            break
+        paged.extend((r["doc_id"], r["score"]) for r in rows)
+        last = rows[-1]
+        after = (float(last["score"]), int(last["doc_id"]))
+    assert paged == full
+
+
+def test_search_page_first_page_equals_search(spark, agg_index):
+    out, _docs = agg_index
+    s = IndexSearcher(spark, out)
+    a = [
+        (r["doc_id"], r["score"])
+        for r in s.search_page(["the"], "OR", k=12).collect()
+    ]
+    b = [
+        (r["doc_id"], r["score"])
+        for r in s.search(["the"], "OR", k=12, algo="exhaustive").collect()
+    ]
+    assert a == b
+
+
+def test_local_searcher_facets_and_paging_parity(spark, agg_index):
+    """Serving-path twins are bit-identical to the distributed path."""
+    from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+    out, _docs = agg_index
+    s = IndexSearcher(spark, out)
+    ls = LocalSearcher(out)
+    for query, fields, mode in [
+        (["the", "of"], ["lang", "dlen"], "OR"),
+        (["the", "of"], ["lang"], "AND"),
+        ("the AND NOT term0042", ["lang"], "BOOL"),
+    ]:
+        dist = [
+            (r["field"], r["value"], r["doc_count"])
+            for r in s.search_facets(query, fields, mode).collect()
+        ]
+        assert ls.search_facets(query, fields, mode) == dist, (query, mode)
+    # paging parity incl. cursor
+    page1 = s.search_page(["the", "of"], "OR", k=9).collect()
+    cur = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    dist2 = [
+        (r["doc_id"], r["score"])
+        for r in s.search_page(["the", "of"], "OR", k=9, after=cur).collect()
+    ]
+    assert ls.search_page(["the", "of"], "OR", k=9) == [
+        (r["doc_id"], r["score"]) for r in page1
+    ]
+    assert ls.search_page(["the", "of"], "OR", k=9, after=cur) == dist2

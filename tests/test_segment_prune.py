@@ -103,6 +103,25 @@ def test_distributed_two_phase_prune_skips_tasks(spark, many_segments):
     assert got == expected
 
 
+def test_local_bool_required_conjunct_segment_prune(spark, many_segments):
+    """Boolean queries with required conjuncts get the same
+    cross-segment treatment: segments missing a required term are
+    dropped from metadata, the rest process bound-desc with a floor —
+    bit-identical to the distributed bool path."""
+    from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+    s = IndexSearcher(spark, many_segments)
+    ls = LocalSearcher(many_segments)
+    for q in ["term0042 AND the", "the AND (term0042 OR term0117)"]:
+        expected = [
+            (r["doc_id"], r["score"]) for r in s.search_bool(q, k=10).collect()
+        ]
+        assert ls.search_bool(q, k=10) == expected, q
+    ls2 = LocalSearcher(many_segments)
+    ls2.search_bool("term0042 AND the", k=5)
+    assert ls2.last_segments_skipped >= 0  # counter exists on bool path
+
+
 def test_prune_handles_fewer_than_k_results(many_segments, spark):
     """k larger than the total match count: floor never forms; nothing
     may be skipped and results stay exhaustive-identical."""
