@@ -207,6 +207,34 @@ def _q_facet_counts(spark, sf):
     return _searcher(spark, sf).search_facets(OR_TERMS, ["lang", "dlen"], "OR")
 
 
+def _q_search_count(spark, sf):
+    """ES _count API (r4): total live docs matching the OR query."""
+    return _searcher(spark, sf).search_count(OR_TERMS, "OR")
+
+
+def _q_explain_top1(spark, sf):
+    """ES _explain API (r4): per-term BM25 breakdown of the top-1 OR
+    hit; sum of contribs reproduces the doc's score bit-identically."""
+    s = _searcher(spark, sf)
+    top = s.search(OR_TERMS, mode="OR", k=1, algo="exhaustive").collect()[0]
+    r = s.explain(int(top["doc_id"]), OR_TERMS)
+    return r.select(
+        "term", "tf", "df", "doc_len",
+        _micro(F.col("idf")).alias("idf_micro"),
+        _micro(F.col("contrib")).alias("contrib_micro"),
+    )
+
+
+def _q_match_positions(spark, sf):
+    """Highlighting primitive (r4): every position of each OR term in
+    the top-3 hits, from positional postings — the oracle re-derives
+    the positions by enumerating the tokenized text."""
+    s = _searcher(spark, sf)
+    top = s.search(OR_TERMS, mode="OR", k=3, algo="exhaustive").collect()
+    ids = [int(r["doc_id"]) for r in top]
+    return s.match_positions(ids, OR_TERMS)
+
+
 PHRASE = ["row", "scan"]
 BOOL_QUERY = "fast AND (key OR table) AND NOT dup"
 
@@ -466,6 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_segprune": _q_bm25_index_segprune,
         "bm25_page2": _q_bm25_page2,
         "facet_counts": _q_facet_counts,
+        "search_count": _q_search_count,
+        "explain_top1": _q_explain_top1,
+        "match_positions": _q_match_positions,
         "phrase_search": _q_phrase_search,
         "bool_search": _q_bool_search,
         "cosine_topk": _q_cosine_topk,
@@ -815,6 +846,76 @@ FROM fit
 """
 
 
+_BM25_CTES = f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), dl AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl FROM tok
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ('fast', 'key', 'table')
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (2.2 * tf.tf) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS contrib
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+)
+"""
+
+_SEARCH_COUNT_SQL = f"""
+SELECT count(*)::BIGINT AS n_hits
+FROM (SELECT doc_id, {TOK} AS toks FROM documents)
+WHERE len(list_intersect(toks, ['fast', 'key', 'table'])) > 0
+"""
+
+_EXPLAIN_SQL = (
+    _BM25_CTES
+    + """
+, top1 AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id ASC LIMIT 1)
+SELECT tf.term, tf.tf, dfs.df, dl.dl AS doc_len,
+       {mi_idf} AS idf_micro,
+       {mi_contrib} AS contrib_micro
+FROM tf
+JOIN top1 USING (doc_id) JOIN dfs USING (term) JOIN dl USING (doc_id)
+CROSS JOIN stats
+ORDER BY tf.term
+""".format(
+        mi_idf=_micro_sql(
+            "ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))"
+        ),
+        mi_contrib=_micro_sql(
+            "ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))"
+            " * (2.2 * tf.tf)"
+            " / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))"
+        ),
+    )
+)
+
+_MATCH_POSITIONS_SQL = (
+    _BM25_CTES
+    + """
+, top3 AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id ASC LIMIT 3)
+SELECT t.doc_id, u.term, u.pos
+FROM (SELECT tok.doc_id, tok.toks FROM tok JOIN top3 USING (doc_id)) t,
+LATERAL (
+  SELECT unnest(t.toks) AS term,
+         (generate_subscripts(t.toks, 1) - 1)::BIGINT AS pos
+) u
+WHERE u.term IN ('fast', 'key', 'table')
+ORDER BY t.doc_id, u.term, u.pos
+"""
+)
+
+
 _FACET_COUNTS_SQL = f"""
 WITH tok AS (
   SELECT doc_id, {TOK} AS toks FROM documents
@@ -880,6 +981,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_segprune": or_sql,
         "bm25_page2": _bm25_sql(OR_TERMS, "OR", 10, offset=10),
         "facet_counts": _FACET_COUNTS_SQL,
+        "search_count": _SEARCH_COUNT_SQL,
+        "explain_top1": _EXPLAIN_SQL,
+        "match_positions": _MATCH_POSITIONS_SQL,
         "phrase_search": _phrase_sql(PHRASE, 20),
         "bool_search": f"""
 WITH tok AS (

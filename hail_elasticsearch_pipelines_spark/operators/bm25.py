@@ -1317,6 +1317,199 @@ class IndexSearcher:
         )
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_count(
+        self, query: list[str] | str, mode: str = "OR"
+    ) -> DataFrame:
+        """ES ``_count`` API: total number of live docs matching the
+        query (term list with OR/AND, or a boolean string with
+        mode="BOOL") — DataFrame with one row ``n_hits``.  Counting
+        needs the match SET, not scores: each segment task decodes only
+        doc-id streams (tf/dl/positions never materialize into the
+        result), emits one partial count, and a scalar sum merges —
+        the cheapest possible full-match job shape."""
+        from ..functions import boolquery as bq
+
+        mode_u = mode.upper()
+        if mode_u == "BOOL":
+            ast = bq.parse(query)  # type: ignore[arg-type]
+            qterms = sorted(set(bq.all_terms(ast)))
+        else:
+            ast = None
+            qterms = sorted(set(query))
+        if not qterms:
+            return self.spark.createDataFrame(
+                [(0,)], "n_hits long"
+            )
+        rows = self._term_rows(qterms).select("segment", "term", "blob")
+        get_deletes = self._segment_deletes_fn()
+        qset = set(qterms)
+
+        count_schema = T.StructType([T.StructField("n", T.LongType(), False)])
+
+        def count_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"n": []})
+            _check_unique_terms(pdf)
+            dead = get_deletes(pdf["segment"].iloc[0])
+            qdocs = {
+                r.term: codecs.decode_postings(bytes(r.blob))[0]
+                for r in pdf.itertuples()
+                if r.term in qset
+            }
+            if ast is not None:
+                cand = bq.eval_docs(ast, qdocs)
+                matches = (
+                    np.array([], np.int64) if isinstance(cand, tuple) else cand
+                )
+            elif mode_u == "AND":
+                if any(t not in qdocs for t in qterms):
+                    matches = np.array([], np.int64)
+                else:
+                    matches = reduce(
+                        lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                        (qdocs[t] for t in qterms),
+                    )
+            else:
+                present = list(qdocs.values())
+                matches = (
+                    reduce(np.union1d, present)
+                    if present
+                    else np.array([], np.int64)
+                )
+            if dead is not None and dead.size and matches.size:
+                matches = matches[~np.isin(matches, dead, assume_unique=True)]
+            return pd.DataFrame({"n": [int(matches.size)]})
+
+        per_segment = rows.groupBy("segment").applyInPandas(
+            count_segment, schema=count_schema
+        )
+        return per_segment.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_hits")
+        )
+
+    EXPLAIN_SCHEMA = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.LongType(), False),
+            T.StructField("df", T.LongType(), False),
+            T.StructField("doc_len", T.LongType(), False),
+            T.StructField("idf", T.DoubleType(), False),
+            T.StructField("contrib", T.DoubleType(), False),
+        ]
+    )
+
+    def explain(self, doc_id: int, terms: list[str]) -> DataFrame:
+        """ES ``_explain`` API: the BM25 score breakdown of ONE doc —
+        one row per query term present in the doc with its tf, df,
+        doc_len, idf and contribution (sum of contrib = the doc's score
+        in an OR query, bit-identically).  Touches only the doc's own
+        segment (a doc's postings for every term live in exactly one
+        segment by construction), so the job reads a single segment's
+        rows for the query terms."""
+        terms_sorted = sorted(set(terms))
+        dfs = self.global_dfs(terms_sorted)
+        g = self.manifest["globals"]
+        dpp = int(g["docs_per_part"])
+        seg_group = int(self.manifest["params"]["seg_group"])
+        seg = (int(doc_id) // dpp) // seg_group
+        avgdl, n_docs = self.avgdl, self.n_docs
+        target = int(doc_id)
+        rows = self._term_rows(terms_sorted).filter(
+            F.col("segment") == seg
+        ).select("term", "blob")
+        dfs_b = dict(dfs)
+        out_cols = [f.name for f in self.EXPLAIN_SCHEMA.fields]
+
+        def explain_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for r in pdf.itertuples():
+                d, tf, dl = codecs.decode_postings(bytes(r.blob))
+                i = int(np.searchsorted(d, target))
+                if i >= len(d) or d[i] != target:
+                    continue
+                idf = bm25_idf(n_docs, dfs_b[r.term])
+                w = float(
+                    bm25_tf_weight(
+                        np.array([tf[i]], np.float64),
+                        np.array([dl[i]], np.float64),
+                        avgdl,
+                    )[0]
+                )
+                out.append(
+                    (r.term, int(tf[i]), int(dfs_b[r.term]), int(dl[i]),
+                     idf, idf * w)
+                )
+            return pd.DataFrame(out, columns=out_cols)
+
+        return (
+            rows.mapInPandas(
+                lambda it: (explain_rows(pdf) for pdf in it),
+                schema=self.EXPLAIN_SCHEMA,
+            )
+            .orderBy("term")
+        )
+
+    POSITIONS_SCHEMA = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("pos", T.LongType(), False),
+        ]
+    )
+
+    def match_positions(
+        self, doc_ids: list[int], terms: list[str]
+    ) -> DataFrame:
+        """Highlighting primitive (the ES highlighter's input): every
+        token position of each query term within the given docs —
+        DataFrame(doc_id, term, pos), one row per occurrence, from the
+        positional postings (no document text is re-tokenized).  The
+        doc set is the caller's top-k hits (bounded), broadcast as a
+        literal filter; each segment task gathers only its own docs'
+        position slices."""
+        if not self.manifest["params"].get("with_positions", True):
+            raise ValueError(
+                "match_positions needs positional postings, but this index "
+                "was built with with_positions=False"
+            )
+        terms_sorted = sorted(set(terms))
+        targets = np.unique(np.asarray(sorted(doc_ids), dtype=np.int64))
+        g = self.manifest["globals"]
+        dpp = int(g["docs_per_part"])
+        seg_group = int(self.manifest["params"]["seg_group"])
+        segs = sorted({int((d // dpp) // seg_group) for d in targets})
+        rows = self._term_rows(terms_sorted).filter(
+            F.col("segment").isin(segs)
+        ).select("term", "blob", "pos_blob")
+        targets_b = targets
+
+        def gather_positions(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_d, out_t, out_p = [], [], []
+            for r in pdf.itertuples():
+                d, tf, _dl = codecs.decode_postings(bytes(r.blob))
+                hit_idx = np.flatnonzero(
+                    np.isin(d, targets_b, assume_unique=True)
+                )
+                if not hit_idx.size:
+                    continue
+                pos, offs = codecs.decode_position_lists(bytes(r.pos_blob), tf)
+                for i in hit_idx:
+                    sl = pos[offs[i] : offs[i + 1]]
+                    out_d.extend([int(d[i])] * len(sl))
+                    out_t.extend([r.term] * len(sl))
+                    out_p.extend(int(x) for x in sl)
+            return pd.DataFrame(
+                {"doc_id": out_d, "term": out_t, "pos": out_p}
+            )
+
+        return (
+            rows.mapInPandas(
+                lambda it: (gather_positions(pdf) for pdf in it),
+                schema=self.POSITIONS_SCHEMA,
+            )
+            .orderBy("doc_id", "term", "pos")
+        )
+
     def with_source(
         self, results: DataFrame, max_collect: int = 10_000
     ) -> DataFrame:

@@ -625,6 +625,115 @@ class LocalSearcher:
         d, s = _topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
         return list(zip(d.tolist(), s.tolist()))
 
+    def search_count(self, query: list[str] | str, mode: str = "OR") -> int:
+        """ES ``_count`` — serving twin of IndexSearcher.search_count."""
+        from functools import reduce
+
+        from ..functions import boolquery as bq
+
+        mode_u = mode.upper()
+        if mode_u == "BOOL":
+            ast = bq.parse(query)  # type: ignore[arg-type]
+            qterms = sorted(set(bq.all_terms(ast)))
+        else:
+            ast = None
+            qterms = sorted(set(query))
+        if not qterms:
+            return 0
+        rows = self._rows_for(qterms)
+        segs = sorted({s for m in rows.values() for s in m})
+        total = 0
+        for seg in segs:
+            qdocs = {
+                t: self._decode_cached(t, seg, rows[t][seg].blob)[0]
+                for t in qterms
+                if seg in rows.get(t, {})
+            }
+            if ast is not None:
+                cand = bq.eval_docs(ast, qdocs)
+                matches = (
+                    np.array([], np.int64) if isinstance(cand, tuple) else cand
+                )
+            elif mode_u == "AND":
+                if any(t not in qdocs for t in qterms):
+                    continue
+                matches = reduce(
+                    lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                    (qdocs[t] for t in qterms),
+                )
+            else:
+                present = list(qdocs.values())
+                if not present:
+                    continue
+                matches = reduce(np.union1d, present)
+            dead = self._deletes.get(seg)
+            if dead is not None and dead.size and matches.size:
+                matches = matches[~np.isin(matches, dead, assume_unique=True)]
+            total += int(matches.size)
+        return total
+
+    def explain(
+        self, doc_id: int, terms: list[str]
+    ) -> list[tuple[str, int, int, int, float, float]]:
+        """ES ``_explain`` — serving twin: [(term, tf, df, doc_len,
+        idf, contrib)] sorted by term; contribs sum to the doc's OR
+        score bit-identically."""
+        terms_sorted = sorted(set(terms))
+        dfs = self.global_dfs(terms_sorted)
+        g = self.manifest["globals"]
+        dpp = int(g["docs_per_part"])
+        seg_group = int(self.manifest["params"]["seg_group"])
+        seg = (int(doc_id) // dpp) // seg_group
+        rows = self._rows_for(terms_sorted)
+        out = []
+        for t in terms_sorted:
+            r = rows.get(t, {}).get(seg)
+            if r is None or t not in dfs:
+                continue
+            d, tf, dl = self._decode_cached(t, seg, r.blob)
+            i = int(np.searchsorted(d, int(doc_id)))
+            if i >= len(d) or d[i] != int(doc_id):
+                continue
+            idf = bm25_idf(self.n_docs, dfs[t])
+            w = float(
+                bm25_tf_weight(
+                    np.array([tf[i]], np.float64),
+                    np.array([dl[i]], np.float64),
+                    self.avgdl,
+                )[0]
+            )
+            out.append((t, int(tf[i]), int(dfs[t]), int(dl[i]), idf, idf * w))
+        return out
+
+    def match_positions(
+        self, doc_ids: list[int], terms: list[str]
+    ) -> list[tuple[int, str, int]]:
+        """Highlighting primitive — serving twin of
+        IndexSearcher.match_positions: [(doc_id, term, pos)] sorted."""
+        if not self.manifest["params"].get("with_positions", True):
+            raise ValueError(
+                "match_positions needs positional postings, but this index "
+                "was built with with_positions=False"
+            )
+        terms_sorted = sorted(set(terms))
+        targets = np.unique(np.asarray(sorted(doc_ids), dtype=np.int64))
+        tbl = self._term_rows(
+            terms_sorted, ["term", "segment", "blob", "pos_blob"]
+        )
+        out = []
+        for i in range(tbl.num_rows):
+            t = tbl["term"][i].as_py()
+            seg = int(tbl["segment"][i].as_py())
+            d, tf, _dl = self._decode_cached(t, seg, tbl["blob"][i])
+            hit_idx = np.flatnonzero(np.isin(d, targets, assume_unique=True))
+            if not hit_idx.size:
+                continue
+            pos, offs = self._pos_cached(t, seg, tbl["pos_blob"][i], tf)
+            for j in hit_idx:
+                for x in pos[offs[j] : offs[j + 1]]:
+                    out.append((int(d[j]), t, int(x)))
+        return sorted(out)
+
     def search_many(self, specs: list[dict]) -> dict[str, list[tuple[int, float]]]:
         """msearch analog: term ("OR"/"AND"), "BOOL" (query string) and
         "PHRASE" specs — same spec shape as IndexSearcher.search_many;

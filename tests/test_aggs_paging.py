@@ -95,34 +95,6 @@ def test_facet_counts_bool_mode(spark, agg_index):
     assert got == dict(want)
 
 
-def test_facet_counts_exclude_tombstoned(spark, agg_index, tmp_path):
-    """Facet counts must not count tombstoned docs."""
-    import pandas as pd
-
-    from hail_elasticsearch_pipelines_spark.plans.maintenance import upsert_index
-    from test_upsert import _recrawl_pdf
-
-    out, docs = agg_index
-    s0 = IndexSearcher(spark, out)
-    before = {
-        (r["field"], r["value"]): r["doc_count"]
-        for r in s0.search_facets(["the"], ["lang"], "OR").collect()
-    }
-    assert sum(before.values()) > 0
-    upsert_index(spark, out, spark.createDataFrame(_recrawl_pdf(np.arange(3, 9))))
-    s = IndexSearcher(spark, out)
-    after = {
-        (r["field"], r["value"]): r["doc_count"]
-        for r in s.search_facets(["the"], ["lang"], "OR").collect()
-    }
-    # cross-check against the (tombstone-proven) search path: facet
-    # totals must equal the LIVE match count — tombstoned old docs and
-    # their replacements never double-count
-    n_match = s.search(["the"], "OR", k=100_000, algo="exhaustive").count()
-    assert sum(after.values()) == n_match
-    assert sum(before.values()) != 0
-
-
 def test_search_page_walks_full_ranking(spark, agg_index):
     """Paging with the cursor reconstructs the exhaustive ranking
     exactly, page by page, with no overlaps or gaps."""
@@ -160,6 +132,64 @@ def test_search_page_first_page_equals_search(spark, agg_index):
     assert a == b
 
 
+def test_search_count_matches_python_and_tombstones(spark, agg_index):
+    out, docs = agg_index
+    s = IndexSearcher(spark, out)
+    for terms, mode in [(["the", "of"], "OR"), (["the", "of"], "AND")]:
+        got = s.search_count(terms, mode).collect()[0]["n_hits"]
+        assert got == len(_match_ids(docs, terms, mode)), (terms, mode)
+    got = s.search_count("the AND NOT term0042", mode="BOOL").collect()[0][
+        "n_hits"
+    ]
+    want = sum(
+        1
+        for _d, (toks, _l) in docs.items()
+        if "the" in toks and "term0042" not in toks
+    )
+    assert got == want
+    # counts agree with the (tombstone-proven) search path after upsert
+    # (the facet test's fixture upsert may already have run — recount)
+    n_search = s.search(["the"], "OR", k=100_000, algo="exhaustive").count()
+    assert s.search_count(["the"], "OR").collect()[0]["n_hits"] == n_search
+
+
+def test_explain_reconstructs_score(spark, agg_index):
+    """Sum of per-term contribs == the doc's OR score, bit-identically;
+    tf/df/doc_len match the python oracle."""
+    out, docs = agg_index
+    s = IndexSearcher(spark, out)
+    terms = ["the", "of"]
+    top = s.search(terms, "OR", k=3, algo="exhaustive").collect()
+    for hit in top:
+        rows = s.explain(int(hit["doc_id"]), terms).collect()
+        assert abs(sum(r["contrib"] for r in rows) - hit["score"]) < 1e-12
+        toks, _lang = docs[int(hit["doc_id"])]
+        for r in rows:
+            assert r["tf"] == toks.count(r["term"])
+            assert r["doc_len"] == len(toks)
+            assert r["df"] == sum(
+                1 for _d, (tk, _l) in docs.items() if r["term"] in tk
+            )
+
+
+def test_match_positions_match_tokenized_text(spark, agg_index):
+    out, docs = agg_index
+    s = IndexSearcher(spark, out)
+    terms = ["the", "term0042"]
+    top = s.search(terms, "OR", k=4, algo="exhaustive").collect()
+    ids = [int(r["doc_id"]) for r in top]
+    got = [
+        (r["doc_id"], r["term"], r["pos"])
+        for r in s.match_positions(ids, terms).collect()
+    ]
+    want = []
+    for d in sorted(ids):
+        toks, _lang = docs[d]
+        for t in sorted(set(terms)):
+            want.extend((d, t, i) for i, x in enumerate(toks) if x == t)
+    assert got == sorted(want)
+
+
 def test_local_searcher_facets_and_paging_parity(spark, agg_index):
     """Serving-path twins are bit-identical to the distributed path."""
     from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
@@ -188,3 +218,61 @@ def test_local_searcher_facets_and_paging_parity(spark, agg_index):
         (r["doc_id"], r["score"]) for r in page1
     ]
     assert ls.search_page(["the", "of"], "OR", k=9, after=cur) == dist2
+
+
+def test_local_count_explain_positions_parity(spark, agg_index):
+    """Serving twins of _count/_explain/match_positions equal the
+    distributed path exactly."""
+    from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+    out, _docs = agg_index
+    s = IndexSearcher(spark, out)
+    ls = LocalSearcher(out)
+    for q, mode in [(["the", "of"], "OR"), (["the", "of"], "AND"),
+                    ("the AND NOT term0042", "BOOL")]:
+        assert ls.search_count(q, mode) == s.search_count(q, mode).collect()[0][
+            "n_hits"
+        ], (q, mode)
+    top = s.search(["the", "of"], "OR", k=3, algo="exhaustive").collect()
+    for hit in top:
+        dist = [
+            (r["term"], r["tf"], r["df"], r["doc_len"], r["idf"], r["contrib"])
+            for r in s.explain(int(hit["doc_id"]), ["the", "of"]).collect()
+        ]
+        assert ls.explain(int(hit["doc_id"]), ["the", "of"]) == dist
+    ids = [int(r["doc_id"]) for r in top]
+    dist = [
+        (r["doc_id"], r["term"], r["pos"])
+        for r in s.match_positions(ids, ["the", "of"]).collect()
+    ]
+    assert ls.match_positions(ids, ["the", "of"]) == dist
+
+
+def test_facet_counts_exclude_tombstoned(spark, agg_index, tmp_path):
+    """Facet counts must not count tombstoned docs.  KEEP LAST in this
+    module: the upsert mutates the module-scoped index, so every test
+    that compares against the pristine python oracle must run first."""
+    import pandas as pd
+
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import upsert_index
+    from test_upsert import _recrawl_pdf
+
+    out, docs = agg_index
+    s0 = IndexSearcher(spark, out)
+    before = {
+        (r["field"], r["value"]): r["doc_count"]
+        for r in s0.search_facets(["the"], ["lang"], "OR").collect()
+    }
+    assert sum(before.values()) > 0
+    upsert_index(spark, out, spark.createDataFrame(_recrawl_pdf(np.arange(3, 9))))
+    s = IndexSearcher(spark, out)
+    after = {
+        (r["field"], r["value"]): r["doc_count"]
+        for r in s.search_facets(["the"], ["lang"], "OR").collect()
+    }
+    # cross-check against the (tombstone-proven) search path: facet
+    # totals must equal the LIVE match count — tombstoned old docs and
+    # their replacements never double-count
+    n_match = s.search(["the"], "OR", k=100_000, algo="exhaustive").count()
+    assert sum(after.values()) == n_match
+    assert sum(before.values()) != 0
