@@ -143,6 +143,41 @@ def test_upsert_pinned_searcher_keeps_old_doc_until_reload(spark, built):
     assert any(d >= id_base for d in post_ids)
 
 
+def test_queries_concurrent_with_compact_see_old_or_new_only(spark, built):
+    """Compact twin of the update hammer test: queries racing a
+    compaction (which rewrites postings+doclens+termdict and empties
+    the deletes pointer in ONE flip) must each equal the pre- or
+    post-state result set — never stripped postings with un-stripped
+    stats or vice versa."""
+    out, base = built
+    upsert_index(spark, out, spark.createDataFrame(_recrawl_pdf(np.arange(5, 25))))
+    pre = LocalSearcher(out)
+    pre_res = tuple(pre.search(["the"], "OR", 40))
+    stop = threading.Event()
+    observed, errors = [], []
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                s = LocalSearcher(out)
+                observed.append(tuple(s.search(["the"], "OR", 40)))
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        compact_index(spark, out, factor=2)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    post_res = tuple(LocalSearcher(out).search(["the"], "OR", 40))
+    assert errors == []
+    assert observed
+    for got in observed:
+        assert got in (pre_res, post_res), "mixed-state result during compact"
+
+
 def test_gc_grace_period_removes_previous_generation(spark, built):
     out, base = built
     _retag(spark, out, base)

@@ -93,6 +93,57 @@ def test_png_all_filter_types(ftype, ch):
     np.testing.assert_array_equal(got, arr)
 
 
+def test_png_mixed_filters_per_scanline():
+    """Real encoders choose a filter PER scanline — decode must handle
+    an arbitrary mix (spec transforms applied independently here)."""
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, size=(25, 13, 3), dtype=np.uint8)
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    ftypes = rng.integers(0, 5, size=h)
+    out = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        left = np.zeros(stride, np.int32)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros(stride, np.int32)
+        upleft[ch:] = prev[:-ch]
+        f = int(ftypes[y])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        out.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(png), arr)
+
+
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_png(b"JFIF not a png")
