@@ -212,6 +212,77 @@ def _publish_tombstones(
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def _intent_markers(index_dir: str) -> list[str]:
+    stages = os.path.join(index_dir, "stages")
+    if not os.path.isdir(stages):
+        return []
+    return sorted(
+        os.path.join(stages, e)
+        for e in os.listdir(stages)
+        if e.startswith("_EXTEND_INTENT_")
+    )
+
+
+def repair_index(spark: SparkSession, index_dir: str) -> dict:
+    """Recompute DERIVED state (termdict, globals, metrics) from the
+    primary tables (postings + doclens + deletes) and publish it with
+    an atomic manifest flip.
+
+    Exists for one crash window the generation design cannot cover:
+    ``extend_index`` APPENDS postings/doclens in place (appends are
+    additive, so pinned readers are safe), and a crash after the
+    appends but before the termdict/manifest update leaves the batch's
+    docs on disk with stale df/n_docs/avgdl — and a naive retry would
+    anti-join them away as "already live" and never fix the stats.
+    ``extend_index`` therefore writes an INTENT marker before its
+    appends and every maintenance op runs this repair first when a
+    marker is found.  After repair the crashed batch counts as fully
+    indexed (its docs are live and statistically exact), so the
+    retry's create/upsert arithmetic is exact too."""
+    manifest = _load_manifest(index_dir)
+    postings_path = layout.table_path(index_dir, "postings", manifest)
+    doclens_path = layout.table_path(index_dir, "doclens", manifest)
+    deletes_path = layout.table_path(index_dir, "deletes", manifest)
+    td_rel = layout.next_gen_rel(manifest, "termdict")
+    _write_termdict(
+        spark,
+        index_dir,
+        postings_path=postings_path,
+        dest_path=os.path.join(index_dir, td_rel),
+    )
+    live = spark.read.parquet(doclens_path)
+    n_tombstones = 0
+    if os.path.isdir(deletes_path):
+        dead = spark.read.parquet(deletes_path).select("doc_id").distinct()
+        n_tombstones = int(dead.count())
+        live = live.join(F.broadcast(dead), "doc_id", "left_anti")
+    row = live.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("tok")
+    ).collect()[0]
+    g = manifest["globals"]
+    g["n_docs"] = int(row["n"])
+    g["total_tokens"] = int(row["tok"] or 0)
+    g["avgdl"] = g["total_tokens"] / g["n_docs"] if g["n_docs"] else 0.0
+    manifest["globals"] = g
+    manifest["metrics"] = {
+        "docs_indexed": g["n_docs"],
+        "n_tombstones": n_tombstones,
+        **_postings_metrics(spark.read.parquet(postings_path)),
+    }
+    manifest.setdefault("repairs", []).append({"intent_markers": len(_intent_markers(index_dir))})
+    layout.flip_tables(manifest, {"termdict": td_rel})
+    _save_manifest(index_dir, manifest)
+    for m in _intent_markers(index_dir):
+        with contextlib.suppress(OSError):
+            os.unlink(m)
+    return manifest
+
+
+def _repair_if_needed(spark: SparkSession, index_dir: str) -> None:
+    if _intent_markers(index_dir):
+        repair_index(spark, index_dir)
+
+
 def extend_index(
     spark: SparkSession,
     index_dir: str,
@@ -222,6 +293,7 @@ def extend_index(
     """See _extend_index_locked; runs under the single-writer
     maintenance lock."""
     with _maintenance_lock(index_dir):
+        _repair_if_needed(spark, index_dir)
         return _extend_index_locked(
             spark, index_dir, new_pages, mode=mode, validation=validation
         )
@@ -355,7 +427,18 @@ def _extend_index_locked(
         )
         batch_validation = validate_globals(new_stats, thr)
 
+    intent = None
     if new_stats["n_docs"]:
+        # intent marker: if we crash between the in-place appends below
+        # and the manifest save, the next maintenance op sees this file
+        # and runs repair_index (recompute termdict + globals from the
+        # primary tables) BEFORE doing anything else
+        os.makedirs(os.path.join(index_dir, "stages"), exist_ok=True)
+        intent = os.path.join(
+            index_dir, "stages", f"_EXTEND_INTENT_{id_base}"
+        )
+        with open(intent, "w") as f:
+            f.write(mode)
         partials = ib.build_partials(
             docs, dpp, seg_group,
             with_positions=params.get("with_positions", True),
@@ -433,6 +516,9 @@ def _extend_index_locked(
         }
     )
     _save_manifest(index_dir, manifest)
+    if intent is not None:
+        with contextlib.suppress(OSError):
+            os.unlink(intent)
     return manifest
 
 
@@ -448,6 +534,7 @@ def update_facet_field(
     """See _update_facet_field_locked; runs under the single-writer
     maintenance lock."""
     with _maintenance_lock(index_dir):
+        _repair_if_needed(spark, index_dir)
         return _update_facet_field_locked(spark, index_dir, field, updates)
 
 
@@ -914,6 +1001,7 @@ def compact_index(spark: SparkSession, index_dir: str, factor: int = 2) -> dict:
     """See _compact_index_locked; runs under the single-writer
     maintenance lock."""
     with _maintenance_lock(index_dir):
+        _repair_if_needed(spark, index_dir)
         return _compact_index_locked(spark, index_dir, factor)
 
 

@@ -200,6 +200,117 @@ def test_gc_grace_period_removes_previous_generation(spark, built):
     assert LocalSearcher(out).search(["the"], "OR", 5)
 
 
+def test_crash_before_manifest_flip_leaves_index_intact(
+    spark, built, monkeypatch
+):
+    """Crash AFTER a maintenance op wrote its new generation dirs but
+    BEFORE the atomic manifest flip: readers keep serving the complete
+    old state; the orphan generation dirs are GC'd by the next op; a
+    retry of the op succeeds."""
+    from hail_elasticsearch_pipelines_spark import layout
+    from hail_elasticsearch_pipelines_spark.plans import maintenance as mt
+
+    out, base = built
+    pre = LocalSearcher(out).search(["the"], "OR", 20)
+    pre_gen = int(load_manifest(out).get("generation", 0))
+
+    boom = RuntimeError("simulated crash before manifest flip")
+
+    def crash(*a, **k):
+        raise boom
+
+    monkeypatch.setattr(mt, "_save_manifest", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _retag(spark, out, base)
+    monkeypatch.undo()
+
+    # manifest never flipped: same generation, same results, and the
+    # orphan generation dirs are present but unreferenced
+    m = load_manifest(out)
+    assert int(m.get("generation", 0)) == pre_gen
+    assert LocalSearcher(out).search(["the"], "OR", 20) == pre
+    orphans = [
+        e
+        for e in os.listdir(out)
+        if e.startswith(("postings-g", "termdict-g", "doclens-g"))
+        and e not in m.get("tables", {}).values()
+    ]
+    assert orphans, "crashed op should have left unreferenced gen dirs"
+
+    # retry: the generation counter never advanced, so the retry reuses
+    # the SAME gen names — it must overwrite the crashed attempt's
+    # orphan dirs cleanly (Spark overwrite + re-hardlink) and publish
+    m2, en_urls = _retag(spark, out, base)
+    assert m2["updates"][-1]["docs_updated"] == len(en_urls)
+    live_now = set(load_manifest(out)["tables"].values())
+    assert set(orphans) & live_now, "retry should adopt the orphan gen names"
+    post = LocalSearcher(out)
+    assert post.search_bool("the AND lang:zz", k=50)
+    # scores unchanged by the retag → equal to the pre-crash results
+    assert post.search(["the"], "OR", 20) == pre
+
+
+def test_crash_mid_extend_repaired_on_next_op(spark, built, monkeypatch, tmp_path):
+    """Crash AFTER extend's in-place postings/doclens appends but
+    BEFORE the termdict/manifest update: the intent marker makes the
+    next maintenance op repair derived state (termdict + globals from
+    the primary tables), after which the retry is exact — scores equal
+    a fresh build of the union corpus per url (a naive retry would
+    anti-join the half-appended docs away and leave df/n_docs stale
+    forever)."""
+    from hail_elasticsearch_pipelines_spark.plans import maintenance as mt
+
+    out, base = built
+    batch = gen_pages_pdf(np.arange(200, 240))
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash mid-extend")
+
+    monkeypatch.setattr(mt, "_update_termdict", crash)
+    with pytest.raises(RuntimeError, match="mid-extend"):
+        extend_index(spark, out, spark.createDataFrame(batch), mode="create")
+    monkeypatch.undo()
+    assert mt._intent_markers(out), "crash must leave an intent marker"
+
+    # retry: repair runs first (marker consumed), then the batch is
+    # recognized as fully live
+    m = extend_index(spark, out, spark.createDataFrame(batch), mode="create")
+    assert not mt._intent_markers(out)
+    assert m.get("repairs"), "repair must be recorded"
+
+    # exactness: globals and per-url scores equal a FRESH build of the
+    # union corpus (ids differ — urls are the identity)
+    import pandas as pd
+
+    union = pd.concat([base, batch], ignore_index=True)
+    out2 = str(tmp_path / "fresh_union")
+    m2 = build_index(
+        spark,
+        spark.createDataFrame(union),
+        out2,
+        docs_per_part=37,
+        seg_group=2,
+        n_term_buckets=8,
+    )
+    assert m["globals"]["n_docs"] == m2["globals"]["n_docs"]
+    assert m["globals"]["total_tokens"] == m2["globals"]["total_tokens"]
+    s1, s2 = IndexSearcher(spark, out), IndexSearcher(spark, out2)
+    for terms in (["the"], ["the", "of"], ["term0042"]):
+        a = {
+            (r["url"], round(r["score"], 10))
+            for r in s1.with_source(
+                s1.search(terms, "OR", 25, algo="exhaustive")
+            ).collect()
+        }
+        b = {
+            (r["url"], round(r["score"], 10))
+            for r in s2.with_source(
+                s2.search(terms, "OR", 25, algo="exhaustive")
+            ).collect()
+        }
+        assert a == b, terms
+
+
 def test_hardlinked_buckets_share_inodes(spark, built):
     """update_facet_field must not copy unaffected buckets — their files
     ride into the new generation as hardlinks (same inode)."""
