@@ -235,6 +235,28 @@ def _q_match_positions(spark, sf):
     return s.match_positions(ids, OR_TERMS)
 
 
+def _q_url_canon(spark, sf):
+    """URL canonicalization (r4) — the pre-dedupe Common-Crawl staple:
+    messy urls synthesized deterministically per doc (upper-case
+    scheme/host, default port, tracking params, unsorted query,
+    fragment, trailing slash on even ids) are normalized JVM-side; the
+    oracle constructs the expected canonical string directly."""
+    from hail_elasticsearch_pipelines_spark.functions import urls
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Site"), (did % 7).cast("string"),
+        F.lit(".Example:443/Dir/Page"), (did % 5).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z="), (did % 3).cast("string"),
+        F.lit("&a=1&fbclid=XYZ#frag"),
+    )
+    return d.select(
+        "doc_id", urls.canonicalize_url_col(messy).alias("canon_url")
+    )
+
+
 PHRASE = ["row", "scan"]
 BOOL_QUERY = "fast AND (key OR table) AND NOT dup"
 
@@ -497,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_count": _q_search_count,
         "explain_top1": _q_explain_top1,
         "match_positions": _q_match_positions,
+        "url_canon": _q_url_canon,
         "phrase_search": _q_phrase_search,
         "bool_search": _q_bool_search,
         "cosine_topk": _q_cosine_topk,
@@ -984,6 +1007,11 @@ def oracle_sql() -> dict[str, str]:
         "search_count": _SEARCH_COUNT_SQL,
         "explain_top1": _EXPLAIN_SQL,
         "match_positions": _MATCH_POSITIONS_SQL,
+        "url_canon": (
+            "SELECT doc_id, 'https://www.site' || (doc_id % 7) ||"
+            " '.example/Dir/Page' || (doc_id % 5) || '?a=1&z=' ||"
+            " (doc_id % 3) AS canon_url FROM documents"
+        ),
         "phrase_search": _phrase_sql(PHRASE, 20),
         "bool_search": f"""
 WITH tok AS (

@@ -150,6 +150,22 @@ def main():
     local_p50 = float(np.percentile(local_ms, 50))
     local_p99 = float(np.percentile(local_ms, 99))
 
+    # warmed serving path: ES index-warmer analog — preload top-df
+    # terms before traffic, then measure the same query set
+    warm = LocalSearcher(idx_dir)
+    t0 = time.time()
+    warm.warm_top_terms(256)
+    warmup_sec = time.time() - t0
+    warm_ms = []
+    for rep in range(3):
+        for spec in reference_queries():
+            t0 = time.time()
+            warm.search(spec["terms"], spec["mode"], spec["k"])
+            warm_ms.append((time.time() - t0) * 1000)
+    q["local_warmup"] = round(warmup_sec, 3)
+    local_warm_p50 = float(np.percentile(warm_ms, 50))
+    local_warm_p99 = float(np.percentile(warm_ms, 99))
+
     # -- pruning-value probes (rare/medium terms: discriminative bounds,
     # unlike the stopword-flat reference queries).  COLD searcher per
     # measurement so the timing is the decode work, not cache hits.
@@ -267,6 +283,8 @@ def main():
                 "bm25_batch_qps": round(len(reference_queries()) / batch_sec, 2),
                 "bm25_local_p50_ms": round(local_p50, 2),
                 "bm25_local_p99_ms": round(local_p99, 2),
+                "bm25_local_warm_p50_ms": round(local_warm_p50, 2),
+                "bm25_local_warm_p99_ms": round(local_warm_p99, 2),
                 "build_reps_sec": [round(x, 2) for x in build_times],
                 "per_query_reps_ms": per_query_reps,
                 "segprune_segments_skipped": segprune_skipped,

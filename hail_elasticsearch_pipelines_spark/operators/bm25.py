@@ -1510,6 +1510,62 @@ class IndexSearcher:
             .orderBy("doc_id", "term", "pos")
         )
 
+    SPANS_SCHEMA = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("token_pos", T.LongType(), False),
+            T.StructField("start", T.LongType(), False),
+            T.StructField("end", T.LongType(), False),
+        ]
+    )
+
+    @staticmethod
+    def match_char_spans(
+        docs: DataFrame, doc_ids: list[int], terms: list[str]
+    ) -> DataFrame:
+        """Snippet extraction — the character-offset half of
+        highlighting: for the given docs (the caller's top-k hits) and
+        query terms, every occurrence's (token_pos, start, end) where
+        start/end index into ``NFC(text).lower()`` (the tokenizer's
+        input; slicing it yields exactly the matched token).  Reads the
+        DOC STORE (a docs DataFrame with doc_id + text), not the index
+        — offsets are a presentation concern and the index stores token
+        positions only; ``token_pos`` lines up 1:1 with
+        ``match_positions`` output (tested), tying the two views
+        together.  Bounded work: the doc_ids filter prunes the scan to
+        k rows before any Python runs."""
+        import re as _re
+        import unicodedata as _ud
+
+        terms_set = set(terms)
+        ids = [int(i) for i in doc_ids]
+
+        def spans(batches):
+            tok_re = _re.compile(r"[a-z0-9]+")
+            for pdf in batches:
+                out = []
+                for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                    if text is None:
+                        continue
+                    ltext = _ud.normalize("NFC", text).lower()
+                    for k, m in enumerate(tok_re.finditer(ltext)):
+                        if m.group(0) in terms_set:
+                            out.append(
+                                (int(mid), m.group(0), k, m.start(), m.end())
+                            )
+                yield pd.DataFrame(
+                    out,
+                    columns=["doc_id", "term", "token_pos", "start", "end"],
+                )
+
+        return (
+            docs.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "text")
+            .mapInPandas(spans, schema=IndexSearcher.SPANS_SCHEMA)
+            .orderBy("doc_id", "term", "token_pos")
+        )
+
     def with_source(
         self, results: DataFrame, max_collect: int = 10_000
     ) -> DataFrame:

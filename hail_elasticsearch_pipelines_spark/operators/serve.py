@@ -625,6 +625,32 @@ class LocalSearcher:
         d, s = _topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
         return list(zip(d.tolist(), s.tolist()))
 
+    def warm_top_terms(self, n: int = 256) -> int:
+        """ES index-warmer analog: preload the ``n`` highest-df terms —
+        rows into the term-rows cache AND decoded postings into the
+        decode cache — so a fresh serving process reaches its warm p99
+        before real traffic instead of during it.  The df ranking comes
+        from the termdict (tiny scan); stopwords, which dominate cold
+        latency, rank first by construction.  Returns the number of
+        terms warmed."""
+        src = self._termdict if self._termdict is not None else self._postings
+        tbl = src.to_table(columns=["term", "df"])
+        terms = tbl.column("term").to_pylist()
+        dfs = tbl.column("df").to_numpy(zero_copy_only=False)
+        agg: dict[str, int] = {}
+        for t, d in zip(terms, dfs):
+            if t.startswith("__"):
+                continue  # facet tokens filter, they never score
+            agg[t] = agg.get(t, 0) + int(d)
+        top = sorted(agg, key=lambda t: (-agg[t], t))[: max(0, n)]
+        if not top:
+            return 0
+        rows = self._rows_for(sorted(top))
+        for t, seg_map in rows.items():
+            for seg, r in seg_map.items():
+                self._decode_cached(t, int(seg), r.blob)
+        return len(top)
+
     def search_count(self, query: list[str] | str, mode: str = "OR") -> int:
         """ES ``_count`` — serving twin of IndexSearcher.search_count."""
         from functools import reduce

@@ -220,6 +220,59 @@ def test_local_searcher_facets_and_paging_parity(spark, agg_index):
     assert ls.search_page(["the", "of"], "OR", k=9, after=cur) == dist2
 
 
+def test_match_char_spans_tie_to_index_positions(spark, agg_index):
+    """Snippet spans (doc store, char offsets) and match_positions
+    (index, token positions) describe the SAME occurrences: token_pos
+    sets are identical per (doc, term), and slicing the normalized
+    lowered text at (start, end) yields exactly the term."""
+    import unicodedata
+
+    from hail_elasticsearch_pipelines_spark.functions.extract import (
+        py_extract_text,
+    )
+    from hail_elasticsearch_pipelines_spark.sources.corpus import gen_pages_pdf
+
+    out, docs = agg_index
+    s = IndexSearcher(spark, out)
+    terms = ["the", "term0042"]
+    top = s.search(terms, "OR", k=4, algo="exhaustive").collect()
+    ids = [int(r["doc_id"]) for r in top]
+    # doc store: rebuild the (doc_id, text) frame the engine indexed
+    base = gen_pages_pdf(np.arange(N_DOCS))
+    pdf = (
+        base.sort_values("warc_ts")
+        .drop_duplicates("url", keep="last")
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pdf["text"] = [
+        t if t is not None else py_extract_text(h)
+        for t, h in zip(pdf["text"], pdf["html"])
+    ]
+    store = spark.createDataFrame(
+        pdf.reset_index()[["index", "text"]].rename(
+            columns={"index": "doc_id"}
+        )
+    )
+    spans = IndexSearcher.match_char_spans(store, ids, terms).collect()
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in spans:
+        by_key[(r["doc_id"], r["term"])].append(r)
+    pos_rows = s.match_positions(ids, terms).collect()
+    pos_by_key = defaultdict(list)
+    for r in pos_rows:
+        pos_by_key[(r["doc_id"], r["term"])].append(r["pos"])
+    assert set(by_key) == set(pos_by_key)
+    text_of = dict(zip(pdf.index, pdf["text"]))
+    for key, rows in by_key.items():
+        assert [r["token_pos"] for r in rows] == pos_by_key[key], key
+        ltext = unicodedata.normalize("NFC", text_of[key[0]]).lower()
+        for r in rows:
+            assert ltext[r["start"] : r["end"]] == r["term"]
+
+
 def test_local_count_explain_positions_parity(spark, agg_index):
     """Serving twins of _count/_explain/match_positions equal the
     distributed path exactly."""
