@@ -150,7 +150,7 @@ class LocalSearcher:
         hail_scripts/shared/elasticsearch_client_v7.py:109-149).
         Re-reads the manifest; when anything changed (generation flip,
         deletes epoch bump, globals), rebuilds datasets/deletes and
-        DROPS the three caches — they are keyed (term, segment) and
+        DROPS all four caches — they are keyed (term, segment) and
         only valid for one snapshot.  No-op (caches kept warm) when the
         manifest is unchanged.  Returns True iff a new snapshot was
         loaded."""
@@ -311,19 +311,6 @@ class LocalSearcher:
             present[seg] = present.get(seg, 0) + 1
         return bounds, present
 
-    def _segment_bounds(
-        self, terms_sorted: list[str], idf: dict[str, float]
-    ) -> tuple[dict[int, float], dict[int, int]]:
-        """Bounds from a METADATA-ONLY read (no posting blobs) — the
-        IO-saving path for many-segment indexes."""
-        return self._bounds_from_table(
-            self._term_rows(
-                terms_sorted,
-                ["term", "segment", "block_max_tf", "block_min_dl"],
-            ),
-            idf,
-        )
-
     def search(
         self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "auto"
     ) -> list[tuple[int, float]]:
@@ -352,7 +339,7 @@ class LocalSearcher:
         if algo in ("auto", "maxscore") or (
             mode_u == "AND" and algo != "exhaustive"
         ):
-            return self._search_pruned(terms_sorted, mode_u, k, idf, cols)
+            return self._search_pruned(terms_sorted, mode_u, k, idf)
         tbl = self._term_rows(terms_sorted, cols)
         seg_arr = np.asarray(tbl["segment"].to_pylist())
         cand_docs, cand_scores = [], []
@@ -426,7 +413,6 @@ class LocalSearcher:
         mode_u: str,
         k: int,
         idf: dict[str, float],
-        cols: list[str],
     ) -> list[tuple[int, float]]:
         """auto/maxscore/AND-block-skip scoring with cross-segment
         pruning over the hot term-rows cache: segments score in
