@@ -137,7 +137,7 @@ def _file_epoch(fn: str) -> int:
 
 
 def load_deletes(
-    index_dir: str, epoch: int | None = None
+    index_dir: str, epoch: int | None = None, manifest: dict | None = None
 ) -> dict[int, np.ndarray]:
     """ALL segments' tombstoned doc ids, sorted — the Lucene live-docs
     bitmap analog (the reference gets this from ES delete/update ops,
@@ -158,10 +158,18 @@ def load_deletes(
 
     ``epoch``: when given, only sidecar files published at or before
     that epoch are read (snapshot semantics for a searcher pinned at
-    its manifest's deletes_epoch); None reads everything (latest)."""
+    its manifest's deletes_epoch); None reads everything (latest).
+
+    ``manifest``: the caller's ALREADY-LOADED manifest, so the deletes
+    dir resolves through the same generation pointer as every other
+    table in the caller's snapshot.  Without it a maintenance publish
+    landing between the caller's manifest read and this one resolves
+    deletes to a NEWER generation than the pinned postings — e.g. a
+    concurrent compaction flips deletes to an empty dir and a pinned
+    searcher would serve tombstoned docs until reload (ADVICE r4)."""
     from ..layout import table_path
 
-    path = table_path(index_dir, "deletes")
+    path = table_path(index_dir, "deletes", manifest)
     if not os.path.isdir(path):
         return {}
     import pyarrow.dataset as ds
@@ -207,7 +215,7 @@ _SEG_DELETES_CACHE_MAX = 4096
 
 
 def read_segment_deletes(
-    deletes_dir: str, segment: int, epoch: int = 0
+    deletes_dir: str, segment: int, epoch: int | None = 0
 ) -> np.ndarray | None:
     """Sorted tombstoned doc ids of ONE segment, read from that
     segment's sidecar (``<deletes_dir>/segment=K/``) inside the scoring
@@ -219,13 +227,17 @@ def read_segment_deletes(
     and only sidecar files published at or before ``epoch`` are read —
     together these pin the task to its searcher's snapshot even while
     an upsert publishes new tombstones or a compaction retires the
-    directory.  Legacy flat root-level delete files (``segment`` as a
+    directory.  ``epoch=None`` reads EVERY sidecar file regardless of
+    publish epoch — compaction uses this so its strip, doclens
+    anti-join, and n_stripped count all see one tombstone set even if a
+    crashed upsert left files ahead of the manifest epoch (ADVICE r4).
+    Legacy flat root-level delete files (``segment`` as a
     data column) are UNIONED with the sidecar, never treated as
     exclusive — a legacy index whose first new-code upsert published
     sidecars next to flat files must not resurrect flat-era
     tombstones."""
     segment = int(segment)
-    key = (deletes_dir, int(epoch), segment)
+    key = (deletes_dir, None if epoch is None else int(epoch), segment)
     if key in _SEG_DELETES_CACHE:
         return _SEG_DELETES_CACHE[key]
     import pyarrow.dataset as ds
@@ -236,7 +248,8 @@ def read_segment_deletes(
         files = sorted(
             os.path.join(seg_dir, fn)
             for fn in os.listdir(seg_dir)
-            if fn.endswith(".parquet") and _file_epoch(fn) <= epoch
+            if fn.endswith(".parquet")
+            and (epoch is None or _file_epoch(fn) <= epoch)
         )
         if files:
             tbl = ds.dataset(files, format="parquet").to_table(
@@ -867,13 +880,20 @@ class IndexSearcher:
             .join(F.broadcast(td), "term")
         )
 
+    # Auto-gate threshold for two-phase distributed segment pruning:
+    # measured crossover on the bench corpus (see BENCH/BASELINE.md
+    # "segment-prune crossover") — below this many segments the extra
+    # metadata job + probe job cost more than the skipped tasks save;
+    # above it the probe's floor collapses the task fan-out.
+    SEGPRUNE_AUTO_MIN_SEGMENTS = 64
+
     def search(
         self,
         terms: list[str],
         mode: str = "OR",
         k: int = 10,
         algo: str = "auto",
-        segment_prune: bool = False,
+        segment_prune: bool | None = None,
     ) -> DataFrame:
         """Top-k BM25.  Returns DataFrame(doc_id, score) already sorted
         by (score desc, doc_id asc), exactly k rows or fewer.
@@ -890,12 +910,19 @@ class IndexSearcher:
         scored first as a probe, and segments whose bound is strictly
         below the probe's k-th score never get a scoring task at all —
         bit-identical (strict inequality forbids ties).  Costs one
-        extra small job + one tiny collect, so it's opt-in here: the
-        win is proportional to segment count (at 10^12 docs a
-        rare-but-widespread term's task fan-out collapses), while on a
-        handful of segments the fixed job overhead dominates.  The
+        extra small job + one tiny collect: the win is proportional to
+        segment count (at 10^12 docs a rare-but-widespread term's task
+        fan-out collapses), while on a handful of segments the fixed
+        job overhead dominates.  Default None AUTO-GATES on the
+        manifest's segment count at the measured crossover
+        (SEGPRUNE_AUTO_MIN_SEGMENTS); True/False force it.  The
         sequential LocalSearcher has it always-on for free.
         ``last_segments_skipped`` reports the count."""
+        if segment_prune is None:
+            n_segs = int(
+                self.manifest.get("metrics", {}).get("n_segments", 0) or 0
+            )
+            segment_prune = n_segs >= self.SEGPRUNE_AUTO_MIN_SEGMENTS
         terms_sorted = sorted(set(terms))
         mode_u = mode.upper()
         avgdl = self.avgdl

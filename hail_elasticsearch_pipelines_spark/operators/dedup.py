@@ -153,12 +153,71 @@ def minhash_signatures(
     return shingled.select("id", sig_udf("shash").alias("sig"))
 
 
+def _cap_hot_buckets(
+    bands: DataFrame, keys: list[str], max_bucket_df: int
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket_df`` members from
+    candidate generation — the quadratic-join guard shared with the
+    embedding path (similarity.py).  Trade-off: pairs found ONLY
+    through a dropped bucket are missed; with multiple independent
+    bands a true near-dup pair almost always shares a smaller bucket
+    too, and duplicate-heavy corpora should use the "star" mode, which
+    keeps hot buckets AND stays O(n)."""
+    hot = (
+        bands.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > max_bucket_df)
+        .select(*keys)
+    )
+    return bands.join(F.broadcast(hot), keys, "left_anti")
+
+
+def _star_edges(bands: DataFrame, keys: list[str], payload: list[str]) -> DataFrame:
+    """Per-bucket representative chaining: within each bucket emit
+    (bucket_min_id, id) edges instead of the all-pairs self-join —
+    O(members) per bucket, so a boilerplate page duplicated 10^6 times
+    (the Common-Crawl norm, and exactly what dedup must find) costs
+    10^6 edges, not 10^12.  Connectivity is preserved: every member
+    connects to the bucket's representative, so the bucket stays one
+    component for the downstream union-find.  ``payload`` columns ride
+    along for both endpoints (a/b suffixed) for verification."""
+    rep = bands.groupBy(*keys).agg(
+        F.min(F.struct("id", *payload)).alias("__rep")
+    )
+    joined = bands.join(rep, keys).filter(F.col("id") > F.col("__rep.id"))
+    sel = [
+        F.col("__rep.id").alias("id_a"),
+        F.col("id").alias("id_b"),
+        *[F.col(f"__rep.{p}").alias(f"{p}_a") for p in payload],
+        *[F.col(p).alias(f"{p}_b") for p in payload],
+    ]
+    return joined.select(*sel).distinct()
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_df: int | None = 10_000,
+    mode: str = "pairs",
 ) -> DataFrame:
     """LSH banding: pairs sharing >= 1 band bucket.  Band hash is
     xxhash64 of the band's signature slice (JVM-side).  Returns
-    (id_a < id_b) distinct candidate pairs."""
+    (id_a < id_b) distinct candidate pairs.
+
+    Scale guard (r4 verdict #1): a duplicate-heavy corpus puts every
+    copy of a boilerplate page into the SAME band buckets, so the
+    bucket self-join emits O(n²) candidate pairs inside that bucket.
+    Two cluster-safe strategies (the skew-aware strategy branching the
+    reference applies at batch_seqr_loader/batch_workflow.py:447-452):
+
+    * mode="pairs" (all-pairs semantics): buckets larger than
+      ``max_bucket_df`` are dropped from candidate generation, with the
+      recall trade-off documented in ``_cap_hot_buckets``;
+    * mode="star" (cluster semantics): each bucket emits (bucket_min,
+      member) edges — O(n) per bucket with NO recall loss inside the
+      bucket — for union into connected components
+      (``minhash_dedup_clusters``)."""
     bands = sigs.select(
         "id",
         F.explode(
@@ -179,6 +238,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if mode == "star":
+        return _star_edges(bands, ["band", "bucket"], [])
+    if mode != "pairs":
+        raise ValueError(f"unknown candidate mode {mode!r}")
+    if max_bucket_df is not None:
+        bands = _cap_hot_buckets(bands, ["band", "bucket"], max_bucket_df)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -200,13 +265,18 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_df: int | None = 10_000,
 ) -> DataFrame:
     """Candidates via LSH, then EXACT n-gram-Jaccard verification of the
     candidate pairs only (join back to shingle sets).  Output:
-    (id_a, id_b, jaccard) with jaccard >= threshold."""
+    (id_a, id_b, jaccard) with jaccard >= threshold.  All-pairs output
+    is inherently quadratic in cluster size — for duplicate-heavy
+    corpora use ``minhash_dedup_clusters`` (O(n) per cluster)."""
     rows_per_band = n_perm // n_bands
     sigs = minhash_signatures(df, n_perm, shingle_n, text_col, id_col)
-    cand = minhash_lsh_candidates(sigs, n_bands, rows_per_band)
+    cand = minhash_lsh_candidates(
+        sigs, n_bands, rows_per_band, max_bucket_df=max_bucket_df
+    )
     # verify with HASHED (int64) shingles, not the strings: Jaccard is
     # a set statistic, so xxhash64'ing each shingle preserves it exactly
     # up to hash collisions (~n²·2⁻⁶⁴ per pair — negligible) while the
@@ -231,6 +301,112 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def connected_components_min_label(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) by iterative min-label propagation over undirected
+    ``(id_a, id_b)`` edges — pure DataFrame ops, no graph library.
+
+    Each round every node takes the min of its own label and its
+    neighbors' labels; convergence in O(diameter) rounds.  Star edges
+    from ``_star_edges`` keep the diameter tiny (every bucket member is
+    one hop from its representative; representatives chain only through
+    docs shared across bands), so real corpora converge in 2-4 rounds.
+    The loop is driver-controlled but each round is one distributed
+    join+agg; the only driver data is the changed-count scalar."""
+    und = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    if nodes is None:
+        nodes = und.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("component"))
+    labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate CLUSTERS via star candidates: (doc_id, cluster_id) for
+    every doc in a near-dup cluster, cluster_id = min doc id of the
+    cluster.  The cluster-safe path for duplicate-heavy corpora (r4
+    verdict #1): candidate generation emits one edge per bucket member
+    (``_star_edges``), each edge is verified with exact n-gram Jaccard
+    against the bucket representative, and verified edges union into
+    components — O(n) work per n-member duplicate cluster end to end,
+    where the all-pairs output would be O(n²).
+
+    Recall note: an edge is verified member↔representative, not
+    member↔every-member; for duplicate clusters (identical or
+    near-identical content — the case that explodes) all members match
+    the representative, so nothing is lost.  A chain A~B~C with
+    jaccard(A, C) < threshold joins one cluster here and would also
+    pair-connect transitively in any union-find over the pairs output."""
+    rows_per_band = n_perm // n_bands
+    sigs = minhash_signatures(df, n_perm, shingle_n, text_col, id_col)
+    cand = minhash_lsh_candidates(
+        sigs, n_bands, rows_per_band, mode="star"
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            token_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components_min_label(verified)
+    return comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
     )
 
 
@@ -288,10 +464,19 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_hash: str = "xxhash64",
+    max_bucket_df: int | None = 10_000,
+    mode: str = "pairs",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
     4-band blocking over the hash width (any pair within distance 3
-    shares at least one exact band — pigeonhole for d <= 3)."""
+    shares at least one exact band — pigeonhole for d <= 3).
+
+    Scale guard (r4 verdict #1), same strategy branching as
+    ``minhash_lsh_candidates``: mode="pairs" caps candidate buckets at
+    ``max_bucket_df`` members (documented recall trade-off in
+    ``_cap_hot_buckets``); mode="star" emits (bucket_min, member) edges
+    verified against the representative — O(n) per duplicate cluster,
+    returning the cluster-connecting edge set instead of all pairs."""
     hash_bits = 64 if token_hash == "xxhash64" else 32
     band_bits = hash_bits // 4
     band_mask = (1 << band_bits) - 1
@@ -313,22 +498,34 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.chunk")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
+    if mode == "star":
+        cand = _star_edges(bands, ["band", "chunk"], ["simhash"]).select(
+            "id_a",
+            "id_b",
+            F.col("simhash_a").alias("h_a"),
+            F.col("simhash_b").alias("h_b"),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+    elif mode == "pairs":
+        if max_bucket_df is not None:
+            bands = _cap_hot_buckets(bands, ["band", "chunk"], max_bucket_df)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("h_a"),
+                F.col("b.simhash").alias("h_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        raise ValueError(f"unknown candidate mode {mode!r}")
     return (
         cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)

@@ -113,7 +113,9 @@ class LocalSearcher:
             else None
         )
         self._deletes = load_deletes(
-            self.index_dir, epoch=int(self.manifest.get("deletes_epoch", 0))
+            self.index_dir,
+            epoch=int(self.manifest.get("deletes_epoch", 0)),
+            manifest=self.manifest,
         )
         # bounded decoded-postings cache (the ES page/query-cache
         # analog): hot terms — stopwords above all — stop paying the

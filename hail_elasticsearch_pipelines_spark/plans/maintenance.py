@@ -223,26 +223,193 @@ def _intent_markers(index_dir: str) -> list[str]:
     )
 
 
-def repair_index(spark: SparkSession, index_dir: str) -> dict:
-    """Recompute DERIVED state (termdict, globals, metrics) from the
-    primary tables (postings + doclens + deletes) and publish it with
-    an atomic manifest flip.
+def _parse_intent(path: str) -> dict:
+    """Intent-marker payload: JSON ``{"mode", "id_base", "n_docs"}``
+    (current format) or a bare mode string (legacy markers)."""
+    import json
 
-    Exists for one crash window the generation design cannot cover:
+    try:
+        with open(path) as f:
+            raw = f.read().strip()
+    except OSError:
+        return {}
+    try:
+        out = json.loads(raw)
+        return out if isinstance(out, dict) else {}
+    except ValueError:
+        return {"mode": raw}
+
+
+def _max_delete_file_epoch(deletes_path: str) -> int:
+    """Highest ``e<N>-`` publish epoch present in the deletes sidecars.
+    After a crash between tombstone publish and manifest save, files
+    exist at epoch N+1 while the manifest still says N — repair must
+    advance the manifest epoch or epoch-pinned searchers (and a later
+    compaction stripping at the stale epoch) would never see those
+    tombstones and permanently resurrect the replaced docs (ADVICE r4,
+    high)."""
+    from ..operators.bm25 import _file_epoch
+
+    mx = 0
+    if not os.path.isdir(deletes_path):
+        return mx
+    for e in os.listdir(deletes_path):
+        seg_dir = os.path.join(deletes_path, e)
+        if not (e.startswith("segment=") and os.path.isdir(seg_dir)):
+            continue
+        for fn in os.listdir(seg_dir):
+            if fn.endswith(".parquet"):
+                mx = max(mx, _file_epoch(fn))
+    return mx
+
+
+def _file_min_doc(path: str):
+    """min(min_doc) of one postings parquet file, from footer row-group
+    statistics (no data read); falls back to a single-column read when
+    stats are absent.  None for an empty file."""
+    import pyarrow.parquet as pq
+
+    mn = None
+    try:
+        md = pq.read_metadata(path)
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                if col.path_in_schema != "min_doc":
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no stats")
+                mn = st.min if mn is None else min(mn, st.min)
+    except Exception:
+        tbl = pq.read_table(path, columns=["min_doc"])
+        if tbl.num_rows:
+            mn = int(tbl.column("min_doc").to_numpy().min())
+    return mn
+
+
+def _reconcile_orphan_batch(
+    spark: SparkSession, index_dir: str, manifest: dict, flips: dict
+) -> dict | None:
+    """Detect and drop a crashed extend batch whose postings landed but
+    whose doclens append never completed (ADVICE r4, medium).
+
+    Without this, the orphan postings score at query time with no
+    doclens row behind them, and — worse — the retry recomputes
+    ``id_base`` from max doclens id (unchanged) and re-appends the same
+    ids, producing duplicate (term, segment) rows that fail
+    ``_check_unique_terms`` on every query touching those terms.
+
+    Detection: the batch's intent marker records its ``id_base`` and
+    expected ``n_docs``; when the doclens row count at ``doc_id >=
+    id_base`` falls short, the batch is incomplete.  Removal is exact
+    at FILE granularity: batch appends write fresh parquet files and
+    doc ids never interleave across batches (each batch starts at a
+    fresh segment boundary past all prior ids), so a file whose footer
+    min(min_doc) >= id_base contains ONLY the crashed batch's rows.
+    Surviving files are HARDLINKED into a new postings generation
+    (metadata-only) and any partial doclens rows are filtered into a
+    new doclens generation; the caller's atomic manifest flip publishes
+    both, so pinned readers are never pulled out from under."""
+    markers = _intent_markers(index_dir)
+    if not markers:
+        return None
+    infos = sorted(
+        (int(os.path.basename(m).rsplit("_", 1)[-1]), _parse_intent(m))
+        for m in markers
+    )
+    base, info = infos[0]  # at most one stale marker can exist (repair
+    # runs under the lock before every op writes its own)
+    doclens_path = layout.table_path(index_dir, "doclens", manifest)
+    actual = int(
+        spark.read.parquet(doclens_path)
+        .filter(F.col("doc_id") >= F.lit(base))
+        .count()
+    )
+    expected = info.get("n_docs")
+    if expected is not None and actual == int(expected):
+        return None  # appends completed; only derived state needs repair
+    if expected is None and actual > 0:
+        return None  # legacy marker without a count: assume complete
+    postings_path = layout.table_path(index_dir, "postings", manifest)
+    rel = layout.next_gen_rel(manifest, "postings")
+    newp = os.path.join(index_dir, rel)
+    if os.path.isdir(newp):  # a crashed earlier repair attempt
+        import shutil
+
+        shutil.rmtree(newp)
+    n_dropped = 0
+    for root, dirs, files in os.walk(postings_path):
+        dirs[:] = [d for d in dirs if not d.startswith("_temporary")]
+        relroot = os.path.relpath(root, postings_path)
+        troot = os.path.join(newp, relroot) if relroot != "." else newp
+        os.makedirs(troot, exist_ok=True)
+        for fn in files:
+            src = os.path.join(root, fn)
+            if fn.endswith(".parquet"):
+                mn = _file_min_doc(src)
+                if mn is not None and int(mn) >= base:
+                    n_dropped += 1
+                    continue
+            os.link(src, os.path.join(troot, fn))
+    flips["postings"] = rel
+    if actual:
+        dl_rel = layout.next_gen_rel(manifest, "doclens")
+        (
+            spark.read.parquet(doclens_path)
+            .filter(F.col("doc_id") < F.lit(base))
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, dl_rel))
+        )
+        flips["doclens"] = dl_rel
+    return {
+        "dropped_batch_id_base": base,
+        "orphan_postings_files": n_dropped,
+        "orphan_doclens_rows": actual,
+    }
+
+
+def repair_index(spark: SparkSession, index_dir: str) -> dict:
+    """Reconcile the PRIMARY tables after a crashed maintenance op,
+    then recompute DERIVED state (termdict, globals, metrics) from them
+    and publish everything with one atomic manifest flip.
+
+    Exists for the crash windows the generation design cannot cover:
     ``extend_index`` APPENDS postings/doclens in place (appends are
-    additive, so pinned readers are safe), and a crash after the
-    appends but before the termdict/manifest update leaves the batch's
-    docs on disk with stale df/n_docs/avgdl — and a naive retry would
-    anti-join them away as "already live" and never fix the stats.
+    additive, so pinned readers are safe), and a crash between those
+    appends and the manifest save leaves (a) the batch's docs on disk
+    with stale df/n_docs/avgdl, (b) possibly postings with NO doclens
+    rows behind them (append order: postings first), and (c) possibly
+    tombstone files published at an epoch the manifest never recorded.
     ``extend_index`` therefore writes an INTENT marker before its
     appends and every maintenance op runs this repair first when a
-    marker is found.  After repair the crashed batch counts as fully
-    indexed (its docs are live and statistically exact), so the
-    retry's create/upsert arithmetic is exact too."""
+    marker is found.  Repair (1) drops an incomplete batch's orphan
+    postings files / partial doclens rows (``_reconcile_orphan_batch``),
+    (2) advances ``deletes_epoch`` to the max epoch found on disk
+    (``_max_delete_file_epoch``), (3) rebuilds the termdict and globals
+    from the reconciled primaries.  After repair a COMPLETE crashed
+    batch counts as fully indexed and an INCOMPLETE one as never
+    started, so the retry's create/upsert arithmetic is exact either
+    way."""
     manifest = _load_manifest(index_dir)
-    postings_path = layout.table_path(index_dir, "postings", manifest)
-    doclens_path = layout.table_path(index_dir, "doclens", manifest)
+    flips: dict[str, str] = {}
+    recon = _reconcile_orphan_batch(spark, index_dir, manifest, flips)
+    postings_path = (
+        os.path.join(index_dir, flips["postings"])
+        if "postings" in flips
+        else layout.table_path(index_dir, "postings", manifest)
+    )
+    doclens_path = (
+        os.path.join(index_dir, flips["doclens"])
+        if "doclens" in flips
+        else layout.table_path(index_dir, "doclens", manifest)
+    )
     deletes_path = layout.table_path(index_dir, "deletes", manifest)
+    manifest["deletes_epoch"] = max(
+        int(manifest.get("deletes_epoch", 0)),
+        _max_delete_file_epoch(deletes_path),
+    )
     td_rel = layout.next_gen_rel(manifest, "termdict")
     _write_termdict(
         spark,
@@ -250,6 +417,7 @@ def repair_index(spark: SparkSession, index_dir: str) -> dict:
         postings_path=postings_path,
         dest_path=os.path.join(index_dir, td_rel),
     )
+    flips["termdict"] = td_rel
     live = spark.read.parquet(doclens_path)
     n_tombstones = 0
     if os.path.isdir(deletes_path):
@@ -269,8 +437,13 @@ def repair_index(spark: SparkSession, index_dir: str) -> dict:
         "n_tombstones": n_tombstones,
         **_postings_metrics(spark.read.parquet(postings_path)),
     }
-    manifest.setdefault("repairs", []).append({"intent_markers": len(_intent_markers(index_dir))})
-    layout.flip_tables(manifest, {"termdict": td_rel})
+    manifest.setdefault("repairs", []).append(
+        {
+            "intent_markers": len(_intent_markers(index_dir)),
+            "reconciled": recon,
+        }
+    )
+    layout.flip_tables(manifest, flips)
     _save_manifest(index_dir, manifest)
     for m in _intent_markers(index_dir):
         with contextlib.suppress(OSError):
@@ -428,17 +601,34 @@ def _extend_index_locked(
         batch_validation = validate_globals(new_stats, thr)
 
     intent = None
-    if new_stats["n_docs"]:
-        # intent marker: if we crash between the in-place appends below
-        # and the manifest save, the next maintenance op sees this file
-        # and runs repair_index (recompute termdict + globals from the
-        # primary tables) BEFORE doing anything else
+    if new_stats["n_docs"] or n_killed:
+        # intent marker: if we crash between the in-place appends /
+        # tombstone publish below and the manifest save, the next
+        # maintenance op sees this file and runs repair_index
+        # (reconcile primaries + recompute termdict/globals/epoch)
+        # BEFORE doing anything else.  The payload records the batch's
+        # expected doclens row count so repair can tell a COMPLETE
+        # crashed batch (keep, fix stats) from an INCOMPLETE one (drop
+        # its orphan postings files).  Written even for a pure-tombstone
+        # upsert (no new docs): a crash after _publish_tombstones but
+        # before the manifest save must still advance deletes_epoch.
+        import json as _json
+
         os.makedirs(os.path.join(index_dir, "stages"), exist_ok=True)
         intent = os.path.join(
             index_dir, "stages", f"_EXTEND_INTENT_{id_base}"
         )
         with open(intent, "w") as f:
-            f.write(mode)
+            f.write(
+                _json.dumps(
+                    {
+                        "mode": mode,
+                        "id_base": id_base,
+                        "n_docs": new_stats["n_docs"],
+                    }
+                )
+            )
+    if new_stats["n_docs"]:
         partials = ib.build_partials(
             docs, dpp, seg_group,
             with_positions=params.get("with_positions", True),
@@ -664,8 +854,18 @@ def _update_facet_field_locked(
             _segment_col(F.col("doc_id"), dpp, seg_group).alias("segment"),
         )
     )
+    # staging path must be unique PER INVOCATION, not per generation: a
+    # failed/aborted run retried in the same Spark application would
+    # reuse facet_update-g<G> (gen only advances on successful manifest
+    # save) and executors that cached the first attempt's slices in
+    # _SEG_UPDATES_CACHE would serve stale data to the rewrite tasks
+    # (ADVICE r4) — a random token makes every attempt's cache key fresh
+    import uuid
+
     gen = int(manifest.get("generation", 0)) + 1
-    updates_dir = os.path.join(index_dir, "stages", f"facet_update-g{gen}")
+    updates_dir = os.path.join(
+        index_dir, "stages", f"facet_update-g{gen}-{uuid.uuid4().hex[:12]}"
+    )
     (
         resolved_plan.repartition(F.col("segment"))
         .write.mode("overwrite")
@@ -912,7 +1112,7 @@ def _splice_positions(
 
 
 def _strip_tombstones(
-    postings: DataFrame, deletes_dir: str, epoch: int
+    postings: DataFrame, deletes_dir: str, epoch: int | None
 ) -> DataFrame:
     """Rewrite posting rows with tombstoned docs physically removed
     (blob re-encoded, df/cf/min_doc/block index recomputed; rows left
@@ -1034,7 +1234,12 @@ def _compact_index_locked(spark: SparkSession, index_dir: str, factor: int = 2) 
 
     postings = spark.read.parquet(postings_path)
     if has_deletes:
-        postings = _strip_tombstones(postings, deletes_path, epoch)
+        # epoch=None: strip EVERY tombstone file on disk regardless of
+        # publish epoch, so the strip, the doclens anti-join, and the
+        # n_stripped count above all see one tombstone set — compaction
+        # empties the deletes dir, so leaving any file's docs
+        # un-stripped would permanently resurrect them (ADVICE r4).
+        postings = _strip_tombstones(postings, deletes_path, epoch=None)
     remapped = postings.withColumn(
         "segment", (F.col("segment") / F.lit(factor)).cast("int")
     ).drop("n_bytes", "term_bucket")
