@@ -200,8 +200,41 @@ def main():
     q["or_selective_dist_segprune"] = round(time.time() - t0, 4)
     segprune_skipped = getattr(searcher, "last_segments_skipped", 0)
     t0 = time.time()
-    searcher.search(SEL_OR, "OR", 10, algo="auto").collect()
+    searcher.search(SEL_OR, "OR", 10, algo="auto", segment_prune=False).collect()
     q["or_selective_dist_plain"] = round(time.time() - t0, 4)
+
+    # many-segment crossover evidence (r5): a 400-segment index (the
+    # 10^3-segment fan-out regime scaled down) with a site-correlated
+    # marker token (doc ids are url-ordered, urls group by site → the
+    # marker is contiguous in doc_id space, the time/site-locality a
+    # real crawl has).  Probes: localized query (bounds discriminate →
+    # deep skip) and flat rare-term query (df-sized probe floor), auto
+    # mode vs forced-plain.
+    marker = F.concat(F.lit("sitemark"), F.regexp_extract("url", r"site(\d+)\.", 1))
+    pages_ms = pages.withColumn(
+        "text",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(F.col("text"), F.lit(" "), marker),
+        ),
+    )
+    idx_ms = f"{BENCH_DIR}/index_ms400_{CPUS}"
+    if not os.path.exists(os.path.join(idx_ms, "manifest.json")):
+        build_index(
+            spark, pages_ms, idx_ms, docs_per_part=500, seg_group=1,
+            n_term_buckets=16,
+        )
+    sms = IndexSearcher(spark, idx_ms)
+    segprune_ms = {"n_segments": sms.manifest["metrics"]["n_segments"]}
+    for qname, terms in (("local", ["sitemark42", "the"]), ("flat", SEL_OR)):
+        for mode_name, sp in (("plain", False), ("auto", None)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                sms.search(terms, "OR", 10, algo="auto", segment_prune=sp).collect()
+                best = min(best, time.time() - t0)
+            q[f"segprune400_{qname}_{mode_name}"] = round(best, 4)
+        segprune_ms[f"skipped_{qname}"] = sms.last_segments_skipped
 
     # stopword phrase: the vectorized adjacency matcher's showcase
     q["phrase_stopword_cold"] = cold(lambda ls: ls.search_phrase(["of", "the"], 10))
@@ -288,6 +321,7 @@ def main():
                 "build_reps_sec": [round(x, 2) for x in build_times],
                 "per_query_reps_ms": per_query_reps,
                 "segprune_segments_skipped": segprune_skipped,
+                "segprune_ms400": segprune_ms,
                 "cpus": CPUS,
             }
         )

@@ -881,11 +881,15 @@ class IndexSearcher:
         )
 
     # Auto-gate threshold for two-phase distributed segment pruning:
-    # measured crossover on the bench corpus (see BENCH/BASELINE.md
-    # "segment-prune crossover") — below this many segments the extra
-    # metadata job + probe job cost more than the skipped tasks save;
-    # above it the probe's floor collapses the task fan-out.
-    SEGPRUNE_AUTO_MIN_SEGMENTS = 64
+    # measured crossover on the 200k-doc bench corpus, local[32] (see
+    # BENCH/BASELINE.md "segment-prune crossover") — at 100 segments
+    # pruning break-evens (job-floor overhead ≈ skipped-task savings),
+    # at 400 it wins 1.4-1.7× on both localized and flat rare-term
+    # queries; below the threshold the fixed metadata+probe job cost
+    # dominates.  The bound-flatness bail-out inside
+    # _two_phase_segment_prune caps the worst case above the threshold
+    # at one tiny metadata job.
+    SEGPRUNE_AUTO_MIN_SEGMENTS = 128
 
     def search(
         self,
@@ -918,7 +922,8 @@ class IndexSearcher:
         (SEGPRUNE_AUTO_MIN_SEGMENTS); True/False force it.  The
         sequential LocalSearcher has it always-on for free.
         ``last_segments_skipped`` reports the count."""
-        if segment_prune is None:
+        auto_prune = segment_prune is None
+        if auto_prune:
             n_segs = int(
                 self.manifest.get("metrics", {}).get("n_segments", 0) or 0
             )
@@ -1002,7 +1007,7 @@ class IndexSearcher:
         self.last_segments_skipped = 0
         if segment_prune and algo not in ("bmw", "exhaustive"):
             pruned = self._two_phase_segment_prune(
-                rows, score_segment, terms_sorted, mode_u, k
+                rows, score_segment, terms_sorted, mode_u, k, auto=auto_prune
             )
             if pruned is not None:
                 return pruned
@@ -1011,27 +1016,49 @@ class IndexSearcher:
         )
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # auto-mode bail-out: attempt the probe only when at least this
+    # fraction of candidate segments has a bound under half the best
+    # segment's bound.  On a bound-flat corpus (terms spread uniformly
+    # over doc ids) the probe floor can't beat near-max bounds, so the
+    # probe+survivor jobs are pure overhead — measured at 100 segments:
+    # prune 1.61 s vs plain 1.14 s with only 23 skipped.  Segment-
+    # correlated terms (time/site-ordered crawls — the web-scale norm)
+    # pass this test and collapse the task fan-out.
+    SEGPRUNE_MIN_DISCRIMINATION = 0.3
+
     def _two_phase_segment_prune(
-        self, rows: DataFrame, score_segment, terms_sorted, mode_u, k
+        self, rows: DataFrame, score_segment, terms_sorted, mode_u, k,
+        auto: bool = False,
     ) -> DataFrame | None:
         """Probe-then-prune: bounds from a metadata-only collect (tiny —
         |terms| × |segments| scalars, no blobs cross the wire thanks to
         parquet column pruning), one scoring task for the best-bound
         segment, then scoring tasks ONLY for segments whose bound can
         still reach the probe's k-th score.  Returns None when pruning
-        cannot pay (fewer than 3 candidate segments — pre-gated on the
-        manifest's segment count so the metadata job isn't launched)."""
+        cannot pay: fewer than 3 candidate segments (pre-gated on the
+        manifest's segment count so the metadata job isn't launched),
+        or — in auto mode — a bound distribution too flat for the probe
+        floor to skip anything (SEGPRUNE_MIN_DISCRIMINATION; the only
+        cost of a bail-out is the metadata collect)."""
         if int(self.manifest.get("metrics", {}).get("n_segments", 999) or 999) < 3:
             return None
         meta = rows.select(
             "segment",
             "term",
+            "df",
             "df_global",
             F.array_max("block_max_tf").alias("mx"),
             F.array_min("block_min_dl").alias("mn"),
         ).collect()
         bounds: dict[int, float] = {}
         present: dict[int, int] = {}
+        # per segment: df of its strongest term (highest single-row
+        # bound) — the docs that can push the probe's k-th score above
+        # other segments' bounds.  Sizing the probe by this count fixes
+        # the dilution failure where a 3-segment probe holds too few
+        # rare-term docs to establish a floor above stopword-only
+        # segment bounds (measured: 0 skips at 400 segments, k=10).
+        strong_df: dict[int, tuple[float, int]] = {}
         for r in meta:
             seg = int(r["segment"])
             if r["mx"] is None or r["mn"] is None:
@@ -1047,6 +1074,8 @@ class IndexSearcher:
                 )
             bounds[seg] = bounds.get(seg, 0.0) + b
             present[seg] = present.get(seg, 0) + 1
+            if b >= strong_df.get(seg, (-1.0, 0))[0]:
+                strong_df[seg] = (b, int(r["df"]))
         segs = [
             s
             for s in bounds
@@ -1054,12 +1083,33 @@ class IndexSearcher:
         ]
         if len(segs) < 3:
             return None
+        if auto:
+            finite = [bounds[s] for s in segs if bounds[s] != float("inf")]
+            if not finite:
+                return None
+            b_max = max(finite)
+            frac = sum(1 for b in finite if b < 0.5 * b_max) / len(segs)
+            if frac < self.SEGPRUNE_MIN_DISCRIMINATION:
+                return None
         # probe the top-P bound segments TOGETHER: one segment's local
-        # k-th is diluted by its own weak matches, so the probe takes
-        # enough segments that its union's k-th approaches the global
-        # k-th — a stronger (still conservative) floor
+        # k-th is diluted by its own weak matches, so the probe grows
+        # until it holds >= 2k strong-term docs (and at least the old
+        # max(2, ceil(k/4)) segments) — enough that its union's k-th
+        # approaches the global k-th, a stronger (still conservative)
+        # floor.  Cap at half the candidates: past that, pruning the
+        # remainder can't recoup the probe.
         order = sorted(segs, key=lambda s: (-bounds[s], s))
-        n_probe = min(max(2, -(-k // 4)), max(1, len(segs) // 2))
+        n_min = max(2, -(-k // 4))
+        cap = max(1, len(segs) // 2)
+        n_probe, cum_strong = 0, 0
+        for s in order:
+            if n_probe >= cap:
+                break
+            n_probe += 1
+            cum_strong += strong_df.get(s, (0.0, 0))[1]
+            if n_probe >= n_min and cum_strong >= 2 * k:
+                break
+        n_probe = min(max(n_probe, min(n_min, cap)), cap)
         probe_segs = order[:n_probe]
         probe = (
             rows.filter(F.col("segment").isin(probe_segs))

@@ -137,3 +137,37 @@ def test_prune_handles_fewer_than_k_results(many_segments, spark):
         ).collect()
     ]
     assert got == expected
+
+
+def test_auto_gate_on_manifest_segment_count(spark, many_segments, tmp_path):
+    """segment_prune=None auto-gates on the manifest's segment count:
+    below SEGPRUNE_AUTO_MIN_SEGMENTS the probe machinery must not run
+    (last_segments_skipped stays 0); at or above it, auto must attempt
+    pruning and stay bit-identical to exhaustive."""
+    s = IndexSearcher(spark, many_segments)  # ~38 segments < threshold
+    assert s.manifest["metrics"]["n_segments"] < s.SEGPRUNE_AUTO_MIN_SEGMENTS
+    s.search(["term0042", "the"], "OR", 10).collect()
+    assert s.last_segments_skipped == 0
+
+    out = str(tmp_path / "idx_many")
+    build_index(
+        spark,
+        spark.createDataFrame(gen_pages_pdf(np.arange(600))),
+        out,
+        docs_per_part=4,
+        seg_group=1,
+        n_term_buckets=8,
+    )
+    s2 = IndexSearcher(spark, out)
+    assert s2.manifest["metrics"]["n_segments"] >= s2.SEGPRUNE_AUTO_MIN_SEGMENTS
+    terms = ["term0042", "the"]
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in s2.search(terms, "OR", 10, algo="exhaustive").collect()
+    ]
+    got = [(r["doc_id"], r["score"]) for r in s2.search(terms, "OR", 10).collect()]
+    assert got == exp
+    # term0042 is rare and segment-localized at 4 docs/segment — the
+    # df-sized probe must establish a floor that skips stopword-only
+    # segments
+    assert s2.last_segments_skipped > 0
