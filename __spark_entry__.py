@@ -48,6 +48,19 @@ def _micro(col) -> F.Column:
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
 
 
+# deterministic per-doc titles (doc_id % 5) — the second analyzed field
+# for fielded search; varying lengths (2-4 tokens) exercise the
+# per-field BM25F length norm, and the SQL oracle rebuilds the same
+# list with DuckDB 1-based list indexing
+TITLES = [
+    "fast query guide",
+    "table scan",
+    "key value store notes",
+    "merge report",
+    "spark batch intro",
+]
+
+
 def _docs_as_pages(docs: DataFrame) -> DataFrame:
     """Adapt the documents table (doc_id,text,...) to the engine's page
     schema.  Zero-padded url preserves doc_id order so the engine's dense
@@ -57,6 +70,10 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
         F.to_timestamp(F.lit("2025-01-14 00:00:00")).alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         F.col("text"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in TITLES]),
+            ((F.col("doc_id") % 5) + 1).cast("int"),
+        ).alias("title"),
         F.lit("en").alias("lang"),
     )
 
@@ -75,12 +92,17 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     manifest_path = os.path.join(out, "manifest.json")
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            if json.load(f).get("format_version") != INDEX_FORMAT_VERSION:
-                shutil.rmtree(out, ignore_errors=True)
+            m = json.load(f)
+        if m.get("format_version") != INDEX_FORMAT_VERSION or m.get(
+            "params", {}
+        ).get("text_fields") != ["title"]:
+            shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(os.path.join(out, "_INDEX_PUBLISHED")):
         shutil.rmtree(out, ignore_errors=True)
         pages = _docs_as_pages(_read(spark, sf_dir, "documents"))
-        build_index(spark, pages, out, n_term_buckets=8)
+        build_index(
+            spark, pages, out, n_term_buckets=8, text_fields=("title",)
+        )
     return IndexSearcher(spark, out)
 
 
@@ -268,6 +290,21 @@ def _q_bool_search(spark, sf):
 
 def _q_phrase_search(spark, sf):
     r = _searcher(spark, sf).search_phrase(PHRASE, k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+FIELDED_TERMS = ["fast", "table"]
+FIELDED_WEIGHTS = {"text": 1.0, "title": 2.0}
+
+
+def _q_fielded_search(spark, sf):
+    """Multi-field BM25F-lite (r5): body + boosted title field, each
+    with its own df and length norm — the ES multi_match most_fields
+    analog over the per-field postings the build wrote for
+    text_fields=('title',)."""
+    r = _searcher(spark, sf).search_fielded(
+        FIELDED_TERMS, fields=FIELDED_WEIGHTS, k=20
+    )
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
@@ -522,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": _q_url_canon,
         "phrase_search": _q_phrase_search,
         "bool_search": _q_bool_search,
+        "fielded_search": _q_fielded_search,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_pairs": _q_embedding_pairs,
@@ -939,6 +977,51 @@ ORDER BY t.doc_id, u.term, u.pos
 )
 
 
+_TITLES_SQL = "[" + ", ".join(f"'{t}'" for t in TITLES) + "]"
+
+# BM25F-lite most_fields: per-(field, term) df + per-field length norm,
+# title contributions boosted 2x — the SQL twin of search_fielded
+_FIELDED_SQL = f"""
+WITH titled AS (
+  SELECT doc_id, text,
+         ({_TITLES_SQL})[(doc_id % 5) + 1] AS title
+  FROM documents
+), tok AS (
+  SELECT doc_id, {TOK} AS toks,
+         list_filter(string_split_regex(lower(title), '[^a-z0-9]+'), t -> t <> '') AS ttoks
+  FROM titled
+), dl AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl, len(ttoks)::BIGINT AS tdl FROM tok
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl, avg(tdl) AS tavgdl FROM dl
+), tf AS (
+  SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, 'text' AS field, unnest(toks) AS term FROM tok
+    UNION ALL
+    SELECT doc_id, 'title' AS field, unnest(ttoks) AS term FROM tok
+  )
+  WHERE term IN ('fast', 'table')
+  GROUP BY doc_id, field, term
+), dfs AS (
+  SELECT field, term, count(*)::BIGINT AS df FROM tf GROUP BY field, term
+), scored AS (
+  SELECT tf.doc_id,
+         (CASE WHEN tf.field = 'title' THEN 2.0 ELSE 1.0 END)
+         * ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * (2.2 * tf.tf)
+         / (tf.tf + 1.2 * (0.25 + 0.75
+            * (CASE WHEN tf.field = 'title' THEN dl.tdl ELSE dl.dl END)
+            / (CASE WHEN tf.field = 'title' THEN stats.tavgdl ELSE stats.avgdl END)))
+         AS contrib
+  FROM tf JOIN dfs USING (field, term) JOIN dl USING (doc_id) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+)
+SELECT doc_id, {_micro_sql("score")} AS score_micro
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 _FACET_COUNTS_SQL = f"""
 WITH tok AS (
   SELECT doc_id, {TOK} AS toks FROM documents
@@ -1012,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
             " '.example/Dir/Page' || (doc_id % 5) || '?a=1&z=' ||"
             " (doc_id % 3) AS canon_url FROM documents"
         ),
+        "fielded_search": _FIELDED_SQL,
         "phrase_search": _phrase_sql(PHRASE, 20),
         "bool_search": f"""
 WITH tok AS (

@@ -61,8 +61,15 @@ class QueryParseError(ValueError):
     pass
 
 
-def parse(query: str):
-    """Parse a boolean query string into an AST of Term/And/Or/Not."""
+def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()):
+    """Parse a boolean query string into an AST of Term/And/Or/Not.
+
+    ``analyzed_fields``: names of extra ANALYZED text fields of the
+    index (manifest params ``text_fields``).  A ``field:value`` atom
+    whose field is in this set parses as a SCORING term over the
+    field's prefixed postings (``title:foo`` — the ES per-field
+    query-string syntax, elasticsearch_client.py:166-177); any other
+    ``field:value`` atom keeps the facet-filter meaning."""
     toks = _TOKEN_RE.findall(query)
     pos = 0
 
@@ -91,11 +98,19 @@ def parse(query: str):
         if t.upper() in ("AND", "OR", "NOT", ")"):
             raise QueryParseError(f"unexpected {t!r} in {query!r}")
         eat()
-        if ":" in t:  # facet filter atom, e.g. lang:en or lang:pt-BR
+        if ":" in t:  # field atom: analyzed-field term OR facet filter
             field, value = t.split(":", 1)
             from ..operators.index_build import facet_token, py_facet_value
 
             nf = py_tokenize(field)
+            if len(nf) == 1 and nf[0] in analyzed_fields:
+                nv = py_tokenize(value)
+                if len(nv) != 1:
+                    raise QueryParseError(
+                        f"not a single indexable term for field "
+                        f"{nf[0]!r}: {value!r}"
+                    )
+                return Term(f"{nf[0]}:{nv[0]}")
             if len(nf) != 1 or not py_facet_value(value):
                 raise QueryParseError(f"bad facet atom: {t!r}")
             return Term(facet_token(nf[0], value), filter=True)
@@ -227,10 +242,13 @@ def score_candidates(
     postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
     pos_terms_sorted: list[str],
     idf: dict[str, float],
-    avgdl: float,
+    avgdl: "float | dict[str, float]",
 ) -> np.ndarray:
     """BM25 sum over positive terms present per candidate doc, ascending
-    term order (float64 determinism contract)."""
+    term order (float64 determinism contract).  ``avgdl`` may be a
+    per-term map (fielded atoms score with their FIELD's avgdl — see
+    bm25._adl)."""
+    from ..operators.bm25 import _adl
     from ..operators.index_build import bm25_tf_weight
 
     scores = np.zeros(len(candidates), dtype=np.float64)
@@ -242,6 +260,6 @@ def score_candidates(
         idx_c = np.clip(idx, 0, len(d) - 1)
         hit = d[idx_c] == candidates
         if hit.any():
-            w = bm25_tf_weight(tf[idx_c[hit]], dl[idx_c[hit]], avgdl)
+            w = bm25_tf_weight(tf[idx_c[hit]], dl[idx_c[hit]], _adl(avgdl, t))
             scores[hit] += idf[t] * w
     return scores

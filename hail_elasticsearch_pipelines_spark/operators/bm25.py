@@ -62,11 +62,20 @@ FACET_RESULT_SCHEMA = T.StructType(
 )
 
 
+def _adl(avgdl: "float | dict[str, float]", t: str) -> float:
+    """Per-term average document length.  A plain float serves the
+    single-field index; a dict maps each term to its FIELD's avgdl
+    (BM25F-lite: field-prefixed terms like ``title:foo`` carry the
+    title field's average length so every field gets its own length
+    norm — the ES multi-field ``most_fields`` scoring analog)."""
+    return avgdl[t] if isinstance(avgdl, dict) else avgdl
+
+
 def _score_union_exhaustive(
     postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
     terms_sorted: list[str],
     idf: dict[str, float],
-    avgdl: float,
+    avgdl: "float | dict[str, float]",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Union scoring: accumulate idf*w per term in sorted-term order."""
     present = [t for t in terms_sorted if t in postings]
@@ -77,7 +86,7 @@ def _score_union_exhaustive(
     for t in present:
         d, tf, dl = postings[t]
         idx = np.searchsorted(all_docs, d)
-        scores[idx] += idf[t] * bm25_tf_weight(tf, dl, avgdl)
+        scores[idx] += idf[t] * bm25_tf_weight(tf, dl, _adl(avgdl, t))
     return all_docs, scores
 
 
@@ -100,7 +109,7 @@ def _score_intersection(
     for t in terms_sorted:
         d, tf, dl = postings[t]
         idx = np.searchsorted(d, common)
-        scores += idf[t] * bm25_tf_weight(tf[idx], dl[idx], avgdl)
+        scores += idf[t] * bm25_tf_weight(tf[idx], dl[idx], _adl(avgdl, t))
     return common, scores
 
 
@@ -273,6 +282,70 @@ def read_segment_deletes(
         _SEG_DELETES_CACHE.clear()
     _SEG_DELETES_CACHE[key] = out
     return out
+
+
+def analyzed_fields_of(manifest: dict) -> tuple[str, ...]:
+    """Extra analyzed text fields of the index (build-time
+    ``text_fields`` — the ES multi-field mapping analog,
+    hail_scripts/v02/utils/elasticsearch_utils.py:38-77)."""
+    return tuple(manifest.get("params", {}).get("text_fields", ()) or ())
+
+
+def field_avgdl_map(
+    manifest: dict, terms: list[str]
+) -> "float | dict[str, float]":
+    """avgdl for a term list that may mix body terms and field-prefixed
+    terms: a plain float (body avgdl) when no fielded term is present,
+    else a per-term map where ``field:tok`` terms get
+    avgdl_field = field total tokens / n_docs (docs missing the field
+    count as length 0 — same convention in the engine, the oracle SQL,
+    and the maintenance-op incremental updates)."""
+    body = float(manifest["globals"]["avgdl"])
+    tf_fields = set(analyzed_fields_of(manifest))
+    fielded = [
+        t for t in terms if ":" in t and t.split(":", 1)[0] in tf_fields
+    ]
+    if not fielded:
+        return body
+    n_docs = int(manifest["globals"]["n_docs"]) or 1
+    fstats = manifest["globals"].get("field_stats", {})
+    out: dict[str, float] = {}
+    for t in terms:
+        f = t.split(":", 1)[0] if ":" in t else None
+        if f in tf_fields:
+            st = fstats.get(f)
+            if st is None:
+                raise ValueError(
+                    f"index has analyzed field {f!r} but its globals "
+                    "carry no field_stats — rebuild or repair the index"
+                )
+            out[t] = (int(st["total_tokens"]) / n_docs) or 1.0
+        else:
+            out[t] = body
+    return out
+
+
+def expand_fielded_terms(
+    terms: list[str],
+    fields: dict[str, float],
+    text_fields: tuple[str, ...],
+) -> tuple[list[str], dict[str, float]]:
+    """Expand query tokens across fields → (sorted index terms, weight
+    per index term).  ``fields`` maps field name → boost weight;
+    ``"text"`` is the body (unprefixed terms), every other field must
+    be one of the index's analyzed ``text_fields`` and expands to its
+    prefixed terms (``title:foo``)."""
+    weight: dict[str, float] = {}
+    for f, w in fields.items():
+        if f != "text" and f not in text_fields:
+            raise ValueError(
+                f"field {f!r} is not an analyzed field of this index "
+                f"(text_fields={list(text_fields)!r}; body field is 'text')"
+            )
+        for t in dict.fromkeys(terms):
+            it = t if f == "text" else f"{f}:{t}"
+            weight[it] = float(w)
+    return sorted(weight), weight
 
 
 def _mask_deleted(
@@ -500,7 +573,7 @@ def _score_intersection_blockmax(
     for t in terms_sorted:  # accumulation order contract: ascending term
         dt, tft, dlt = gathered.get(t) or cache.full(t)
         idx = np.searchsorted(dt, cand)
-        scores += idf[t] * bm25_tf_weight(tft[idx], dlt[idx], avgdl)
+        scores += idf[t] * bm25_tf_weight(tft[idx], dlt[idx], _adl(avgdl, t))
     return cand, scores
 
 
@@ -541,7 +614,7 @@ def _score_union_maxscore(
             (
                 idf[t]
                 * bm25_tf_weight(
-                    cache.block_max_tf[t], cache.block_min_dl[t], avgdl
+                    cache.block_max_tf[t], cache.block_min_dl[t], _adl(avgdl, t)
                 )
             ).max()
         )
@@ -556,7 +629,9 @@ def _score_union_maxscore(
             m = _members(du, cand)
             if m.any():
                 idx = np.searchsorted(du, cand[m])
-                scores[m] += idf[u] * bm25_tf_weight(tfu[idx], dlu[idx], avgdl)
+                scores[m] += idf[u] * bm25_tf_weight(
+                    tfu[idx], dlu[idx], _adl(avgdl, u)
+                )
         return scores
 
     cand = np.array([], np.int64)
@@ -590,7 +665,9 @@ def _score_union_maxscore(
         m = _members(dt, cand)
         if m.any():
             idx = np.searchsorted(dt, cand[m])
-            scores[m] += idf[t] * bm25_tf_weight(tft[idx], dlt[idx], avgdl)
+            scores[m] += idf[t] * bm25_tf_weight(
+                tft[idx], dlt[idx], _adl(avgdl, t)
+            )
     return _topk(cand, scores, k)
 
 
@@ -1144,13 +1221,14 @@ class IndexSearcher:
         correct because a doc's full term set lives in one segment."""
         from ..functions import boolquery as bq
 
-        ast = bq.parse(query)
+        ast = bq.parse(query, analyzed_fields=set(analyzed_fields_of(self.manifest)))
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
-        avgdl, n_docs = self.avgdl, self.n_docs
+        avgdl = field_avgdl_map(self.manifest, terms)
+        n_docs = self.n_docs
         get_deletes = self._segment_deletes_fn()
 
         rows = self._rows_with_global_df(terms)
@@ -1194,6 +1272,64 @@ class IndexSearcher:
             scores = bq.score_candidates(cand, postings, pos_terms, idf, avgdl)
             d, s = _topk(cand, scores, k)
             return pd.DataFrame({"doc_id": d, "score": s})
+
+        per_segment = rows.groupBy("segment").applyInPandas(
+            score_segment, schema=RESULT_SCHEMA
+        )
+        return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_fielded(
+        self,
+        terms: list[str],
+        fields: dict[str, float] | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """Multi-field BM25F-lite top-k — the ES ``multi_match``
+        ``most_fields`` analog over the per-field postings the build
+        wrote for ``text_fields`` (field-prefixed terms whose blobs
+        bake the FIELD's length as dl).
+
+        score(d) = Σ over (field f, token t): w_f · idf(df_{f,t}) ·
+        tf/(tf + k1·(1-b+b·dl_f/avgdl_f)) · (k1+1) — each field gets
+        its own length norm and document frequency; weights fold into
+        idf so the standard MaxScore kernel runs unchanged (bounds
+        scale linearly).  ``fields`` maps field → boost, default: body
+        + every analyzed field at weight 1.  The reference exposes this
+        via ES multi-field search on its exported mapping
+        (hail_scripts/v02/utils/elasticsearch_utils.py:38-77)."""
+        text_fields = analyzed_fields_of(self.manifest)
+        if fields is None:
+            fields = {"text": 1.0, **{f: 1.0 for f in text_fields}}
+        expanded, weight = expand_fielded_terms(terms, fields, text_fields)
+        avgdl = field_avgdl_map(self.manifest, expanded)
+        n_docs = self.n_docs
+        get_deletes = self._segment_deletes_fn()
+        rows = self._rows_with_global_df(expanded)
+        if rows is None:
+            dfs = self.global_dfs(expanded)
+            if not dfs:
+                return self.spark.createDataFrame([], RESULT_SCHEMA)
+            rows = self._term_rows(expanded).select(*self.SCORING_COLS).withColumn(
+                "df_global",
+                F.create_map(
+                    *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
+                )[F.col("term")],
+            )
+
+        def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            _check_unique_terms(pdf)
+            dead = get_deletes(pdf["segment"].iloc[0])
+            idf = {
+                t: weight[t] * bm25_idf(n_docs, int(d))
+                for t, d in zip(pdf["term"], pdf["df_global"])
+            }
+            cache = _BlockCache(pdf.itertuples())
+            docs, scores = _score_union_maxscore(
+                cache, expanded, idf, avgdl, k, dead=dead
+            )
+            return pd.DataFrame({"doc_id": docs, "score": scores})
 
         per_segment = rows.groupBy("segment").applyInPandas(
             score_segment, schema=RESULT_SCHEMA

@@ -267,10 +267,15 @@ def docs_with_ids_fused(
     return ided.select(*keep).withColumn("doc_len", token_count_col("text"))
 
 
-def corpus_stats(docs: DataFrame) -> dict:
+def corpus_stats(
+    docs: DataFrame, text_fields: tuple[str, ...] | list[str] = ()
+) -> dict:
     """Corpus globals in ONE aggregation job — includes the validation
     gate's inputs (empty-doc count, approx distinct texts) so the
-    pre-publish checks cost no extra scan."""
+    pre-publish checks cost no extra scan.  ``text_fields``: extra
+    analyzed fields whose per-field token totals ride the same pass
+    (``field_stats`` — the per-field avgdl source for BM25F scoring)."""
+    tf_cols = [f for f in text_fields if f in docs.columns]
     row = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum("doc_len").alias("total_tokens"),
@@ -278,16 +283,27 @@ def corpus_stats(docs: DataFrame) -> dict:
             F.when(F.coalesce(F.col("doc_len"), F.lit(0)) <= 0, 1).otherwise(0)
         ).alias("n_empty_docs"),
         F.approx_count_distinct(F.xxhash64("text")).alias("n_uniq_texts"),
+        *[
+            F.sum(
+                F.greatest(token_count_col(F.col(f)), F.lit(0))
+            ).alias(f"__ft_{f}")
+            for f in tf_cols
+        ],
     ).collect()[0]
     n = int(row["n_docs"])
     total = int(row["total_tokens"] or 0)
-    return {
+    out = {
         "n_docs": n,
         "total_tokens": total,
         "avgdl": (total / n) if n else 0.0,
         "n_empty_docs": int(row["n_empty_docs"] or 0),
         "n_uniq_texts": int(row["n_uniq_texts"] or 0),
     }
+    if tf_cols:
+        out["field_stats"] = {
+            f: {"total_tokens": int(row[f"__ft_{f}"] or 0)} for f in tf_cols
+        }
+    return out
 
 
 def _build_partial_index(
@@ -319,8 +335,6 @@ def _build_partial_index(
     tcodes, uniq_terms = pd.factorize(terms, sort=True)
     dcodes, uniq_docs = pd.factorize(docs, sort=False)  # appearance==ascending
     uniq_docs = np.asarray(uniq_docs, dtype=np.int64)
-    first_idx = np.unique(dcodes, return_index=True)[1]
-    dl_by_doc = dls[first_idx]  # aligned with uniq_docs
 
     n_docs_local = len(uniq_docs)
     key = tcodes.astype(np.int64) * n_docs_local + dcodes
@@ -339,7 +353,14 @@ def _build_partial_index(
     # per-term scalar encoder, which dominated the build profile)
     docs_flat = uniq_docs[u_d]
     tf_flat = counts.astype(np.int64)
-    dl_flat = dl_by_doc[u_d]
+    # dl per (term, doc) group = the doc_len of the ROW its instances
+    # came from (first instance after the stable sort).  For body text
+    # this is the doc's dl as before; extra analyzed fields arrive as a
+    # SECOND row per doc carrying the FIELD length as doc_len, and
+    # because their terms are field-prefixed (disjoint from body terms)
+    # each group's instances all come from one row — so field postings
+    # bake the field norm (BM25F per-field length) with no format change
+    dl_flat = dls[order][inst_offsets[:-1]]
     batch = codecs.encode_postings_batch(docs_flat, tf_flat, dl_flat, bounds)
     if with_positions:
         pos_blobs = codecs.encode_position_lists_batch(
@@ -374,6 +395,16 @@ def _build_partial_index(
     return pd.DataFrame(rows, columns=[f.name for f in PARTIAL_SCHEMA])
 
 
+def field_term_col(field: str, tokens: Column) -> Column:
+    """Field-prefixed index terms for an extra analyzed field
+    (``title:foo``): the ES multi-field mapping analog
+    (hail_scripts/v02/utils/elasticsearch_utils.py:38-77 derives
+    per-field ES mappings; seqr queries individual fields).  ':' never
+    appears in tokenizer output, so prefixed terms can't collide with
+    body terms, and facet tokens (``__f_v__``) differ in shape."""
+    return F.transform(tokens, lambda t: F.concat(F.lit(field + ":"), t))
+
+
 def build_partials(
     docs: DataFrame,
     docs_per_part: int,
@@ -382,6 +413,7 @@ def build_partials(
     with_positions: bool = True,
     facet_fields: tuple[str, ...] | list[str] | None = None,
     dlen_buckets: bool = True,
+    text_fields: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Stage `partial`: assign each doc to a fixed-width doc-id range
     (`part = doc_id // docs_per_part` — deterministic, dense ids make it
@@ -403,17 +435,8 @@ def build_partials(
     if facet_fields is None:
         facet_fields = DEFAULT_FACET_FIELDS
     facet_cols = [f for f in facet_fields if f in docs.columns]
-    tokenized = (
-        docs.select(
-            "doc_id",
-            "doc_len",
-            "text",
-            *facet_cols,
-            (F.col("doc_id") / F.lit(docs_per_part)).cast("int").alias("part"),
-        )
-        .repartition(num_partitions, "part")
-        .sortWithinPartitions("doc_id")
-    )
+    text_field_cols = [f for f in text_fields if f in docs.columns]
+    part_col = (F.col("doc_id") / F.lit(docs_per_part)).cast("int").alias("part")
     toks = tokenize_col("text")
     # facet tokens index metadata as filterable terms (ES filter
     # context); they are appended AFTER doc_len is computed, so they
@@ -427,7 +450,30 @@ def build_partials(
         facet_exprs.append(dlen_bucket_token_col(F.col("doc_len")))
     if facet_exprs:
         toks = F.concat(toks, F.array(*facet_exprs))
-    tokenized = tokenized.select("doc_id", "doc_len", toks.alias("tokens"), "part")
+    tokenized = docs.select(
+        "doc_id", "doc_len", toks.alias("tokens"), part_col
+    )
+    # extra analyzed fields (ES multi-field mapping): each contributes a
+    # SECOND row per doc whose doc_len is the FIELD's token count and
+    # whose tokens are field-prefixed — _build_partial_index bakes that
+    # per-row length into the field terms' blobs, giving every field its
+    # own BM25 length norm while body postings stay byte-identical
+    for f in text_field_cols:
+        ftoks = F.coalesce(
+            field_term_col(f, tokenize_col(F.col(f))),
+            F.array().cast("array<string>"),
+        )
+        tokenized = tokenized.unionByName(
+            docs.select("doc_id", ftoks.alias("tokens"), part_col).select(
+                "doc_id",
+                F.size("tokens").cast("int").alias("doc_len"),
+                "tokens",
+                "part",
+            )
+        )
+    tokenized = tokenized.repartition(
+        num_partitions, "part"
+    ).sortWithinPartitions("doc_id")
 
     def gen(batches):
         buf: list[pd.DataFrame] = []
@@ -556,9 +602,14 @@ def build_index(
     validation="default",
     checkpoint_normalize: bool = True,
     dlen_buckets: bool = True,
+    text_fields: tuple[str, ...] | list[str] = (),
 ) -> dict:
     """One-shot build via the resumable staged pipeline
-    (plans/pipeline.py).  Returns the manifest dict."""
+    (plans/pipeline.py).  Returns the manifest dict.
+
+    ``text_fields``: extra ANALYZED string columns (ES multi-field
+    mapping analog) indexed as field-prefixed terms with their own BM25
+    length norm — query with ``search_fielded`` / ``field:term`` atoms."""
     from ..plans.pipeline import IndexBuildPipeline
 
     pipe = IndexBuildPipeline(
@@ -574,5 +625,6 @@ def build_index(
         validation=validation,
         checkpoint_normalize=checkpoint_normalize,
         dlen_buckets=dlen_buckets,
+        text_fields=text_fields,
     )
     return pipe.run(pages)

@@ -24,6 +24,7 @@ import pyarrow.dataset as ds
 
 from ..functions import codecs
 from .bm25 import (
+    _adl,
     _BlockCache,
     _eval_bool_blockmax,
     _mask_deleted,
@@ -34,6 +35,9 @@ from .bm25 import (
     _score_union_exhaustive,
     _score_union_maxscore,
     _topk,
+    analyzed_fields_of,
+    expand_fielded_terms,
+    field_avgdl_map,
     load_deletes,
 )
 from .index_build import bm25_idf, bm25_tf_weight, term_bucket
@@ -261,9 +265,12 @@ class LocalSearcher:
         self,
         rows: dict[str, dict[int, "_CacheRow"]],
         idf: dict[str, float],
+        avgdl: "float | dict[str, float] | None" = None,
     ) -> tuple[dict[int, float], dict[int, int]]:
         """Per-segment score bounds from cached rows (no dataset read):
         same math as _bounds_from_table."""
+        if avgdl is None:
+            avgdl = self.avgdl
         bounds: dict[int, float] = {}
         present: dict[int, int] = {}
         for t, seg_map in rows.items():
@@ -275,7 +282,7 @@ class LocalSearcher:
                         bm25_tf_weight(
                             np.array([r.block_max_tf.max()], np.float64),
                             np.array([r.block_min_dl.min()], np.float64),
-                            self.avgdl,
+                            _adl(avgdl, t),
                         )[0]
                     )
                 bounds[seg] = bounds.get(seg, 0.0) + b
@@ -283,7 +290,10 @@ class LocalSearcher:
         return bounds, present
 
     def _bounds_from_table(
-        self, mtbl, idf: dict[str, float]
+        self,
+        mtbl,
+        idf: dict[str, float],
+        avgdl: "float | dict[str, float] | None" = None,
     ) -> tuple[dict[int, float], dict[int, int]]:
         """Per-segment BM25 score upper bounds from any row table
         carrying (term, segment, block_max_tf, block_min_dl):
@@ -292,6 +302,8 @@ class LocalSearcher:
         min_dl only loosens the bound (w is ↑ in tf, ↓ in dl), so it
         stays safe.  Legacy rows without block bounds force +inf (never
         skipped).  Returns (bounds, per-segment present-term counts)."""
+        if avgdl is None:
+            avgdl = self.avgdl
         bounds: dict[int, float] = {}
         present: dict[int, int] = {}
         segs = mtbl["segment"].to_pylist()
@@ -306,7 +318,7 @@ class LocalSearcher:
                     bm25_tf_weight(
                         np.array([_list_np(bmt, np.int64).max()], np.float64),
                         np.array([_list_np(bmd, np.int64).min()], np.float64),
-                        self.avgdl,
+                        _adl(avgdl, t),
                     )[0]
                 )
             bounds[seg] = bounds.get(seg, 0.0) + b
@@ -415,6 +427,7 @@ class LocalSearcher:
         mode_u: str,
         k: int,
         idf: dict[str, float],
+        avgdl: "float | dict[str, float] | None" = None,
     ) -> list[tuple[int, float]]:
         """auto/maxscore/AND-block-skip scoring with cross-segment
         pruning over the hot term-rows cache: segments score in
@@ -426,8 +439,10 @@ class LocalSearcher:
         surviving segment the same kernels as the distributed searcher
         run, seeded from / harvesting into the decoded-postings
         cache."""
+        if avgdl is None:
+            avgdl = self.avgdl
         rows = self._rows_for(terms_sorted)
-        bounds, present = self._bounds_from_rows(rows, idf)
+        bounds, present = self._bounds_from_rows(rows, idf, avgdl)
         segs = [
             s
             for s in bounds
@@ -455,12 +470,12 @@ class LocalSearcher:
                     cache._full[t] = hit
             if mode_u == "AND":
                 docs, scores = _score_intersection_blockmax(
-                    cache, terms_sorted, idf, self.avgdl, dead=dead
+                    cache, terms_sorted, idf, avgdl, dead=dead
                 )
                 docs, scores = _topk(docs, scores, k)
             else:
                 docs, scores = _score_union_maxscore(
-                    cache, terms_sorted, idf, self.avgdl, k, dead=dead
+                    cache, terms_sorted, idf, avgdl, k, dead=dead
                 )
             for t, out in cache._full.items():
                 self._cache_put(t, int(seg), out)
@@ -472,6 +487,31 @@ class LocalSearcher:
             if len(acc_d) >= k:
                 floor = float(acc_s[-1])
         return list(zip(acc_d.tolist(), acc_s.tolist()))
+
+    def search_fielded(
+        self,
+        terms: list[str],
+        fields: dict[str, float] | None = None,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """Multi-field BM25F-lite top-k — bit-identical to
+        IndexSearcher.search_fielded (same expansion, same weighted-idf
+        fold, same MaxScore kernel with per-term field avgdl), served
+        from the hot-row cache with cross-segment pruning."""
+        text_fields = analyzed_fields_of(self.manifest)
+        if fields is None:
+            fields = {"text": 1.0, **{f: 1.0 for f in text_fields}}
+        expanded, weight = expand_fielded_terms(terms, fields, text_fields)
+        avgdl = field_avgdl_map(self.manifest, expanded)
+        dfs = self.global_dfs(expanded)
+        self.last_segments_skipped = 0
+        if not dfs:
+            return []
+        idf = {
+            t: weight[t] * bm25_idf(self.n_docs, d) for t, d in dfs.items()
+        }
+        return self._search_pruned(expanded, "OR", k, idf, avgdl)
+
     def search_facets(
         self,
         query: list[str] | str,
@@ -771,12 +811,15 @@ class LocalSearcher:
 
         from ..functions import boolquery as bq
 
-        ast = bq.parse(query)
+        ast = bq.parse(
+            query, analyzed_fields=set(analyzed_fields_of(self.manifest))
+        )
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
+        avgdl = field_avgdl_map(self.manifest, terms)
         dfs = self.global_dfs(terms)
         idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
         if req:
@@ -794,9 +837,9 @@ class LocalSearcher:
             tbl = self._term_rows(terms, cols)
             seg_arr = np.asarray(tbl["segment"].to_pylist())
             pos_idf = {t: idf.get(t, 0.0) for t in pos_terms}
-            bounds, _present = self._bounds_from_table(tbl, {
-                **{t: 0.0 for t in terms}, **pos_idf
-            })
+            bounds, _present = self._bounds_from_table(
+                tbl, {**{t: 0.0 for t in terms}, **pos_idf}, avgdl
+            )
             req_count: dict[int, int] = {}
             req_set = set(req)
             terms_col = tbl["term"].to_pylist()
@@ -823,7 +866,7 @@ class LocalSearcher:
                     if hit is not None:
                         cache._full[t] = hit
                 docs, scores = _eval_bool_blockmax(
-                    cache, ast, req, pos_terms, idf, self.avgdl,
+                    cache, ast, req, pos_terms, idf, avgdl,
                     dead=self._deletes.get(int(seg)),
                 )
                 for t, out in cache._full.items():
@@ -852,7 +895,7 @@ class LocalSearcher:
             cand = bq.eval_docs(ast, doc_sets)
             if isinstance(cand, tuple) or cand.size == 0:
                 continue
-            scores = bq.score_candidates(cand, postings, pos_terms, idf, self.avgdl)
+            scores = bq.score_candidates(cand, postings, pos_terms, idf, avgdl)
             d, s = _topk(cand, scores, k)
             cand_d.append(d)
             cand_s.append(s)

@@ -424,13 +424,35 @@ def repair_index(spark: SparkSession, index_dir: str) -> dict:
         dead = spark.read.parquet(deletes_path).select("doc_id").distinct()
         n_tombstones = int(dead.count())
         live = live.join(F.broadcast(dead), "doc_id", "left_anti")
+    from ..functions.tokenize import token_count_col
+
+    # text_fields: exact per-field token totals recomputed from the
+    # STORED field strings in doclens (why the pipeline forces
+    # stored=True on text_fields) — field avgdls stay exact after any
+    # crash, same as body avgdl
+    rep_tf = [
+        f
+        for f in manifest["params"].get("text_fields", ()) or ()
+        if f in live.columns
+    ]
     row = live.agg(
-        F.count("*").alias("n"), F.sum("doc_len").alias("tok")
+        F.count("*").alias("n"),
+        F.sum("doc_len").alias("tok"),
+        *[
+            F.sum(F.greatest(token_count_col(F.col(f)), F.lit(0))).alias(
+                f"__ft_{f}"
+            )
+            for f in rep_tf
+        ],
     ).collect()[0]
     g = manifest["globals"]
     g["n_docs"] = int(row["n"])
     g["total_tokens"] = int(row["tok"] or 0)
     g["avgdl"] = g["total_tokens"] / g["n_docs"] if g["n_docs"] else 0.0
+    if rep_tf:
+        g["field_stats"] = {
+            f: {"total_tokens": int(row[f"__ft_{f}"] or 0)} for f in rep_tf
+        }
     manifest["globals"] = g
     manifest["metrics"] = {
         "docs_indexed": g["n_docs"],
@@ -532,26 +554,45 @@ def _extend_index_locked(
 
     facet_fields = tuple(params.get("facet_fields", ib.DEFAULT_FACET_FIELDS))
     stored_fields = tuple(params.get("stored_fields", ()))
+    text_fields = tuple(params.get("text_fields", ()) or ())
     meta_cols = tuple(dict.fromkeys(facet_fields + stored_fields))
     normalized = ib.normalize_pages(
         new_pages, params.get("lang_filter"), meta_cols=meta_cols
     )
     n_killed, killed_tokens = 0, 0
+    killed_field_tokens: dict[str, int] = {}
     tombstone_staging = None
     if mode == "create":
         fresh = normalized.join(live.select("url"), "url", "left_anti")
     else:  # upsert: every normalized row is (re)indexed; old docs die
         fresh = normalized
+        # text_fields ride along: the killed docs' per-field token
+        # totals must leave field_stats just like doc_len leaves
+        # total_tokens (the field strings are STORED in doclens for
+        # exactly this — pipeline forces stored=True on text_fields)
+        kill_tf = [f for f in text_fields if f in live.columns]
         to_kill = live.join(
             normalized.select("url").distinct(), "url", "left_semi"
-        ).select("doc_id", "doc_len")
+        ).select("doc_id", "doc_len", *kill_tf)
         to_kill.persist()
         try:
+            from ..functions.tokenize import token_count_col
+
             krow = to_kill.agg(
-                F.count("*").alias("n"), F.sum("doc_len").alias("tok")
+                F.count("*").alias("n"),
+                F.sum("doc_len").alias("tok"),
+                *[
+                    F.sum(
+                        F.greatest(token_count_col(F.col(f)), F.lit(0))
+                    ).alias(f"__ft_{f}")
+                    for f in kill_tf
+                ],
             ).collect()[0]
             n_killed = int(krow["n"])
             killed_tokens = int(krow["tok"] or 0)
+            killed_field_tokens = {
+                f: int(krow[f"__ft_{f}"] or 0) for f in kill_tf
+            }
             if n_killed:
                 # STAGE tombstones now, PUBLISH them only after the
                 # replacement postings/doclens/termdict are durable —
@@ -584,7 +625,7 @@ def _extend_index_locked(
     docs.write.mode("overwrite").parquet(docs_path)
     spark.catalog.clearCache()  # free assign_dense_ids' persist
     docs = spark.read.parquet(docs_path)
-    new_stats = ib.corpus_stats(docs)
+    new_stats = ib.corpus_stats(docs, text_fields=text_fields)
     if new_stats["n_docs"] == 0 and n_killed == 0:
         return manifest
     # pre-append validation gate on the BATCH (same thresholds/typed
@@ -634,6 +675,7 @@ def _extend_index_locked(
             with_positions=params.get("with_positions", True),
             facet_fields=facet_fields,
             dlen_buckets=params.get("dlen_buckets", False),
+            text_fields=text_fields,
         )
         merged = ib.merge_partials(partials).withColumn(
             "term_bucket",
@@ -683,6 +725,16 @@ def _extend_index_locked(
     g["n_docs"] += new_stats["n_docs"] - n_killed
     g["total_tokens"] += new_stats["total_tokens"] - killed_tokens
     g["avgdl"] = g["total_tokens"] / g["n_docs"] if g["n_docs"] else 0.0
+    if text_fields:
+        fs = g.get("field_stats") or {}
+        new_fs = new_stats.get("field_stats", {})
+        for f in text_fields:
+            fs[f] = {
+                "total_tokens": int(fs.get(f, {}).get("total_tokens", 0))
+                + int(new_fs.get(f, {}).get("total_tokens", 0))
+                - killed_field_tokens.get(f, 0)
+            }
+        g["field_stats"] = fs
     manifest["globals"] = g
     n_tombstones = (
         int(spark.read.parquet(deletes_path).count())

@@ -180,6 +180,7 @@ class IndexBuildPipeline:
         validation: "ValidationThresholds | None | str" = "default",
         checkpoint_normalize: bool = True,
         dlen_buckets: bool = True,
+        text_fields: tuple[str, ...] | list[str] = (),
     ):
         self.spark = spark
         self.out = out_dir
@@ -198,6 +199,7 @@ class IndexBuildPipeline:
         # stage and every partials chunk keep their markers.
         self.checkpoint_normalize = checkpoint_normalize
         self.dlen_buckets = dlen_buckets
+        self.text_fields = tuple(text_fields)
         from .validate import ValidationThresholds
 
         self.validation = (
@@ -220,6 +222,7 @@ class IndexBuildPipeline:
                 "field_overrides": field_overrides,
                 "checkpoint_normalize": checkpoint_normalize,
                 "dlen_buckets": dlen_buckets,
+                "text_fields": sorted(self.text_fields),
                 "input": self.input_fingerprint,
             }
         )
@@ -239,6 +242,24 @@ class IndexBuildPipeline:
         )
         self.stored_fields = tuple(
             n for n, s in self.field_specs.items() if s["stored"]
+        )
+        # extra analyzed fields must be string columns of the input AND
+        # stored (doclens carries the raw string, so maintenance ops can
+        # recompute exact per-field token totals after kills/compaction)
+        for f in self.text_fields:
+            spec = self.field_specs.get(f)
+            if spec is None:
+                raise ValueError(
+                    f"text_field {f!r} is not a column of the input"
+                )
+            if spec["dtype"] != "string":
+                raise TypeError(
+                    f"text_field {f!r} has non-string type {spec['dtype']}"
+                )
+            spec["stored"] = True
+            spec["analyzed"] = True
+        self.stored_fields = tuple(
+            dict.fromkeys(self.stored_fields + self.text_fields)
         )
         self.meta_cols = tuple(dict.fromkeys(self.facet_fields + self.stored_fields))
         if self.checkpoint_normalize:
@@ -289,7 +310,7 @@ class IndexBuildPipeline:
         docs.write.mode("overwrite").parquet(path)
         self.spark.catalog.clearCache()  # free assign_dense_ids' persist
         docs = self.spark.read.parquet(path)
-        globals_ = ib.corpus_stats(docs)
+        globals_ = ib.corpus_stats(docs, text_fields=self.text_fields)
         if self.docs_per_part is None:
             self.docs_per_part = max(
                 1,
@@ -336,6 +357,7 @@ class IndexBuildPipeline:
                 with_positions=self.with_positions,
                 facet_fields=self.facet_fields,
                 dlen_buckets=self.dlen_buckets,
+                text_fields=self.text_fields,
             )
             partials.write.mode("overwrite").parquet(cpath)
             # per-part lineage + metrics (FIXTURES.md F6)
@@ -425,6 +447,7 @@ class IndexBuildPipeline:
                 "facet_fields": list(self.facet_fields),
                 "stored_fields": list(self.stored_fields),
                 "dlen_buckets": self.dlen_buckets,
+                "text_fields": list(self.text_fields),
                 "fields": self.field_specs,
             },
             "globals": globals_,
