@@ -293,6 +293,14 @@ def _q_phrase_search(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_prefix_search(spark, sf):
+    """Prefix/wildcard query (r5): termdict range expansion of 's*'
+    (scan slow small sort spark stream) → bounded scoring-boolean OR;
+    oracle scores every token LIKE 's%' with its own idf."""
+    r = _searcher(spark, sf).search_prefix("s", k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 FIELDED_TERMS = ["fast", "table"]
 FIELDED_WEIGHTS = {"text": 1.0, "title": 2.0}
 
@@ -560,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
+        "prefix_search": _q_prefix_search,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_pairs": _q_embedding_pairs,
@@ -1096,6 +1105,32 @@ def oracle_sql() -> dict[str, str]:
             " (doc_id % 3) AS canon_url FROM documents"
         ),
         "fielded_search": _FIELDED_SQL,
+        "prefix_search": f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), dl AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl FROM tok
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term LIKE 's%'
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (2.2 * tf.tf) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS contrib
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
         "phrase_search": _phrase_sql(PHRASE, 20),
         "bool_search": f"""
 WITH tok AS (

@@ -40,6 +40,9 @@ class Term:
     # filter terms (e.g. `lang:en` facets) constrain matches but never
     # contribute to the BM25 score — the ES filter-context analog
     filter: bool = False
+    # wildcard terms (`foo*`) hold the PREFIX; the searcher expands
+    # them against its termdict via expand_wildcards before evaluation
+    wildcard: bool = False
 
 
 @dataclass
@@ -98,6 +101,22 @@ def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()
         if t.upper() in ("AND", "OR", "NOT", ")"):
             raise QueryParseError(f"unexpected {t!r} in {query!r}")
         eat()
+        if t.endswith("*") and len(t) > 1:  # prefix wildcard atom
+            body = t[:-1]
+            field = None
+            if ":" in body:
+                field, body = body.split(":", 1)
+                nf = py_tokenize(field)
+                if len(nf) != 1 or nf[0] not in analyzed_fields:
+                    raise QueryParseError(
+                        f"wildcard on non-analyzed field in {t!r}"
+                    )
+                field = nf[0]
+            nb = py_tokenize(body)
+            if len(nb) != 1:
+                raise QueryParseError(f"bad wildcard atom: {t!r}")
+            pre = f"{field}:{nb[0]}" if field else nb[0]
+            return Term(pre, wildcard=True)
         if ":" in t:  # field atom: analyzed-field term OR facet filter
             field, value = t.split(":", 1)
             from ..operators.index_build import facet_token, py_facet_value
@@ -143,6 +162,42 @@ def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()
     if pos != len(toks):
         raise QueryParseError(f"trailing tokens in {query!r}: {toks[pos:]}")
     return node
+
+
+# reserved no-match term for wildcards that expand to nothing: contains
+# ':' outside the 'field:token' shape, so no indexed term can equal it
+NO_MATCH_TERM = ":nomatch:"
+
+
+def expand_wildcards(node, expander):
+    """Replace every wildcard Term with the OR of its expansion
+    (``expander(prefix) -> list[str]`` — a searcher's termdict range
+    scan).  An empty expansion becomes the reserved NO_MATCH_TERM
+    (matches nothing, scores nothing) — ES wildcard semantics."""
+    if isinstance(node, Term):
+        if not node.wildcard:
+            return node
+        terms = expander(node.term)
+        if not terms:
+            return Term(NO_MATCH_TERM)
+        if len(terms) == 1:
+            return Term(terms[0])
+        return Or([Term(t) for t in sorted(terms)])
+    if isinstance(node, Not):
+        return Not(expand_wildcards(node.part, expander))
+    if isinstance(node, And):
+        return And([expand_wildcards(p, expander) for p in node.parts])
+    if isinstance(node, Or):
+        return Or([expand_wildcards(p, expander) for p in node.parts])
+    raise QueryParseError(f"unknown node {node!r}")
+
+
+def has_wildcards(node) -> bool:
+    if isinstance(node, Term):
+        return node.wildcard
+    if isinstance(node, Not):
+        return has_wildcards(node.part)
+    return any(has_wildcards(p) for p in node.parts)
 
 
 def positive_terms(node) -> list[str]:

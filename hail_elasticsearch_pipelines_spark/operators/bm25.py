@@ -26,6 +26,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import re
 from functools import reduce
 
 import numpy as np
@@ -282,6 +283,30 @@ def read_segment_deletes(
         _SEG_DELETES_CACHE.clear()
     _SEG_DELETES_CACHE[key] = out
     return out
+
+
+class PrefixExpansionError(ValueError):
+    """A prefix/wildcard expanded to more terms than ``max_expansions``
+    — the ES ``too_many_clauses`` analog.  Raise instead of silently
+    truncating: a truncated expansion would return a plausible but
+    wrong ranking."""
+
+
+_PREFIX_RE = re.compile(r"^(?:[a-z0-9]+:)?[a-z0-9]+$")
+
+
+def prefix_term_range(prefix: str) -> tuple[str, str]:
+    """Half-open termdict range [lo, hi) covering exactly the terms
+    that start with ``prefix`` — terms are ASCII ``[a-z0-9:]`` so
+    bumping the last codepoint is exact.  The range scan rides the
+    termdict's sorted ``term`` column (parquet row-group min/max
+    pruning), the Lucene terms-enum ``seekCeil`` analog."""
+    if not _PREFIX_RE.match(prefix):
+        raise ValueError(
+            f"bad prefix {prefix!r}: expected lowercase [a-z0-9]+ with an "
+            "optional 'field:' prefix"
+        )
+    return prefix, prefix[:-1] + chr(ord(prefix[-1]) + 1)
 
 
 def analyzed_fields_of(manifest: dict) -> tuple[str, ...]:
@@ -1007,7 +1032,9 @@ class IndexSearcher:
             segment_prune = n_segs >= self.SEGPRUNE_AUTO_MIN_SEGMENTS
         terms_sorted = sorted(set(terms))
         mode_u = mode.upper()
-        avgdl = self.avgdl
+        # per-term when fielded terms are mixed in (prefix expansion
+        # over an analyzed field), plain body float otherwise
+        avgdl = field_avgdl_map(self.manifest, terms_sorted)
         n_docs = self.n_docs
         get_deletes = self._segment_deletes_fn()
 
@@ -1084,7 +1111,8 @@ class IndexSearcher:
         self.last_segments_skipped = 0
         if segment_prune and algo not in ("bmw", "exhaustive"):
             pruned = self._two_phase_segment_prune(
-                rows, score_segment, terms_sorted, mode_u, k, auto=auto_prune
+                rows, score_segment, terms_sorted, mode_u, k,
+                auto=auto_prune, avgdl=avgdl,
             )
             if pruned is not None:
                 return pruned
@@ -1106,6 +1134,7 @@ class IndexSearcher:
     def _two_phase_segment_prune(
         self, rows: DataFrame, score_segment, terms_sorted, mode_u, k,
         auto: bool = False,
+        avgdl: "float | dict[str, float] | None" = None,
     ) -> DataFrame | None:
         """Probe-then-prune: bounds from a metadata-only collect (tiny —
         |terms| × |segments| scalars, no blobs cross the wire thanks to
@@ -1119,6 +1148,8 @@ class IndexSearcher:
         cost of a bail-out is the metadata collect)."""
         if int(self.manifest.get("metrics", {}).get("n_segments", 999) or 999) < 3:
             return None
+        if avgdl is None:
+            avgdl = self.avgdl
         meta = rows.select(
             "segment",
             "term",
@@ -1146,7 +1177,7 @@ class IndexSearcher:
                     bm25_tf_weight(
                         np.array([r["mx"]], np.float64),
                         np.array([r["mn"]], np.float64),
-                        self.avgdl,
+                        _adl(avgdl, r["term"]),
                     )[0]
                 )
             bounds[seg] = bounds.get(seg, 0.0) + b
@@ -1222,6 +1253,8 @@ class IndexSearcher:
         from ..functions import boolquery as bq
 
         ast = bq.parse(query, analyzed_fields=set(analyzed_fields_of(self.manifest)))
+        if bq.has_wildcards(ast):
+            ast = bq.expand_wildcards(ast, self.expand_prefix)
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
@@ -1335,6 +1368,56 @@ class IndexSearcher:
             score_segment, schema=RESULT_SCHEMA
         )
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    DEFAULT_MAX_EXPANSIONS = 128
+
+    def expand_prefix(
+        self, prefix: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+    ) -> list[str]:
+        """Indexed terms starting with ``prefix``, sorted — a termdict
+        RANGE scan ([prefix, prefix+1) on the sorted term column, the
+        Lucene terms-enum seekCeil analog; the reference gets this from
+        ES regex/wildcard field matching, elasticsearch_client.py:166-
+        177).  A body prefix never expands into field-prefixed or facet
+        terms; ``title:fo`` expands within the title field.  More than
+        ``max_expansions`` matches raises PrefixExpansionError (the ES
+        too_many_clauses analog) — silently truncating would return a
+        plausible but wrong ranking."""
+        lo, hi = prefix_term_range(prefix)
+        src = self._termdict if self._termdict is not None else self._postings
+        cond = (F.col("term") >= lo) & (F.col("term") < hi)
+        if ":" not in prefix:
+            # exclude analyzed-field terms (title:foo sorts inside
+            # [t, u)) — facet tokens (__f_v__) sort before 'a' and can
+            # only enter via a '_' prefix, which the validator rejects
+            cond &= ~F.col("term").contains(":")
+        rows = (
+            src.filter(cond)
+            .select("term")
+            .distinct()
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if len(rows) > max_expansions:
+            raise PrefixExpansionError(
+                f"prefix {prefix!r} expands to more than {max_expansions} "
+                "terms; narrow the prefix or raise max_expansions"
+            )
+        return sorted(r["term"] for r in rows)
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = 10,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """Prefix query ``foo*``: termdict range expansion → bounded
+        disjunctive BM25 (the ES ``rewrite: scoring_boolean`` wildcard
+        semantics — every expanded term scores with its own idf)."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        return self.search(terms, mode="OR", k=k)
 
     def _facet_terms_of(self, fields: list[str]) -> dict[str, list[str]]:
         """field → its indexed facet tokens, from the term dictionary

@@ -348,12 +348,13 @@ class LocalSearcher:
         if not dfs or (mode_u == "AND" and any(t not in dfs for t in terms_sorted)):
             return []
         idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        avgdl = field_avgdl_map(self.manifest, terms_sorted)
 
         cols = ["term", "segment", "df", "blob", "block_last", "block_max_tf", "block_min_dl", "block_off"]
         if algo in ("auto", "maxscore") or (
             mode_u == "AND" and algo != "exhaustive"
         ):
-            return self._search_pruned(terms_sorted, mode_u, k, idf)
+            return self._search_pruned(terms_sorted, mode_u, k, idf, avgdl)
         tbl = self._term_rows(terms_sorted, cols)
         seg_arr = np.asarray(tbl["segment"].to_pylist())
         cand_docs, cand_scores = [], []
@@ -374,7 +375,7 @@ class LocalSearcher:
                         * bm25_tf_weight(
                             _list_np(tbl["block_max_tf"][int(i)], np.int64),
                             _list_np(tbl["block_min_dl"][int(i)], np.int64),
-                            self.avgdl,
+                            _adl(avgdl, t),
                         ),
                         _list_np(tbl["block_off"][int(i)], np.int32),
                     )
@@ -383,7 +384,7 @@ class LocalSearcher:
                     blocks,
                     terms_sorted,
                     idf,
-                    self.avgdl,
+                    avgdl,
                     k,
                     deleted=dead,
                     decoded=self._bmw_blocks_for(int(seg)),
@@ -405,11 +406,11 @@ class LocalSearcher:
                     if not all(t in postings for t in terms_sorted):
                         continue
                     docs, scores = _score_intersection(
-                        postings, terms_sorted, idf, self.avgdl
+                        postings, terms_sorted, idf, avgdl
                     )
                 else:
                     docs, scores = _score_union_exhaustive(
-                        postings, terms_sorted, idf, self.avgdl
+                        postings, terms_sorted, idf, avgdl
                     )
                 docs, scores = _topk(docs, scores, k)
             cand_docs.append(docs)
@@ -487,6 +488,46 @@ class LocalSearcher:
             if len(acc_d) >= k:
                 floor = float(acc_s[-1])
         return list(zip(acc_d.tolist(), acc_s.tolist()))
+
+    DEFAULT_MAX_EXPANSIONS = 128
+
+    def expand_prefix(
+        self, prefix: str, max_expansions: int = DEFAULT_MAX_EXPANSIONS
+    ) -> list[str]:
+        """Indexed terms starting with ``prefix`` — pyarrow termdict
+        range scan; same semantics/caps as IndexSearcher.expand_prefix
+        (body prefixes never leak field/facet terms; overflow raises
+        PrefixExpansionError)."""
+        from .bm25 import PrefixExpansionError, prefix_term_range
+
+        lo, hi = prefix_term_range(prefix)
+        src = self._termdict if self._termdict is not None else self._postings
+        tbl = src.to_table(
+            filter=(ds.field("term") >= lo) & (ds.field("term") < hi),
+            columns=["term"],
+        )
+        terms = set(tbl["term"].to_pylist())
+        if ":" not in prefix:
+            terms = {t for t in terms if ":" not in t}
+        if len(terms) > max_expansions:
+            raise PrefixExpansionError(
+                f"prefix {prefix!r} expands to more than {max_expansions} "
+                "terms; narrow the prefix or raise max_expansions"
+            )
+        return sorted(terms)
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = 10,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> list[tuple[int, float]]:
+        """Prefix query — expansion + disjunctive BM25, bit-identical
+        to IndexSearcher.search_prefix."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return []
+        return self.search(terms, mode="OR", k=k)
 
     def search_fielded(
         self,
@@ -814,6 +855,8 @@ class LocalSearcher:
         ast = bq.parse(
             query, analyzed_fields=set(analyzed_fields_of(self.manifest))
         )
+        if bq.has_wildcards(ast):
+            ast = bq.expand_wildcards(ast, self.expand_prefix)
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
