@@ -1295,6 +1295,16 @@ def _compact_index_locked(spark: SparkSession, index_dir: str, factor: int = 2) 
     remapped = postings.withColumn(
         "segment", (F.col("segment") / F.lit(factor)).cast("int")
     ).drop("n_bytes", "term_bucket")
+    # segment stays a pure function of doc_id ONLY if seg_group scales
+    # with the renumbering: segment' = old//factor = (doc_id // dpp) //
+    # (seg_group·factor).  Without this, every later upsert/facet-update
+    # computes segments in the OLD numbering and its tombstone sidecars
+    # land under segment dirs the scoring tasks (keyed by the compacted
+    # postings' segment column) never read — replaced docs resurrect
+    # (r5 regression test: test_upsert_after_compact_kills_old_docs).
+    manifest["params"]["seg_group"] = (
+        int(manifest["params"]["seg_group"]) * factor
+    )
     merged = ib.merge_partials(remapped).withColumn(
         "term_bucket",
         F.crc32(F.col("term").cast("binary"))

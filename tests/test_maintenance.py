@@ -440,3 +440,68 @@ def test_search_many_constant_job_count(spark, small_index):
     # the exact constant depends on AQE/broadcast stage splitting, but
     # it must NOT grow with the number of queries in the batch
     assert large <= small + 1, (small, large)
+
+
+def test_upsert_after_compact_kills_old_docs(spark, tmp_path):
+    """r5 regression: compaction renumbers the postings segment column
+    (segment //= factor) and must scale params.seg_group with it —
+    otherwise later upserts compute tombstone segments in the OLD
+    numbering, scoring tasks (keyed by the compacted segment column)
+    never read those sidecars, and every replaced doc outside segment 0
+    resurrects."""
+    import numpy as np
+
+    from hail_elasticsearch_pipelines_spark.layout import load_manifest
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+        load_deletes,
+    )
+    from hail_elasticsearch_pipelines_spark.operators.serve import (
+        LocalSearcher,
+    )
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+        compact_index,
+        extend_index,
+    )
+    from hail_elasticsearch_pipelines_spark.sources.corpus import (
+        gen_pages_pdf,
+    )
+
+    out = str(tmp_path / "idx")
+    base = gen_pages_pdf(np.arange(200))
+    build_index(
+        spark,
+        spark.createDataFrame(base),
+        out,
+        docs_per_part=16,
+        seg_group=2,
+        n_term_buckets=8,
+    )
+    compact_index(spark, out, factor=2)
+    assert load_manifest(out)["params"]["seg_group"] == 4
+    re_pdf = gen_pages_pdf(np.arange(20)).drop_duplicates("url", keep="last").copy()
+    re_pdf["text"] = [
+        f"replacementzz number {i} unique words here padd"
+        for i in range(len(re_pdf))
+    ]
+    re_pdf["warc_ts"] = re_pdf["warc_ts"] + np.timedelta64(30, "D")
+    extend_index(
+        spark, out, spark.createDataFrame(re_pdf), mode="upsert",
+        validation=None,
+    )
+    m = load_manifest(out)
+    dead = {
+        int(x)
+        for a in load_deletes(
+            out, epoch=m.get("deletes_epoch", 0), manifest=m
+        ).values()
+        for x in a
+    }
+    assert dead  # the upsert tombstoned the replaced docs
+    ls = LocalSearcher(out)
+    hits = ls.search(["the"], "OR", 500, algo="exhaustive")
+    assert not [d for d, _ in hits if d in dead]
+    s = IndexSearcher(spark, out)
+    dist = s.search(["the"], "OR", 500, algo="exhaustive").collect()
+    assert not [r["doc_id"] for r in dist if r["doc_id"] in dead]
+    # doc_id -> segment consumers (explain) follow the new numbering
+    assert s.explain(int(dist[0]["doc_id"]), ["the"]).count() == 1
