@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -1249,12 +1250,255 @@ def _strip_tombstones(
     return postings.select(*cols).mapInPandas(strip, schema=ib.POSTINGS_SCHEMA)
 
 
-def compact_index(spark: SparkSession, index_dir: str, factor: int = 2) -> dict:
-    """See _compact_index_locked; runs under the single-writer
-    maintenance lock."""
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    factor: int = 2,
+    policy: str = "full",
+    min_file_bytes: int = 32 << 20,
+) -> dict:
+    """policy="full": forcemerge — strip every tombstone, coarsen
+    segments by ``factor`` (see _compact_index_locked).
+    policy="tiered": the Lucene tiered-merge analog — rewrite ONLY the
+    postings files that are small (< ``min_file_bytes``, the fragments
+    extends append per batch) or overlap a tombstoned segment; every
+    other file is HARDLINKED into the new generation (metadata-only).
+    Runs under the single-writer maintenance lock."""
+    if policy not in ("full", "tiered"):
+        raise ValueError(f"unknown compaction policy {policy!r}")
     with _maintenance_lock(index_dir):
         _repair_if_needed(spark, index_dir)
+        if policy == "tiered":
+            return _compact_index_tiered_locked(
+                spark, index_dir, min_file_bytes
+            )
         return _compact_index_locked(spark, index_dir, factor)
+
+
+def _parquet_file_segment_range(path: str) -> tuple[int, int]:
+    """[min, max] of the ``segment`` column from the parquet FOOTER
+    (row-group statistics — no data pages read)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+        "segment"
+    ]
+    mn, mx = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return (0, 1 << 62)  # no stats: conservatively "all"
+        mn = st.min if mn is None else min(mn, st.min)
+        mx = st.max if mx is None else max(mx, st.max)
+    if mn is None:
+        return (0, -1)  # empty file: overlaps nothing
+    return (int(mn), int(mx))
+
+
+def _compact_index_tiered_locked(
+    spark: SparkSession, index_dir: str, min_file_bytes: int
+) -> dict:
+    """Tiered compaction: per-FILE selection instead of a full rewrite.
+
+    Extends append one small file per bucket per batch, so a hot index
+    fragments into thousands of files whose per-query open/footer cost
+    grows linearly — the exact problem Lucene's tiered merge policy
+    solves below forcemerge.  Selection is footer-metadata only: a file
+    is rewritten iff its size < min_file_bytes (small tier) or its
+    segment range overlaps a tombstone sidecar (dirty).  Untouched
+    files are hardlinked into the new postings generation — a 100 TB
+    index with 1% churn rewrites ~1% of its bytes.
+
+    Dirty segments are fully stripped (all tombstones drop, epoch
+    bumps, doclens loses the dead rows) and the termdict folds the
+    EXACT df/cf delta of the rewritten rows (old-row negation + new-row
+    addition — O(termdict + rewritten), never a full postings scan).
+    Segment ids are NOT renumbered (that is the full policy's job), so
+    query results over live docs are unchanged by construction.
+    Publish is the same single atomic manifest flip."""
+    manifest = _load_manifest(index_dir)
+    layout.gc_stale_dirs(index_dir, manifest)
+    postings_path = layout.table_path(index_dir, "postings", manifest)
+    deletes_path = layout.table_path(index_dir, "deletes", manifest)
+    doclens_path = layout.table_path(index_dir, "doclens", manifest)
+    n_term_buckets = int(manifest["params"]["n_term_buckets"])
+
+    # dirty = segments with tombstone sidecars; legacy flat root-level
+    # delete files carry segment as a data column → every file is
+    # conservatively dirty (degrades to a full strip, still correct)
+    dirty: set[int] = set()
+    all_dirty = False
+    if os.path.isdir(deletes_path):
+        from ..operators.bm25 import _flat_delete_files
+
+        if _flat_delete_files(deletes_path):
+            all_dirty = True
+        for e in os.scandir(deletes_path):
+            if e.is_dir() and e.name.startswith("segment="):
+                if any(
+                    fn.endswith(".parquet") for fn in os.listdir(e.path)
+                ):
+                    dirty.add(int(e.name.split("=", 1)[1]))
+    has_deletes = all_dirty or bool(dirty)
+
+    targets: list[str] = []  # rewritten
+    linked: list[tuple[str, str]] = []  # (bucket_rel, filename) hardlinked
+    for bdir in sorted(os.scandir(postings_path), key=lambda e: e.name):
+        if not (bdir.is_dir() and bdir.name.startswith("term_bucket=")):
+            continue
+        for fn in sorted(os.listdir(bdir.path)):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(bdir.path, fn)
+            if os.path.getsize(fp) < min_file_bytes or all_dirty:
+                targets.append(fp)
+                continue
+            mn, mx = _parquet_file_segment_range(fp)
+            if any(mn <= s <= mx for s in dirty):
+                targets.append(fp)
+            else:
+                linked.append((bdir.name, fn))
+    if not targets:
+        manifest.setdefault("compactions", []).append(
+            {
+                "policy": "tiered",
+                "files_rewritten": 0,
+                "files_linked": len(linked),
+                "tombstones_dropped": 0,
+            }
+        )
+        _save_manifest(index_dir, manifest)
+        return manifest
+
+    n_stripped = (
+        int(
+            spark.read.parquet(deletes_path)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        if has_deletes
+        else 0
+    )
+
+    postings_rel = layout.next_gen_rel(manifest, "postings")
+    new_postings_path = os.path.join(index_dir, postings_rel)
+    for bucket_rel, fn in linked:
+        tdir = os.path.join(new_postings_path, bucket_rel)
+        os.makedirs(tdir, exist_ok=True)
+        os.link(os.path.join(postings_path, bucket_rel, fn), os.path.join(tdir, fn))
+
+    # basePath keeps the hive term_bucket column for the selected files
+    old_rows = spark.read.option("basePath", postings_path).parquet(*targets)
+    cols = [f.name for f in ib.POSTINGS_SCHEMA.fields]
+    rewritten = (
+        _strip_tombstones(old_rows, deletes_path, epoch=None)
+        if has_deletes
+        else old_rows.select(*cols)
+    ).withColumn(
+        "term_bucket",
+        F.crc32(F.col("term").cast("binary")) % F.lit(n_term_buckets),
+    )
+    staging = os.path.join(
+        index_dir, "stages", f"tiered-g{int(manifest.get('generation', 0)) + 1}"
+    )
+    (
+        rewritten.repartition(n_term_buckets, "term_bucket")
+        .sortWithinPartitions("term", "segment")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(staging)
+    )
+    # consolidated files slot into the linked generation per bucket
+    moved: list[str] = []
+    for e in os.scandir(staging):
+        if not (e.is_dir() and e.name.startswith("term_bucket=")):
+            continue
+        tdir = os.path.join(new_postings_path, e.name)
+        os.makedirs(tdir, exist_ok=True)
+        for fn in os.listdir(e.path):
+            if fn.endswith(".parquet"):
+                dst = os.path.join(tdir, fn)
+                os.replace(os.path.join(e.path, fn), dst)
+                moved.append(dst)
+    flips = {"postings": postings_rel}
+
+    if has_deletes:
+        # exact termdict delta: subtract the rewritten rows' old df/cf,
+        # add their stripped replacements' — never a full postings scan
+        def agg(df, sign):
+            return df.groupBy("term").agg(
+                (F.lit(sign) * F.sum("df")).alias("df"),
+                (F.lit(sign) * F.sum("cf")).alias("cf"),
+                (F.lit(sign) * F.count("*")).alias("n_rows"),
+            )
+
+        old_td = spark.read.parquet(
+            layout.table_path(index_dir, "termdict", manifest)
+        ).select("term", "df", "cf", "n_rows")
+        folded = old_td.unionByName(agg(old_rows, -1))
+        if moved:  # rewritten rows may all strip to empty
+            new_rows = spark.read.option(
+                "basePath", new_postings_path
+            ).parquet(*moved)
+            folded = folded.unionByName(agg(new_rows, 1))
+        folded = (
+            folded
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        td_rel = layout.next_gen_rel(manifest, "termdict")
+        (
+            folded.withColumn(
+                "term_bucket",
+                F.crc32(F.col("term").cast("binary")) % F.lit(n_term_buckets),
+            )
+            .repartition("term_bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(index_dir, td_rel))
+        )
+        flips["termdict"] = td_rel
+
+        dead_df = (
+            spark.read.parquet(deletes_path).select("doc_id").distinct()
+        )
+        doclens = spark.read.parquet(doclens_path)
+        live = doclens.join(F.broadcast(dead_df), "doc_id", "left_anti")
+        doclens_rel = layout.next_gen_rel(manifest, "doclens")
+        live.write.mode("overwrite").parquet(
+            os.path.join(index_dir, doclens_rel)
+        )
+        flips["doclens"] = doclens_rel
+        flips["deletes"] = layout.next_gen_rel(manifest, "deletes")
+        manifest["deletes_epoch"] = int(manifest.get("deletes_epoch", 0)) + 1
+
+    manifest["metrics"] = {
+        "docs_indexed": manifest["globals"]["n_docs"],
+        "n_tombstones": 0 if has_deletes else int(
+            manifest.get("metrics", {}).get("n_tombstones", 0)
+        ),
+        **_postings_metrics(spark.read.parquet(new_postings_path)),
+    }
+    manifest.setdefault("compactions", []).append(
+        {
+            "policy": "tiered",
+            "files_rewritten": len(targets),
+            "files_linked": len(linked),
+            "tombstones_dropped": n_stripped,
+        }
+    )
+    layout.flip_tables(manifest, flips)
+    _save_manifest(index_dir, manifest)
+    shutil.rmtree(staging, ignore_errors=True)
+    return manifest
 
 
 def _compact_index_locked(spark: SparkSession, index_dir: str, factor: int = 2) -> dict:
