@@ -293,6 +293,22 @@ def _q_phrase_search(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_highlight_top3(spark, sf):
+    """ES highlight analog (r5): full-window snippets of the top-3 OR
+    hits — every matched term tag-wrapped in the original text; the
+    oracle reproduces the splice with regexp_replace and counts the
+    matching tokens."""
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+        IndexSearcher as _IS,
+    )
+
+    s = _searcher(spark, sf)
+    top = s.search(OR_TERMS, mode="OR", k=3, algo="exhaustive").collect()
+    ids = [int(r["doc_id"]) for r in top]
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    return _IS.highlight(docs, ids, OR_TERMS, window_chars=1 << 30)
+
+
 def _q_prefix_search(spark, sf):
     """Prefix/wildcard query (r5): termdict range expansion of 's*'
     (scan slow small sort spark stream) → bounded scoring-boolean OR;
@@ -569,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
         "prefix_search": _q_prefix_search,
+        "highlight_top3": _q_highlight_top3,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_pairs": _q_embedding_pairs,
@@ -1105,6 +1122,17 @@ def oracle_sql() -> dict[str, str]:
             " (doc_id % 3) AS canon_url FROM documents"
         ),
         "fielded_search": _FIELDED_SQL,
+        "highlight_top3": _BM25_CTES
+        + r"""
+, top3 AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id ASC LIMIT 3)
+SELECT t.doc_id,
+       regexp_replace(d.text, '\b(fast|key|table)\b', '<em>\1</em>', 'g')
+         AS snippet,
+       len(list_filter(t.toks, x -> x IN ('fast', 'key', 'table')))::BIGINT
+         AS n_matches
+FROM tok t JOIN top3 USING (doc_id) JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
         "prefix_search": f"""
 WITH tok AS (
   SELECT doc_id, {TOK} AS toks FROM documents

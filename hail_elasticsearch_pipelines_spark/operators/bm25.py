@@ -1862,6 +1862,59 @@ class IndexSearcher:
             .orderBy("doc_id", "term", "token_pos")
         )
 
+    HIGHLIGHT_SCHEMA = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("snippet", T.StringType(), True),
+            T.StructField("n_matches", T.LongType(), False),
+        ]
+    )
+
+    @staticmethod
+    def highlight(
+        docs: DataFrame,
+        doc_ids: list[int],
+        terms: list[str],
+        window_chars: int = 120,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+        ellipsis: str = "…",
+    ) -> DataFrame:
+        """Highlighted snippets — the user-facing ES ``highlight`` API
+        over the doc store: per hit, the best ``window_chars`` window
+        (most whole match spans; ties earliest), matched terms wrapped
+        in the tags, ellipses marking truncation.  Composes the
+        match_char_spans scan with functions/snippets.py — the serving
+        tier calls the same kernel on raw strings, so fragments are
+        byte-identical.  DataFrame(doc_id, snippet, n_matches), one row
+        per requested doc that matched; bounded: the doc_ids filter
+        prunes the scan to k rows before any Python runs."""
+        from ..functions.snippets import py_highlight
+
+        terms_set = set(terms)
+        ids = [int(i) for i in doc_ids]
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                    snippet, n = py_highlight(
+                        text, terms_set, window_chars,
+                        pre_tag, post_tag, ellipsis,
+                    )
+                    if n:
+                        rows.append((int(mid), snippet, n))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "snippet", "n_matches"]
+                )
+
+        return (
+            docs.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "text")
+            .mapInPandas(gen, schema=IndexSearcher.HIGHLIGHT_SCHEMA)
+            .orderBy("doc_id")
+        )
+
     def with_source(
         self, results: DataFrame, max_collect: int = 10_000
     ) -> DataFrame:

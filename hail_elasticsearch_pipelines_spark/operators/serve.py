@@ -829,6 +829,31 @@ class LocalSearcher:
                     out.append((int(d[j]), t, int(x)))
         return sorted(out)
 
+    @staticmethod
+    def highlight(
+        doc_texts: dict[int, str | None],
+        terms: list[str],
+        window_chars: int = 120,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+        ellipsis: str = "…",
+    ) -> dict[int, tuple[str, int]]:
+        """Serving twin of IndexSearcher.highlight: doc_id → (snippet,
+        n_matches) for the docs that matched, byte-identical fragments
+        (same functions/snippets.py kernel).  ``doc_texts`` is the
+        serving tier's doc store slice for its top-k hits."""
+        from ..functions.snippets import py_highlight
+
+        terms_set = set(terms)
+        out: dict[int, tuple[str, int]] = {}
+        for mid, text in doc_texts.items():
+            snippet, n = py_highlight(
+                text, terms_set, window_chars, pre_tag, post_tag, ellipsis
+            )
+            if n:
+                out[int(mid)] = (snippet, n)
+        return out
+
     def search_many(self, specs: list[dict]) -> dict[str, list[tuple[int, float]]]:
         """msearch analog: term ("OR"/"AND"), "BOOL" (query string) and
         "PHRASE" specs — same spec shape as IndexSearcher.search_many;
