@@ -293,6 +293,15 @@ def _q_phrase_search(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_fuzzy_search(spark, sf):
+    """Fuzzy query (r5): 'ine'~2 expands via classic Levenshtein over
+    the termdict (→ {line, the} in this vocabulary) and scores as a
+    scoring-boolean OR; the oracle replicates the expansion with
+    DuckDB's levenshtein()."""
+    r = _searcher(spark, sf).search_fuzzy("ine", k=20, max_edits=2)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_highlight_top3(spark, sf):
     """ES highlight analog (r5): full-window snippets of the top-3 OR
     hits — every matched term tag-wrapped in the original text; the
@@ -585,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
         "prefix_search": _q_prefix_search,
+        "fuzzy_search": _q_fuzzy_search,
         "highlight_top3": _q_highlight_top3,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1144,6 +1154,32 @@ WITH tok AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf
   FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
   WHERE term LIKE 's%'
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (2.2 * tf.tf) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS contrib
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "fuzzy_search": f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), dl AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl FROM tok
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE levenshtein(term, 'ine') <= 2
   GROUP BY doc_id, term
 ), dfs AS (
   SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term

@@ -32,6 +32,7 @@ import numpy as np
 from .tokenize import py_tokenize
 
 _TOKEN_RE = re.compile(r"\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+", re.IGNORECASE)
+_FUZZY_RE = re.compile(r"^(.+)~([0-9])?$")
 
 
 @dataclass
@@ -43,6 +44,9 @@ class Term:
     # wildcard terms (`foo*`) hold the PREFIX; the searcher expands
     # them against its termdict via expand_wildcards before evaluation
     wildcard: bool = False
+    # fuzzy terms (`foo~` / `foo~2`) hold the base term; ``fuzzy`` is
+    # the max edit distance, expanded by the searcher like wildcards
+    fuzzy: int = 0
 
 
 @dataclass
@@ -101,21 +105,33 @@ def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()
         if t.upper() in ("AND", "OR", "NOT", ")"):
             raise QueryParseError(f"unexpected {t!r} in {query!r}")
         eat()
-        if t.endswith("*") and len(t) > 1:  # prefix wildcard atom
-            body = t[:-1]
+        fuzz = _FUZZY_RE.match(t)
+        if t.endswith("*") and len(t) > 1 or fuzz:  # expansion atom
+            edits = 0
+            if fuzz:
+                body, efield = fuzz.group(1), fuzz.group(2)
+                edits = int(efield) if efield else 1
+                if edits > 2:
+                    raise QueryParseError(
+                        f"fuzzy edit distance > 2 in {t!r} (ES caps at 2)"
+                    )
+            else:
+                body = t[:-1]
             field = None
             if ":" in body:
                 field, body = body.split(":", 1)
                 nf = py_tokenize(field)
                 if len(nf) != 1 or nf[0] not in analyzed_fields:
                     raise QueryParseError(
-                        f"wildcard on non-analyzed field in {t!r}"
+                        f"wildcard/fuzzy on non-analyzed field in {t!r}"
                     )
                 field = nf[0]
             nb = py_tokenize(body)
             if len(nb) != 1:
-                raise QueryParseError(f"bad wildcard atom: {t!r}")
+                raise QueryParseError(f"bad wildcard/fuzzy atom: {t!r}")
             pre = f"{field}:{nb[0]}" if field else nb[0]
+            if fuzz:
+                return Term(pre, fuzzy=edits) if edits else Term(pre)
             return Term(pre, wildcard=True)
         if ":" in t:  # field atom: analyzed-field term OR facet filter
             field, value = t.split(":", 1)
@@ -169,32 +185,46 @@ def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()
 NO_MATCH_TERM = ":nomatch:"
 
 
-def expand_wildcards(node, expander):
-    """Replace every wildcard Term with the OR of its expansion
+def expand_wildcards(node, expander, fuzzy_expander=None):
+    """Replace every wildcard Term with the OR of its prefix expansion
     (``expander(prefix) -> list[str]`` — a searcher's termdict range
-    scan).  An empty expansion becomes the reserved NO_MATCH_TERM
-    (matches nothing, scores nothing) — ES wildcard semantics."""
+    scan) and every fuzzy Term with its edit-distance expansion
+    (``fuzzy_expander(term, max_edits) -> list[str]``).  An empty
+    expansion becomes the reserved NO_MATCH_TERM (matches nothing,
+    scores nothing) — ES semantics for both."""
     if isinstance(node, Term):
-        if not node.wildcard:
+        if node.wildcard:
+            terms = expander(node.term)
+        elif node.fuzzy:
+            if fuzzy_expander is None:
+                raise QueryParseError(
+                    "fuzzy atom present but no fuzzy expander provided"
+                )
+            terms = fuzzy_expander(node.term, node.fuzzy)
+        else:
             return node
-        terms = expander(node.term)
         if not terms:
             return Term(NO_MATCH_TERM)
         if len(terms) == 1:
             return Term(terms[0])
         return Or([Term(t) for t in sorted(terms)])
     if isinstance(node, Not):
-        return Not(expand_wildcards(node.part, expander))
+        return Not(expand_wildcards(node.part, expander, fuzzy_expander))
     if isinstance(node, And):
-        return And([expand_wildcards(p, expander) for p in node.parts])
+        return And(
+            [expand_wildcards(p, expander, fuzzy_expander) for p in node.parts]
+        )
     if isinstance(node, Or):
-        return Or([expand_wildcards(p, expander) for p in node.parts])
+        return Or(
+            [expand_wildcards(p, expander, fuzzy_expander) for p in node.parts]
+        )
     raise QueryParseError(f"unknown node {node!r}")
 
 
 def has_wildcards(node) -> bool:
+    """True when any atom needs termdict expansion (wildcard OR fuzzy)."""
     if isinstance(node, Term):
-        return node.wildcard
+        return node.wildcard or bool(node.fuzzy)
     if isinstance(node, Not):
         return has_wildcards(node.part)
     return any(has_wildcards(p) for p in node.parts)

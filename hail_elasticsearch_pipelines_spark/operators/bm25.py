@@ -285,11 +285,40 @@ def read_segment_deletes(
     return out
 
 
-class PrefixExpansionError(ValueError):
-    """A prefix/wildcard expanded to more terms than ``max_expansions``
-    — the ES ``too_many_clauses`` analog.  Raise instead of silently
-    truncating: a truncated expansion would return a plausible but
-    wrong ranking."""
+class ExpansionError(ValueError):
+    """A multi-term expansion (prefix, wildcard, fuzzy) produced more
+    terms than ``max_expansions`` — the ES ``too_many_clauses`` analog.
+    Raise instead of silently truncating: a truncated expansion would
+    return a plausible but wrong ranking."""
+
+
+class PrefixExpansionError(ExpansionError):
+    """Prefix/wildcard expansion over the cap."""
+
+
+class FuzzyExpansionError(ExpansionError):
+    """Fuzzy (edit-distance) expansion over the cap."""
+
+
+def py_levenshtein(a: str, b: str) -> int:
+    """Classic unit-cost Levenshtein — the exact algorithm of Spark's
+    ``levenshtein`` expression and DuckDB's ``levenshtein`` (no
+    transposition primitive, unlike ES's default Damerau variant), so
+    the serving path, the distributed path, and the SQL oracle agree
+    term-for-term."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
 
 
 _PREFIX_RE = re.compile(r"^(?:[a-z0-9]+:)?[a-z0-9]+$")
@@ -1254,7 +1283,7 @@ class IndexSearcher:
 
         ast = bq.parse(query, analyzed_fields=set(analyzed_fields_of(self.manifest)))
         if bq.has_wildcards(ast):
-            ast = bq.expand_wildcards(ast, self.expand_prefix)
+            ast = bq.expand_wildcards(ast, self.expand_prefix, self.expand_fuzzy)
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
@@ -1415,6 +1444,81 @@ class IndexSearcher:
         disjunctive BM25 (the ES ``rewrite: scoring_boolean`` wildcard
         semantics — every expanded term scores with its own idf)."""
         terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        return self.search(terms, mode="OR", k=k)
+
+    DEFAULT_FUZZY_EXPANSIONS = 50  # the ES fuzzy-query default
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        max_expansions: int = DEFAULT_FUZZY_EXPANSIONS,
+    ) -> list[str]:
+        """Indexed terms within ``max_edits`` Levenshtein edits of
+        ``term``, sorted — the ES ``fuzzy`` query's expansion (Lucene
+        walks a Levenshtein automaton over its terms index; the analog
+        here is a termdict scan with LENGTH pushdown ±max_edits and,
+        with ``prefix_length`` > 0, the same sorted-term range pruning
+        as prefixes).  Distance is classic unit-cost Levenshtein —
+        Spark's ``levenshtein`` expression, computed JVM-side on the
+        pruned termdict, identical to the serving twin's pure-python DP
+        and DuckDB's ``levenshtein``.  ``term`` may be field-prefixed
+        (``title:foo``) to fuzz within an analyzed field.  Over
+        ``max_expansions`` matches raises FuzzyExpansionError."""
+        if not _PREFIX_RE.match(term):
+            raise ValueError(
+                f"bad fuzzy term {term!r}: expected lowercase [a-z0-9]+ "
+                "with an optional 'field:' prefix"
+            )
+        field, body = (
+            term.split(":", 1) if ":" in term else (None, term)
+        )
+        src = self._termdict if self._termdict is not None else self._postings
+        cand = F.col("term")
+        if field is not None:
+            cand_body = F.substring_index(cand, ":", -1)
+            cond = cand.startswith(field + ":")
+        else:
+            cand_body = cand
+            cond = ~cand.contains(":") & ~cand.startswith("__")
+        if prefix_length > 0:
+            lo, hi = prefix_term_range(term[: len(term) - len(body) + prefix_length])
+            cond &= (cand >= lo) & (cand < hi)
+        cond &= F.length(cand_body).between(
+            len(body) - max_edits, len(body) + max_edits
+        )
+        cond &= F.levenshtein(cand_body, F.lit(body)) <= max_edits
+        rows = (
+            src.filter(cond)
+            .select("term")
+            .distinct()
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if len(rows) > max_expansions:
+            raise FuzzyExpansionError(
+                f"fuzzy term {term!r} (edits≤{max_edits}) expands to more "
+                f"than {max_expansions} terms; raise max_expansions or "
+                "prefix_length"
+            )
+        return sorted(r["term"] for r in rows)
+
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        max_expansions: int = DEFAULT_FUZZY_EXPANSIONS,
+    ) -> DataFrame:
+        """Fuzzy query ``foo~N``: edit-distance expansion → bounded
+        disjunctive BM25 (``rewrite: scoring_boolean`` — each matched
+        term keeps its own idf, so exact matches naturally outrank
+        rare typo variants when their df differs)."""
+        terms = self.expand_fuzzy(term, max_edits, prefix_length, max_expansions)
         if not terms:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         return self.search(terms, mode="OR", k=k)

@@ -529,6 +529,79 @@ class LocalSearcher:
             return []
         return self.search(terms, mode="OR", k=k)
 
+    DEFAULT_FUZZY_EXPANSIONS = 50
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        max_expansions: int = DEFAULT_FUZZY_EXPANSIONS,
+    ) -> list[str]:
+        """Serving twin of IndexSearcher.expand_fuzzy: pyarrow termdict
+        scan (length ± max_edits prune, optional prefix range) + the
+        pure-python Levenshtein DP — same algorithm as Spark's
+        levenshtein expression, so both searchers expand identically."""
+        from .bm25 import (
+            _PREFIX_RE,
+            FuzzyExpansionError,
+            prefix_term_range,
+            py_levenshtein,
+        )
+
+        if not _PREFIX_RE.match(term):
+            raise ValueError(
+                f"bad fuzzy term {term!r}: expected lowercase [a-z0-9]+ "
+                "with an optional 'field:' prefix"
+            )
+        field, body = term.split(":", 1) if ":" in term else (None, term)
+        src = self._termdict if self._termdict is not None else self._postings
+        flt = None
+        if prefix_length > 0:
+            lo, hi = prefix_term_range(
+                term[: len(term) - len(body) + prefix_length]
+            )
+            flt = (ds.field("term") >= lo) & (ds.field("term") < hi)
+        tbl = src.to_table(filter=flt, columns=["term"])
+        out = set()
+        pre = f"{field}:" if field is not None else None
+        for t in set(tbl["term"].to_pylist()):
+            if pre is not None:
+                if not t.startswith(pre):
+                    continue
+                tb = t.split(":", 1)[1]
+            else:
+                if ":" in t or t.startswith("__"):
+                    continue
+                tb = t
+            if abs(len(tb) - len(body)) > max_edits:
+                continue
+            if py_levenshtein(tb, body) <= max_edits:
+                out.add(t)
+                if len(out) > max_expansions:
+                    raise FuzzyExpansionError(
+                        f"fuzzy term {term!r} (edits≤{max_edits}) expands "
+                        f"to more than {max_expansions} terms; raise "
+                        "max_expansions or prefix_length"
+                    )
+        return sorted(out)
+
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        max_expansions: int = DEFAULT_FUZZY_EXPANSIONS,
+    ) -> list[tuple[int, float]]:
+        """Fuzzy query — bit-identical to IndexSearcher.search_fuzzy."""
+        terms = self.expand_fuzzy(
+            term, max_edits, prefix_length, max_expansions
+        )
+        if not terms:
+            return []
+        return self.search(terms, mode="OR", k=k)
+
     def search_fielded(
         self,
         terms: list[str],
@@ -881,7 +954,9 @@ class LocalSearcher:
             query, analyzed_fields=set(analyzed_fields_of(self.manifest))
         )
         if bq.has_wildcards(ast):
-            ast = bq.expand_wildcards(ast, self.expand_prefix)
+            ast = bq.expand_wildcards(
+                ast, self.expand_prefix, self.expand_fuzzy
+            )
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
