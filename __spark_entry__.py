@@ -293,6 +293,29 @@ def _q_phrase_search(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_stats_agg(spark, sf):
+    """ES stats aggregation (r5): (count, min, max, sum, avg) of doc
+    length over the docs matching the OR query — derived from the
+    postings' embedded dl streams, no doclens read."""
+    r = _searcher(spark, sf).search_stats(OR_TERMS, "OR")
+    return r.select(
+        "n_hits", "min_dl", "max_dl", "sum_dl",
+        _micro(F.col("avg_dl")).alias("avg_dl_micro"),
+    )
+
+
+def _q_dlen_histogram(spark, sf):
+    """ES histogram aggregation (r5): fixed-width doc-length buckets
+    (interval 64) over the OR query's matches."""
+    return _searcher(spark, sf).search_histogram(OR_TERMS, interval=64)
+
+
+def _q_suggest_s(spark, sf):
+    """ES term suggester (r5): prefix 's' candidates ranked by global
+    df — termdict-only, never touches posting blobs."""
+    return _searcher(spark, sf).suggest_terms("s", size=10)
+
+
 def _q_fuzzy_search(spark, sf):
     """Fuzzy query (r5): 'ine'~2 expands via classic Levenshtein over
     the termdict (→ {line, the} in this vocabulary) and scores as a
@@ -596,6 +619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": _q_prefix_search,
         "fuzzy_search": _q_fuzzy_search,
         "highlight_top3": _q_highlight_top3,
+        "stats_agg": _q_stats_agg,
+        "dlen_histogram": _q_dlen_histogram,
+        "suggest_s": _q_suggest_s,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_pairs": _q_embedding_pairs,
@@ -1168,6 +1194,34 @@ WITH tok AS (
 )
 SELECT doc_id, {_micro_sql('score')} AS score_micro
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "stats_agg": f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), hits AS (
+  SELECT len(toks)::BIGINT AS dl FROM tok
+  WHERE len(list_intersect(toks, ['fast', 'key', 'table'])) > 0
+)
+SELECT count(*)::BIGINT AS n_hits, min(dl) AS min_dl, max(dl) AS max_dl,
+       sum(dl)::BIGINT AS sum_dl,
+       {_micro_sql('sum(dl) * 1.0 / count(*)')} AS avg_dl_micro
+FROM hits
+""",
+        "dlen_histogram": f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), hits AS (
+  SELECT len(toks)::BIGINT AS dl FROM tok
+  WHERE len(list_intersect(toks, ['fast', 'key', 'table'])) > 0
+)
+SELECT (dl // 64 * 64)::BIGINT AS bucket, count(*)::BIGINT AS doc_count
+FROM hits GROUP BY 1 ORDER BY 1
+""",
+        "suggest_s": f"""
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM (SELECT doc_id, unnest({TOK}) AS term FROM documents)
+WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """,
         "fuzzy_search": f"""
 WITH tok AS (

@@ -62,6 +62,60 @@ FACET_RESULT_SCHEMA = T.StructType(
     ]
 )
 
+STATS_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("sum_dl", T.LongType(), False),
+        T.StructField("min_dl", T.LongType(), False),
+        T.StructField("max_dl", T.LongType(), False),
+    ]
+)
+
+HISTOGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+    ]
+)
+
+
+def _match_docs(
+    qdocs: dict[str, np.ndarray],
+    qterms: list[str],
+    mode_u: str,
+    ast=None,
+) -> np.ndarray:
+    """One segment's matching doc ids for a term-list (OR/AND) or a
+    boolean AST — the shared match-set kernel behind the non-scoring
+    APIs (_count, terms/stats/histogram aggregations)."""
+    from ..functions import boolquery as bq
+
+    empty = np.array([], np.int64)
+    if ast is not None:
+        cand = bq.eval_docs(ast, qdocs)
+        return empty if isinstance(cand, tuple) else cand
+    if mode_u == "AND":
+        if any(t not in qdocs for t in qterms):
+            return empty
+        return reduce(
+            lambda a, b: np.intersect1d(a, b, assume_unique=True),
+            (qdocs[t] for t in qterms),
+        )
+    present = [qdocs[t] for t in qterms if t in qdocs]
+    return reduce(np.union1d, present) if present else empty
+
+
+def _match_dls(
+    decoded: list[tuple[np.ndarray, np.ndarray]], matches: np.ndarray
+) -> np.ndarray:
+    """doc lengths of the matching docs, from the already-decoded
+    (docs, dls) posting streams (dl rides every posting — no doclens
+    read needed)."""
+    all_d = np.concatenate([d for d, _ in decoded])
+    all_dl = np.concatenate([dl for _, dl in decoded])
+    u, first = np.unique(all_d, return_index=True)
+    return all_dl[first][np.searchsorted(u, matches)]
+
 
 def _adl(avgdl: "float | dict[str, float]", t: str) -> float:
     """Per-term average document length.  A plain float serves the
@@ -1648,6 +1702,163 @@ class IndexSearcher:
             per_segment.groupBy("field", "value")
             .agg(F.sum("doc_count").alias("doc_count"))
             .orderBy("field", F.desc("doc_count"), "value")
+        )
+
+    def _query_ast_terms(self, query, mode_u):
+        """(ast | None, sorted query terms) for a term-list or BOOL
+        string query — shared by the aggregation APIs."""
+        from ..functions import boolquery as bq
+
+        if mode_u == "BOOL":
+            ast = bq.parse(
+                query,
+                analyzed_fields=set(analyzed_fields_of(self.manifest)),
+            )
+            if bq.has_wildcards(ast):
+                ast = bq.expand_wildcards(
+                    ast, self.expand_prefix, self.expand_fuzzy
+                )
+            return ast, sorted(set(bq.all_terms(ast)))
+        return None, sorted(set(query))
+
+    def search_stats(
+        self, query: list[str] | str, mode: str = "OR"
+    ) -> DataFrame:
+        """ES ``stats`` aggregation over the matching docs' length
+        field: one row (n_hits, min_dl, max_dl, sum_dl, avg_dl).
+        Needs NO doclens read — dl rides every posting, so each segment
+        task derives its partial (count, sum, min, max) from the query
+        terms' decoded streams alone; the merge is a 4-scalar combine
+        per segment (all associative).  The reference gets this from ES
+        aggregations on its exported index
+        (hail_scripts/shared/elasticsearch_utils.py metadata fields)."""
+        mode_u = mode.upper()
+        ast, qterms = self._query_ast_terms(query, mode_u)
+        if not qterms:
+            return self.spark.createDataFrame([], STATS_PARTIAL_SCHEMA)
+        rows = self._term_rows(qterms).select("segment", "term", "blob")
+        get_deletes = self._segment_deletes_fn()
+
+        def stats_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            cols = ["n", "sum_dl", "min_dl", "max_dl"]
+            if pdf.empty:
+                return pd.DataFrame(columns=cols)
+            _check_unique_terms(pdf)
+            dead = get_deletes(pdf["segment"].iloc[0])
+            qdocs, decoded = {}, []
+            for r in pdf.itertuples():
+                d, _tf, dl = codecs.decode_postings(bytes(r.blob))
+                qdocs[r.term] = d
+                decoded.append((d, dl))
+            matches = _match_docs(qdocs, qterms, mode_u, ast)
+            if dead is not None and dead.size and matches.size:
+                matches = matches[~np.isin(matches, dead, assume_unique=True)]
+            if not matches.size:
+                return pd.DataFrame(columns=cols)
+            dls = _match_dls(decoded, matches)
+            return pd.DataFrame(
+                [
+                    (
+                        int(matches.size),
+                        int(dls.sum()),
+                        int(dls.min()),
+                        int(dls.max()),
+                    )
+                ],
+                columns=cols,
+            )
+
+        partials = rows.groupBy("segment").applyInPandas(
+            stats_segment, schema=STATS_PARTIAL_SCHEMA
+        )
+        return partials.agg(
+            F.sum("n").alias("n_hits"),
+            F.min("min_dl").alias("min_dl"),
+            F.max("max_dl").alias("max_dl"),
+            F.sum("sum_dl").alias("sum_dl"),
+            (F.sum("sum_dl") / F.sum("n")).alias("avg_dl"),
+        )
+
+    def search_histogram(
+        self,
+        query: list[str] | str,
+        interval: int,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """ES ``histogram`` aggregation on doc length: per fixed-width
+        bucket (``floor(dl / interval) * interval``), the count of
+        matching live docs — DataFrame(bucket, doc_count) sorted by
+        bucket.  Same postings-only plan as search_stats; each segment
+        emits its local bucket counts and a tiny groupBy-sum merges."""
+        if interval <= 0:
+            raise ValueError("interval must be positive")
+        mode_u = mode.upper()
+        ast, qterms = self._query_ast_terms(query, mode_u)
+        if not qterms:
+            return self.spark.createDataFrame([], HISTOGRAM_SCHEMA)
+        rows = self._term_rows(qterms).select("segment", "term", "blob")
+        get_deletes = self._segment_deletes_fn()
+
+        def hist_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"bucket": [], "doc_count": []})
+            _check_unique_terms(pdf)
+            dead = get_deletes(pdf["segment"].iloc[0])
+            qdocs, decoded = {}, []
+            for r in pdf.itertuples():
+                d, _tf, dl = codecs.decode_postings(bytes(r.blob))
+                qdocs[r.term] = d
+                decoded.append((d, dl))
+            matches = _match_docs(qdocs, qterms, mode_u, ast)
+            if dead is not None and dead.size and matches.size:
+                matches = matches[~np.isin(matches, dead, assume_unique=True)]
+            if not matches.size:
+                return pd.DataFrame({"bucket": [], "doc_count": []})
+            dls = _match_dls(decoded, matches)
+            b, c = np.unique(dls // interval * interval, return_counts=True)
+            return pd.DataFrame({"bucket": b, "doc_count": c})
+
+        partials = rows.groupBy("segment").applyInPandas(
+            hist_segment, schema=HISTOGRAM_SCHEMA
+        )
+        return (
+            partials.groupBy("bucket")
+            .agg(F.sum("doc_count").alias("doc_count"))
+            .orderBy("bucket")
+        )
+
+    def suggest_terms(
+        self,
+        prefix: str,
+        size: int = 10,
+        max_edits: int = 0,
+        max_expansions: int = 10_000,
+    ) -> DataFrame:
+        """ES term-suggester analog: candidate index terms for a prefix
+        (or, with ``max_edits`` > 0, within edit distance — the
+        did-you-mean path), ranked by global document frequency —
+        DataFrame(term, df) by (df desc, term asc), ``size`` rows.
+        Termdict-only: never touches posting blobs."""
+        terms = (
+            self.expand_fuzzy(prefix, max_edits, max_expansions=max_expansions)
+            if max_edits > 0
+            else self.expand_prefix(prefix, max_expansions)
+        )
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "term string, df long"
+            )
+        src = self._termdict if self._termdict is not None else self._postings
+        buckets = sorted({term_bucket(t, self.n_term_buckets) for t in terms})
+        return (
+            src.filter(
+                F.col("term_bucket").isin(buckets)
+                & F.col("term").isin(terms)
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(size)
         )
 
     def search_page(

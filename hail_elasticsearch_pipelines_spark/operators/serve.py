@@ -840,6 +840,95 @@ class LocalSearcher:
             total += int(matches.size)
         return total
 
+    def _segment_match_dls(self, query, mode: str):
+        """Per segment, (matching live doc ids, their doc lengths) —
+        the shared serving kernel behind stats/histogram aggs."""
+        from .bm25 import _match_dls, _match_docs, analyzed_fields_of
+
+        from ..functions import boolquery as bq
+
+        mode_u = mode.upper()
+        if mode_u == "BOOL":
+            ast = bq.parse(
+                query, analyzed_fields=set(analyzed_fields_of(self.manifest))
+            )
+            if bq.has_wildcards(ast):
+                ast = bq.expand_wildcards(
+                    ast, self.expand_prefix, self.expand_fuzzy
+                )
+            qterms = sorted(set(bq.all_terms(ast)))
+        else:
+            ast = None
+            qterms = sorted(set(query))
+        if not qterms:
+            return
+        rows = self._rows_for(qterms)
+        for seg in sorted({s for m in rows.values() for s in m}):
+            qdocs, decoded = {}, []
+            for t in qterms:
+                if seg in rows.get(t, {}):
+                    d, _tf, dl = self._decode_cached(t, seg, rows[t][seg].blob)
+                    qdocs[t] = d
+                    decoded.append((d, dl))
+            matches = _match_docs(qdocs, qterms, mode_u, ast)
+            dead = self._deletes.get(seg)
+            if dead is not None and dead.size and matches.size:
+                matches = matches[~np.isin(matches, dead, assume_unique=True)]
+            if matches.size:
+                yield matches, _match_dls(decoded, matches)
+
+    def search_stats(self, query, mode: str = "OR") -> dict:
+        """ES ``stats`` aggregation — serving twin of
+        IndexSearcher.search_stats: {n_hits, min_dl, max_dl, sum_dl,
+        avg_dl} over the matching live docs."""
+        n = s = 0
+        mn = mx = None
+        for _m, dls in self._segment_match_dls(query, mode) or ():
+            n += int(dls.size)
+            s += int(dls.sum())
+            mn = int(dls.min()) if mn is None else min(mn, int(dls.min()))
+            mx = int(dls.max()) if mx is None else max(mx, int(dls.max()))
+        return {
+            "n_hits": n,
+            "min_dl": mn,
+            "max_dl": mx,
+            "sum_dl": s,
+            "avg_dl": (s / n) if n else None,
+        }
+
+    def search_histogram(
+        self, query, interval: int, mode: str = "OR"
+    ) -> list[tuple[int, int]]:
+        """ES ``histogram`` aggregation — serving twin: [(bucket,
+        doc_count)] sorted by bucket."""
+        if interval <= 0:
+            raise ValueError("interval must be positive")
+        acc: dict[int, int] = {}
+        for _m, dls in self._segment_match_dls(query, mode) or ():
+            b, c = np.unique(dls // interval * interval, return_counts=True)
+            for bb, cc in zip(b.tolist(), c.tolist()):
+                acc[int(bb)] = acc.get(int(bb), 0) + int(cc)
+        return sorted(acc.items())
+
+    def suggest_terms(
+        self,
+        prefix: str,
+        size: int = 10,
+        max_edits: int = 0,
+        max_expansions: int = 10_000,
+    ) -> list[tuple[str, int]]:
+        """ES term suggester — serving twin: [(term, global df)] by
+        (df desc, term asc), termdict-only."""
+        terms = (
+            self.expand_fuzzy(prefix, max_edits, max_expansions=max_expansions)
+            if max_edits > 0
+            else self.expand_prefix(prefix, max_expansions)
+        )
+        if not terms:
+            return []
+        dfs = self.global_dfs(terms)
+        return sorted(dfs.items(), key=lambda x: (-x[1], x[0]))[:size]
+
     def explain(
         self, doc_id: int, terms: list[str]
     ) -> list[tuple[str, int, int, int, float, float]]:

@@ -1,0 +1,114 @@
+"""ES stats/histogram aggregations + term suggester: distributed vs
+serving parity and oracle-vs-corpus ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+
+def _ground_truth(oracle, terms, mode):
+    """Matching doc ids + dls from the pure-python oracle corpus."""
+    hits = set()
+    for d, tk in oracle.doc_tokens.items():
+        present = [t for t in terms if t in tk]
+        ok = len(present) == len(terms) if mode == "AND" else bool(present)
+        if ok:
+            hits.add(d)
+    return {d: oracle.doc_len[d] for d in hits}
+
+
+@pytest.mark.parametrize(
+    "terms,mode",
+    [(["the", "term0042"], "OR"), (["the", "of"], "AND"), (["zzz"], "OR")],
+)
+def test_search_stats_parity(spark, small_index, small_oracle, terms, mode):
+    index_dir, _ = small_index
+    oracle, _ = small_oracle
+    truth = _ground_truth(oracle, terms, mode)
+    s = IndexSearcher(spark, index_dir)
+    row = s.search_stats(terms, mode).collect()[0]
+    local = LocalSearcher(index_dir).search_stats(terms, mode)
+    if not truth:
+        assert local["n_hits"] == 0 and (row["n_hits"] or 0) == 0
+        return
+    dls = list(truth.values())
+    expected = {
+        "n_hits": len(dls),
+        "min_dl": min(dls),
+        "max_dl": max(dls),
+        "sum_dl": sum(dls),
+        "avg_dl": sum(dls) / len(dls),
+    }
+    assert local == expected
+    got = {k: row[k] for k in expected}
+    assert got == pytest.approx(expected)
+
+
+def test_search_histogram_parity(spark, small_index, small_oracle):
+    index_dir, _ = small_index
+    oracle, _ = small_oracle
+    truth = _ground_truth(oracle, ["the", "term0042"], "OR")
+    exp: dict[int, int] = {}
+    for dl in truth.values():
+        b = dl // 32 * 32
+        exp[b] = exp.get(b, 0) + 1
+    expected = sorted(exp.items())
+    s = IndexSearcher(spark, index_dir)
+    got = [
+        (r["bucket"], r["doc_count"])
+        for r in s.search_histogram(["the", "term0042"], 32, "OR").collect()
+    ]
+    assert got == expected
+    assert LocalSearcher(index_dir).search_histogram(
+        ["the", "term0042"], 32, "OR"
+    ) == expected
+    with pytest.raises(ValueError, match="interval"):
+        LocalSearcher(index_dir).search_histogram(["the"], 0)
+
+
+def test_stats_bool_query(spark, small_index, small_oracle):
+    """BOOL mode routes through the shared match kernel (with
+    wildcard expansion)."""
+    index_dir, _ = small_index
+    oracle, _ = small_oracle
+    ls = LocalSearcher(index_dir)
+    got = ls.search_stats("the AND term004*", "BOOL")
+    terms = ls.expand_prefix("term004")
+    truth = {
+        d: oracle.doc_len[d]
+        for d, tk in oracle.doc_tokens.items()
+        if "the" in tk and any(t in tk for t in terms)
+    }
+    assert got["n_hits"] == len(truth)
+    assert got["sum_dl"] == sum(truth.values())
+
+
+def test_suggest_terms_parity(spark, small_index, small_oracle):
+    index_dir, _ = small_index
+    oracle, _ = small_oracle
+    vocab: dict[str, int] = {}
+    for tk in oracle.doc_tokens.values():
+        for t in set(tk):
+            if t.startswith("term00"):
+                vocab[t] = vocab.get(t, 0) + 1
+    expected = sorted(vocab.items(), key=lambda x: (-x[1], x[0]))[:5]
+    s = IndexSearcher(spark, index_dir)
+    got = [
+        (r["term"], r["df"])
+        for r in s.suggest_terms("term00", size=5).collect()
+    ]
+    assert got == expected
+    assert LocalSearcher(index_dir).suggest_terms("term00", size=5) == expected
+
+
+def test_suggest_fuzzy_did_you_mean(spark, small_index):
+    """max_edits>0 = the did-you-mean path: misspelling suggests the
+    real high-df term first."""
+    index_dir, _ = small_index
+    ls = LocalSearcher(index_dir)
+    got = ls.suggest_terms("tha", size=3, max_edits=1)
+    assert got and got[0][0] == "the"
