@@ -293,6 +293,21 @@ def _q_phrase_search(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_mlt_doc0(spark, sf):
+    """ES more_like_this (r5): doc 0's text as the `like` input — top
+    tf-idf terms (df >= 2 floor, ties term-asc) run as a BM25 OR; the
+    oracle replicates the selection and the scoring in SQL."""
+    s = _searcher(spark, sf)
+    like = (
+        _read(spark, sf, "documents")
+        .filter(F.col("doc_id") == 0)
+        .select("text")
+        .head()[0]
+    )
+    r = s.more_like_this(like, k=20, max_query_terms=10, min_doc_freq=2)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_stats_agg(spark, sf):
     """ES stats aggregation (r5): (count, min, max, sum, avg) of doc
     length over the docs matching the OR query — derived from the
@@ -622,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_agg": _q_stats_agg,
         "dlen_histogram": _q_dlen_histogram,
         "suggest_s": _q_suggest_s,
+        "mlt_doc0": _q_mlt_doc0,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_pairs": _q_embedding_pairs,
@@ -1189,6 +1205,41 @@ WITH tok AS (
            * (2.2 * tf.tf) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
            AS contrib
   FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "mlt_doc0": f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), dl AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl FROM tok
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl
+), flat AS (
+  SELECT doc_id, unnest(toks) AS term FROM tok
+), qtf AS (
+  SELECT term, count(*)::BIGINT AS qtf FROM flat WHERE doc_id = 0 GROUP BY term
+), cdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM flat GROUP BY term
+), sel AS (
+  SELECT q.term, c.df
+  FROM qtf q JOIN cdf c USING (term) CROSS JOIN stats
+  WHERE c.df >= 2
+  ORDER BY q.qtf * ln(1.0 + (stats.n_docs - c.df + 0.5) / (c.df + 0.5)) DESC,
+           q.term ASC
+  LIMIT 10
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM flat
+  WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - sel.df + 0.5) / (sel.df + 0.5))
+           * (2.2 * tf.tf) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS contrib
+  FROM tf JOIN sel USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
 ), agg AS (
   SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
 )

@@ -1861,6 +1861,62 @@ class IndexSearcher:
             .limit(size)
         )
 
+    MLT_MAX_QUERY_TERMS = 25  # the ES more_like_this default
+
+    def _mlt_terms(
+        self,
+        like_text: str,
+        max_query_terms: int,
+        min_term_freq: int,
+        min_doc_freq: int,
+    ) -> list[str]:
+        """ES more_like_this term selection: tokenize the ``like``
+        text, keep terms with tf ≥ min_term_freq and corpus df ≥
+        min_doc_freq, rank by tf·idf (interestingness — rare terms
+        that the text repeats), take the top ``max_query_terms``
+        (ties → term asc, deterministic).  One termdict lookup, no
+        postings read."""
+        from collections import Counter
+
+        from ..functions.tokenize import py_tokenize
+
+        tf = Counter(py_tokenize(like_text))
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return []
+        dfs = self.global_dfs(cand)
+        scored = [
+            (tf[t] * bm25_idf(self.n_docs, dfs[t]), t)
+            for t in cand
+            if dfs.get(t, 0) >= min_doc_freq
+        ]
+        return [
+            t
+            for _s, t in sorted(scored, key=lambda x: (-x[0], x[1]))[
+                :max_query_terms
+            ]
+        ]
+
+    def more_like_this(
+        self,
+        like_text: str,
+        k: int = 10,
+        max_query_terms: int = MLT_MAX_QUERY_TERMS,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+    ) -> DataFrame:
+        """ES ``more_like_this`` with ``like: <text>``: select the
+        text's most interesting terms (tf·idf ranked, df-floored so
+        one-off typos can't dominate) and run them as a disjunctive
+        BM25 query — similar docs rank by how much of the interesting
+        vocabulary they share."""
+        top = self._mlt_terms(
+            like_text, max_query_terms, min_term_freq, min_doc_freq
+        )
+        if not top:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        return self.search(top, mode="OR", k=k)
+
     def search_page(
         self,
         terms: list[str],

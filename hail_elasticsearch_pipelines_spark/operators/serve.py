@@ -910,6 +910,42 @@ class LocalSearcher:
                 acc[int(bb)] = acc.get(int(bb), 0) + int(cc)
         return sorted(acc.items())
 
+    def more_like_this(
+        self,
+        like_text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 2,
+    ) -> list[tuple[int, float]]:
+        """ES more_like_this — serving twin: identical tf·idf term
+        selection (IndexSearcher._mlt_terms via the same global_dfs
+        shape) + disjunctive BM25."""
+        from collections import Counter
+
+        from ..functions.tokenize import py_tokenize
+        from .index_build import bm25_idf as _idf
+
+        tf = Counter(py_tokenize(like_text))
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return []
+        dfs = self.global_dfs(cand)
+        scored = [
+            (tf[t] * _idf(self.n_docs, dfs[t]), t)
+            for t in cand
+            if dfs.get(t, 0) >= min_doc_freq
+        ]
+        top = [
+            t
+            for _s, t in sorted(scored, key=lambda x: (-x[0], x[1]))[
+                :max_query_terms
+            ]
+        ]
+        if not top:
+            return []
+        return self.search(top, mode="OR", k=k)
+
     def suggest_terms(
         self,
         prefix: str,

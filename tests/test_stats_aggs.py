@@ -112,3 +112,29 @@ def test_suggest_fuzzy_did_you_mean(spark, small_index):
     ls = LocalSearcher(index_dir)
     got = ls.suggest_terms("tha", size=3, max_edits=1)
     assert got and got[0][0] == "the"
+
+
+def test_more_like_this_parity(spark, small_index, small_oracle):
+    """MLT term selection (tf-idf, df floor, deterministic ties) +
+    scoring parity: distributed == serving == oracle OR over the
+    selected terms."""
+    index_dir, _ = small_index
+    oracle, _ = small_oracle
+    like = " ".join(oracle.doc_tokens[3])
+    s = IndexSearcher(spark, index_dir)
+    sel = s._mlt_terms(like, 8, 1, 2)
+    assert 0 < len(sel) <= 8
+    # every selected term passes the df floor; ranking is tf*idf
+    for t in sel:
+        assert oracle.df(t) >= 2
+    expected = oracle.topk(sel, "OR", 15)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.more_like_this(like, k=15, max_query_terms=8).collect()
+    ]
+    assert got == expected
+    assert got[0][0] == 3  # the source doc ranks itself first
+    assert (
+        LocalSearcher(index_dir).more_like_this(like, k=15, max_query_terms=8)
+        == expected
+    )
