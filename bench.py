@@ -243,6 +243,25 @@ def main():
     local.search_phrase(["of", "the"], 10)
     q["phrase_stopword_warm"] = round((time.time() - t0) / 2, 4)
 
+    # -- r5 query-surface probes (expansion + aggregation paths) -------
+    # termdict-expansion queries: prefix (range scan -> 10-term OR),
+    # fuzzy (levenshtein over the length-pruned termdict), suggester
+    # (termdict-only ranking), MLT (tf-idf selection + OR)
+    q["prefix_search_local"] = cold(
+        lambda ls: ls.search_prefix("term400", 10)
+    )
+    q["fuzzy_search_local"] = cold(
+        lambda ls: ls.search_fuzzy("term4000", 10, max_edits=1)
+    )
+    q["suggest_local"] = cold(lambda ls: ls.suggest_terms("term4", 10))
+    _mlt_like = " ".join(["term4000", "term4001", "the", "of"] * 3)
+    q["mlt_local"] = cold(lambda ls: ls.more_like_this(_mlt_like, 10))
+    # postings-only stats aggregation, distributed (one scoring-shaped
+    # job; dl rides the postings so no doclens read)
+    t0 = time.time()
+    searcher.search_stats(SEL_OR, "OR").collect()
+    q["stats_agg_dist"] = round(time.time() - t0, 4)
+
     # -- distributed facet retag: 10^5-url partial-doc update over the
     # bench index (r3 verdict: operator input must never collect on the
     # driver; this times the join-resolve + sidecar + bucket rewrite +
@@ -264,6 +283,25 @@ def main():
     t0 = time.time()
     update_facet_field(spark, idx_dir, "lang", upd)
     q["facet_retag_100k"] = round(time.time() - t0, 3)
+
+    # -- tiered compaction probe: append a 10k-doc batch (small files
+    # per bucket) then rewrite ONLY those fragments, hardlinking the
+    # base build's files — times the selective-rewrite maintenance path
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+        compact_index,
+        extend_index,
+    )
+
+    ext = pages_df(spark, 10_000, 4, start=N_DOCS * 2)
+    t0 = time.time()
+    extend_index(spark, idx_dir, ext, mode="create", validation=None)
+    q["extend_10k"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    m_t = compact_index(
+        spark, idx_dir, policy="tiered", min_file_bytes=1 << 20
+    )
+    q["tiered_compact_10k"] = round(time.time() - t0, 3)
+    tiered_stats = m_t["compactions"][-1]
 
     # -- headline operator queries over SF_DIR testdata -----------------
     docs = _read(spark, "documents")
@@ -322,6 +360,10 @@ def main():
                 "per_query_reps_ms": per_query_reps,
                 "segprune_segments_skipped": segprune_skipped,
                 "segprune_ms400": segprune_ms,
+                "tiered_compact": {
+                    k: tiered_stats[k]
+                    for k in ("files_rewritten", "files_linked")
+                },
                 "cpus": CPUS,
             }
         )

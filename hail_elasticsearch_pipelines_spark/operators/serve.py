@@ -556,12 +556,23 @@ class LocalSearcher:
             )
         field, body = term.split(":", 1) if ":" in term else (None, term)
         src = self._termdict if self._termdict is not None else self._postings
-        flt = None
-        if prefix_length > 0:
-            lo, hi = prefix_term_range(
-                term[: len(term) - len(body) + prefix_length]
+        # length ±max_edits pushed into the scan (plus the field's
+        # prefix bytes) — the termdict materializes only plausible
+        # candidates, not the whole vocabulary
+        import pyarrow.compute as pc
+
+        base = len(term) - len(body)
+        flt = pc.utf8_length(ds.field("term")).cast("int64").isin(
+            list(
+                range(
+                    max(1, base + len(body) - max_edits),
+                    base + len(body) + max_edits + 1,
+                )
             )
-            flt = (ds.field("term") >= lo) & (ds.field("term") < hi)
+        )
+        if prefix_length > 0:
+            lo, hi = prefix_term_range(term[:base + prefix_length])
+            flt = flt & (ds.field("term") >= lo) & (ds.field("term") < hi)
         tbl = src.to_table(filter=flt, columns=["term"])
         out = set()
         pre = f"{field}:" if field is not None else None

@@ -166,10 +166,16 @@ def gen_pages_pdf(indices: np.ndarray) -> pd.DataFrame:
     )
 
 
-def pages_df(spark: SparkSession, n_docs: int, n_partitions: int | None = None) -> DataFrame:
+def pages_df(
+    spark: SparkSession,
+    n_docs: int,
+    n_partitions: int | None = None,
+    start: int = 0,
+) -> DataFrame:
     """Distributed corpus: spark.range → mapInPandas(generator).
 
-    Deterministic per doc index regardless of partitioning."""
+    Deterministic per doc index regardless of partitioning; ``start``
+    offsets the index range (disjoint url sets for append batches)."""
     n_partitions = n_partitions or max(1, min(n_docs // 1000, 200))
 
     def gen(batches):
@@ -177,7 +183,7 @@ def pages_df(spark: SparkSession, n_docs: int, n_partitions: int | None = None) 
             yield gen_pages_pdf(pdf["id"].to_numpy())
 
     return (
-        spark.range(0, n_docs, numPartitions=n_partitions)
+        spark.range(start, start + n_docs, numPartitions=n_partitions)
         .mapInPandas(gen, schema=PAGES_SCHEMA)
     )
 
