@@ -1888,7 +1888,8 @@ class IndexSearcher:
         scored = [
             (tf[t] * bm25_idf(self.n_docs, dfs[t]), t)
             for t in cand
-            if dfs.get(t, 0) >= min_doc_freq
+            # unindexed terms never qualify (df 0 < the >=1 floor)
+            if dfs.get(t, 0) >= max(min_doc_freq, 1)
         ]
         return [
             t

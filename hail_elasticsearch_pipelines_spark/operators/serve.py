@@ -945,7 +945,7 @@ class LocalSearcher:
         scored = [
             (tf[t] * _idf(self.n_docs, dfs[t]), t)
             for t in cand
-            if dfs.get(t, 0) >= min_doc_freq
+            if dfs.get(t, 0) >= max(min_doc_freq, 1)
         ]
         top = [
             t

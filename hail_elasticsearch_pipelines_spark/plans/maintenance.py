@@ -1342,23 +1342,30 @@ def _compact_index_tiered_locked(
                     dirty.add(int(e.name.split("=", 1)[1]))
     has_deletes = all_dirty or bool(dirty)
 
-    targets: list[str] = []  # rewritten
-    linked: list[tuple[str, str]] = []  # (bucket_rel, filename) hardlinked
+    candidates: list[tuple[str, str, str]] = []  # (bucket_rel, fn, path)
     for bdir in sorted(os.scandir(postings_path), key=lambda e: e.name):
         if not (bdir.is_dir() and bdir.name.startswith("term_bucket=")):
             continue
         for fn in sorted(os.listdir(bdir.path)):
-            if not fn.endswith(".parquet"):
-                continue
-            fp = os.path.join(bdir.path, fn)
-            if os.path.getsize(fp) < min_file_bytes or all_dirty:
-                targets.append(fp)
-                continue
-            mn, mx = _parquet_file_segment_range(fp)
-            if any(mn <= s <= mx for s in dirty):
-                targets.append(fp)
-            else:
-                linked.append((bdir.name, fn))
+            if fn.endswith(".parquet"):
+                candidates.append((bdir.name, fn, os.path.join(bdir.path, fn)))
+
+    def classify(item):
+        bucket_rel, fn, fp = item
+        if os.path.getsize(fp) < min_file_bytes or all_dirty:
+            return (True, bucket_rel, fn, fp)
+        mn, mx = _parquet_file_segment_range(fp)
+        return (any(mn <= s <= mx for s in dirty), bucket_rel, fn, fp)
+
+    # footer reads are metadata-only (~KB each) but still one IO per
+    # file; thread them so a million-file index classifies in seconds
+    # on the driver instead of serial minutes
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=32) as pool:
+        classified = list(pool.map(classify, candidates))
+    targets = [fp for hit, _b, _f, fp in classified if hit]
+    linked = [(b, f) for hit, b, f, _fp in classified if not hit]
     if not targets:
         manifest.setdefault("compactions", []).append(
             {

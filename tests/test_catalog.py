@@ -1,0 +1,73 @@
+"""Index catalog + blue/green reindex_swap (the reference's
+datestamped-index rotation, re-expressed as atomic named pointers)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from hail_elasticsearch_pipelines_spark.plans.catalog import (
+    IndexCatalog,
+    UnknownIndexError,
+    reindex_swap,
+)
+from hail_elasticsearch_pipelines_spark.sources.corpus import gen_pages_pdf
+
+
+def test_register_resolve_drop(small_index, tmp_path):
+    index_dir, _ = small_index
+    cat = IndexCatalog(str(tmp_path / "cat"))
+    cat.register("web", index_dir)
+    assert cat.resolve("web") == os.path.abspath(index_dir)
+    assert cat.list_indexes() == {"web": os.path.abspath(index_dir)}
+    cat.drop("web")
+    with pytest.raises(UnknownIndexError):
+        cat.resolve("web")
+    assert os.path.exists(index_dir)  # drop without delete_files keeps data
+    with pytest.raises(ValueError, match="bad index name"):
+        cat.register("Bad Name", index_dir)
+    with pytest.raises(FileNotFoundError):
+        cat.register("empty", str(tmp_path / "nope"))
+
+
+def test_reindex_swap_blue_green(spark, tmp_path):
+    """Old searchers keep serving their pinned directory through a
+    swap; new opens resolve the new one; history records the old."""
+    cat = IndexCatalog(str(tmp_path / "cat"))
+    m0 = reindex_swap(
+        spark,
+        cat,
+        "web",
+        spark.createDataFrame(gen_pages_pdf(np.arange(120))),
+        docs_per_part=32,
+        seg_group=2,
+        n_term_buckets=4,
+    )
+    assert m0["previous_dir"] is None
+    old_dir = cat.resolve("web")
+    pinned = cat.open_local("web")
+    before = pinned.search(["the"], "OR", 10)
+    assert before
+
+    m1 = reindex_swap(
+        spark,
+        cat,
+        "web",
+        spark.createDataFrame(gen_pages_pdf(np.arange(200))),
+        docs_per_part=32,
+        seg_group=2,
+        n_term_buckets=4,
+    )
+    assert m1["previous_dir"] == old_dir
+    assert cat.resolve("web") != old_dir
+    # pinned searcher unaffected; old dir intact
+    assert pinned.search(["the"], "OR", 10) == before
+    assert os.path.exists(os.path.join(old_dir, "manifest.json"))
+    # fresh open sees the new corpus (more docs match)
+    fresh = cat.open_local("web")
+    assert fresh.n_docs > pinned.n_docs
+    # swap to a non-index path refuses
+    with pytest.raises(FileNotFoundError):
+        cat.swap("web", str(tmp_path / "nothing"))
