@@ -356,6 +356,16 @@ def _q_highlight_top3(spark, sf):
     return _IS.highlight(docs, ids, OR_TERMS, window_chars=1 << 30)
 
 
+def _q_fielded_search_and(spark, sf):
+    """ES multi_match operator=and (r5): every token must match in at
+    least one field (cross-field OR per token, AND across tokens);
+    scoring stays weighted most_fields."""
+    r = _searcher(spark, sf).search_fielded(
+        FIELDED_TERMS, fields=FIELDED_WEIGHTS, k=20, mode="AND"
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_prefix_search(spark, sf):
     """Prefix/wildcard query (r5): termdict range expansion of 's*'
     (scan slow small sort spark stream) → bounded scoring-boolean OR;
@@ -631,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
+        "fielded_search_and": _q_fielded_search_and,
         "prefix_search": _q_prefix_search,
         "fuzzy_search": _q_fuzzy_search,
         "highlight_top3": _q_highlight_top3,
@@ -1099,6 +1110,21 @@ SELECT doc_id, {_micro_sql("score")} AS score_micro
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
+# operator=and variant: same CTE chain, matches restricted to docs
+# holding EVERY query token in >=1 field (count of distinct matched
+# tokens across fields == number of query tokens)
+_FIELDED_AND_SQL = _FIELDED_SQL.replace(
+    "SELECT doc_id, " + _micro_sql("score") + " AS score_micro\nFROM agg ",
+    """SELECT agg.doc_id, """
+    + _micro_sql("score")
+    + """ AS score_micro
+FROM agg JOIN (
+  SELECT doc_id FROM tf GROUP BY doc_id HAVING count(DISTINCT term) = 2
+) matched USING (doc_id)
+""",
+)
+assert _FIELDED_AND_SQL != _FIELDED_SQL
+
 
 _FACET_COUNTS_SQL = f"""
 WITH tok AS (
@@ -1174,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
             " (doc_id % 3) AS canon_url FROM documents"
         ),
         "fielded_search": _FIELDED_SQL,
+        "fielded_search_and": _FIELDED_AND_SQL,
         "highlight_top3": _BM25_CTES
         + r"""
 , top3 AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id ASC LIMIT 3)

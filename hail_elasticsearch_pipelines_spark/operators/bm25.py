@@ -105,6 +105,45 @@ def _match_docs(
     return reduce(np.union1d, present) if present else empty
 
 
+def _fielded_and_scores(
+    postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    variants: dict[str, list[str]],
+    expanded_sorted: list[str],
+    idf: dict[str, float],
+    avgdl: "float | dict[str, float]",
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``multi_match operator: and`` kernel for one segment: a doc
+    matches iff EVERY query token appears in at least one of its field
+    variants (per-token cross-field union, conjunction across tokens);
+    matching docs score as the weighted most_fields sum over ALL
+    present (field, token) contributions — ascending expanded-term
+    accumulation, the standard determinism contract."""
+    empty = np.array([], np.int64), np.array([], np.float64)
+    cand = None
+    for _tok, vs in sorted(variants.items()):
+        group = [postings[v][0] for v in vs if v in postings]
+        if not group:
+            return empty
+        docs = reduce(np.union1d, group)
+        cand = docs if cand is None else np.intersect1d(
+            cand, docs, assume_unique=True
+        )
+        if cand.size == 0:
+            return empty
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in expanded_sorted:
+        if t not in postings:
+            continue
+        d, tf, dl = postings[t]
+        m = _members(d, cand)
+        if m.any():
+            idx = np.searchsorted(d, cand[m])
+            scores[m] += idf[t] * bm25_tf_weight(
+                tf[idx], dl[idx], _adl(avgdl, t)
+            )
+    return cand, scores
+
+
 def _match_dls(
     decoded: list[tuple[np.ndarray, np.ndarray]], matches: np.ndarray
 ) -> np.ndarray:
@@ -1399,6 +1438,7 @@ class IndexSearcher:
         terms: list[str],
         fields: dict[str, float] | None = None,
         k: int = 10,
+        mode: str = "OR",
     ) -> DataFrame:
         """Multi-field BM25F-lite top-k — the ES ``multi_match``
         ``most_fields`` analog over the per-field postings the build
@@ -1412,12 +1452,24 @@ class IndexSearcher:
         scale linearly).  ``fields`` maps field → boost, default: body
         + every analyzed field at weight 1.  The reference exposes this
         via ES multi-field search on its exported mapping
-        (hail_scripts/v02/utils/elasticsearch_utils.py:38-77)."""
+        (hail_scripts/v02/utils/elasticsearch_utils.py:38-77).
+
+        mode="AND" is the ES ``operator: and`` variant: every query
+        TOKEN must match in at least one of the fields (per-token
+        cross-field OR, conjunction across tokens); matching docs still
+        score as the weighted most_fields sum."""
+        mode_u = mode.upper()
         text_fields = analyzed_fields_of(self.manifest)
         if fields is None:
             fields = {"text": 1.0, **{f: 1.0 for f in text_fields}}
         expanded, weight = expand_fielded_terms(terms, fields, text_fields)
         avgdl = field_avgdl_map(self.manifest, expanded)
+        variants = {
+            t: sorted(
+                t if f == "text" else f"{f}:{t}" for f in fields
+            )
+            for t in dict.fromkeys(terms)
+        }
         n_docs = self.n_docs
         get_deletes = self._segment_deletes_fn()
         rows = self._rows_with_global_df(expanded)
@@ -1441,6 +1493,16 @@ class IndexSearcher:
                 t: weight[t] * bm25_idf(n_docs, int(d))
                 for t, d in zip(pdf["term"], pdf["df_global"])
             }
+            if mode_u == "AND":
+                postings = {}
+                for r in pdf.itertuples():
+                    postings[r.term] = codecs.decode_postings(bytes(r.blob))
+                postings = _mask_deleted(postings, dead)
+                docs, scores = _fielded_and_scores(
+                    postings, variants, expanded, idf, avgdl
+                )
+                docs, scores = _topk(docs, scores, k)
+                return pd.DataFrame({"doc_id": docs, "score": scores})
             cache = _BlockCache(pdf.itertuples())
             docs, scores = _score_union_maxscore(
                 cache, expanded, idf, avgdl, k, dead=dead

@@ -618,11 +618,15 @@ class LocalSearcher:
         terms: list[str],
         fields: dict[str, float] | None = None,
         k: int = 10,
+        mode: str = "OR",
     ) -> list[tuple[int, float]]:
         """Multi-field BM25F-lite top-k — bit-identical to
         IndexSearcher.search_fielded (same expansion, same weighted-idf
-        fold, same MaxScore kernel with per-term field avgdl), served
-        from the hot-row cache with cross-segment pruning."""
+        fold, same kernels with per-term field avgdl), served from the
+        hot-row cache (OR mode adds cross-segment pruning)."""
+        from .bm25 import _fielded_and_scores, _mask_deleted
+
+        mode_u = mode.upper()
         text_fields = analyzed_fields_of(self.manifest)
         if fields is None:
             fields = {"text": 1.0, **{f: 1.0 for f in text_fields}}
@@ -635,7 +639,32 @@ class LocalSearcher:
         idf = {
             t: weight[t] * bm25_idf(self.n_docs, d) for t, d in dfs.items()
         }
-        return self._search_pruned(expanded, "OR", k, idf, avgdl)
+        if mode_u != "AND":
+            return self._search_pruned(expanded, "OR", k, idf, avgdl)
+        variants = {
+            t: sorted(t if f == "text" else f"{f}:{t}" for f in fields)
+            for t in dict.fromkeys(terms)
+        }
+        rows = self._rows_for(expanded)
+        acc_d = np.array([], np.int64)
+        acc_s = np.array([], np.float64)
+        for seg in sorted({s for m in rows.values() for s in m}):
+            postings = {
+                t: self._decode_cached(t, seg, rows[t][seg].blob)
+                for t in expanded
+                if seg in rows.get(t, {})
+            }
+            postings = _mask_deleted(postings, self._deletes.get(seg))
+            docs, scores = _fielded_and_scores(
+                postings, variants, expanded, idf, avgdl
+            )
+            if docs.size:
+                acc_d, acc_s = _topk(
+                    np.concatenate([acc_d, docs]),
+                    np.concatenate([acc_s, scores]),
+                    k,
+                )
+        return list(zip(acc_d.tolist(), acc_s.tolist()))
 
     def search_facets(
         self,

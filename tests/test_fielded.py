@@ -270,3 +270,44 @@ def test_fielded_upsert_removes_killed_field_tokens(
     assert m["globals"]["field_stats"]["title"]["total_tokens"] == sum(
         len(py_tokenize(t)) for t in live_titles
     )
+
+
+def _brute_fielded_and(pdf, terms, weights, k):
+    """AND variant: every token must appear in >=1 of the fields."""
+    ordered = pdf.sort_values("url").reset_index(drop=True)
+    body = [py_tokenize(t) for t in ordered["text"]]
+    title = [py_tokenize(t) for t in ordered["title"]]
+    keep = [
+        d
+        for d in range(len(ordered))
+        if all(
+            any(
+                (t in (title[d] if f == "title" else body[d]))
+                for f in weights
+            )
+            for t in terms
+        )
+    ]
+    scores = dict(_brute_fielded(pdf, terms, weights, len(ordered)))
+    ranked = sorted(
+        ((d, scores[d]) for d in keep), key=lambda x: (-x[1], x[0])
+    )[:k]
+    return ranked
+
+
+def test_fielded_and_matches_bruteforce(spark, fielded_index):
+    out, _, pdf = fielded_index
+    for terms in (["alpha", "beta"], ["beta", "gamma"], ["alpha", "zzz"]):
+        expected = _brute_fielded_and(pdf, terms, WEIGHTS, 15)
+        ls = LocalSearcher(out)
+        assert ls.search_fielded(terms, WEIGHTS, k=15, mode="AND") == expected
+        s = IndexSearcher(spark, out)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in s.search_fielded(
+                terms, WEIGHTS, k=15, mode="AND"
+            ).collect()
+        ]
+        assert got == expected, terms
+        if terms == ["alpha", "beta"]:
+            assert expected  # the planted corpus has cross-field matches
