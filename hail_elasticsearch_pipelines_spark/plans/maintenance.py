@@ -557,6 +557,12 @@ def _extend_index_locked(
     stored_fields = tuple(params.get("stored_fields", ()))
     text_fields = tuple(params.get("text_fields", ()) or ())
     meta_cols = tuple(dict.fromkeys(facet_fields + stored_fields))
+    # a batch without an analyzed field column is legal (ES: docs
+    # simply lack the field) — appended docs get NULL → zero field
+    # tokens, no field postings, field_stats contribution 0
+    for f in text_fields:
+        if f not in new_pages.columns:
+            new_pages = new_pages.withColumn(f, F.lit(None).cast("string"))
     normalized = ib.normalize_pages(
         new_pages, params.get("lang_filter"), meta_cols=meta_cols
     )

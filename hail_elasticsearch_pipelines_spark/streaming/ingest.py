@@ -28,6 +28,7 @@ def stream_extend_index(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     mode: str = "create",
+    schema=None,
 ):
     """Watch ``source_path`` for new page parquet files and fold each
     micro-batch into the published index at ``index_dir``.
@@ -43,8 +44,14 @@ def stream_extend_index(
     ``available_now=True`` drains everything currently present and stops
     (the backfill/catch-up mode); ``False`` runs continuously.  Returns
     the StreamingQuery — caller owns awaitTermination/stop.
+
+    ``schema``: source schema override — pass the page schema plus any
+    extra analyzed/stored columns (e.g. ``title``) when streaming into
+    a fielded index; defaults to the core PAGES_SCHEMA (a fielded
+    index tolerates the missing column: appended docs simply lack the
+    field).
     """
-    reader = spark.readStream.schema(PAGES_SCHEMA)
+    reader = spark.readStream.schema(schema or PAGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_path)

@@ -311,3 +311,41 @@ def test_fielded_and_matches_bruteforce(spark, fielded_index):
         assert got == expected, terms
         if terms == ["alpha", "beta"]:
             assert expected  # the planted corpus has cross-field matches
+
+
+def test_fielded_extend_batch_without_field_column(
+    spark, fielded_index, tmp_path
+):
+    """A crawl batch missing the analyzed field column is legal (ES:
+    docs simply lack the field): appended docs index body-only, field
+    postings/stats unchanged, fielded queries still correct."""
+    import shutil
+
+    from hail_elasticsearch_pipelines_spark.layout import load_manifest
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+        extend_index,
+    )
+
+    out, manifest0, pdf = fielded_index
+    work = str(tmp_path / "idx")
+    shutil.copytree(out, work)
+    batch = _fielded_pdf(140).iloc[120:].drop(columns=["title"])
+    extend_index(spark, work, spark.createDataFrame(batch), mode="create")
+    m = load_manifest(work)
+    assert m["globals"]["n_docs"] == 140
+    assert (
+        m["globals"]["field_stats"]["title"]["total_tokens"]
+        == manifest0["globals"]["field_stats"]["title"]["total_tokens"]
+    )
+    # fielded query == brute force over the union with empty titles
+    union = _fielded_pdf(140).copy()
+    union.loc[union.index[120:], "title"] = ""
+    expected = _brute_fielded(union, ["alpha", "beta"], WEIGHTS, 10)
+    ls = LocalSearcher(work)
+    got = ls.search_fielded(["alpha", "beta"], WEIGHTS, k=10)
+    dl = pd.read_parquet(f"{work}/doclens")[["doc_id", "url"]]
+    url_of = dict(zip(dl["doc_id"], dl["url"]))
+    ordered = union.sort_values("url").reset_index(drop=True)
+    assert [(url_of[d], s) for d, s in got] == [
+        (ordered["url"][d], s) for d, s in expected
+    ]
