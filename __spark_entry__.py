@@ -308,6 +308,14 @@ def _q_mlt_doc0(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_min_should_match2(spark, sf):
+    """ES minimum_should_match (r5): docs holding >=2 of the 3 OR
+    terms, scored by the standard disjunctive sum over the terms each
+    doc has."""
+    r = _searcher(spark, sf).search(OR_TERMS, "OR", k=20, min_should_match=2)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_stats_agg(spark, sf):
     """ES stats aggregation (r5): (count, min, max, sum, avg) of doc
     length over the docs matching the OR query — derived from the
@@ -645,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": _q_prefix_search,
         "fuzzy_search": _q_fuzzy_search,
         "highlight_top3": _q_highlight_top3,
+        "min_should_match2": _q_min_should_match2,
         "stats_agg": _q_stats_agg,
         "dlen_histogram": _q_dlen_histogram,
         "suggest_s": _q_suggest_s,
@@ -679,10 +688,14 @@ def _micro_sql(expr: str) -> str:
     return f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
 
 
-def _bm25_sql(terms: list[str], mode: str, k: int, offset: int = 0) -> str:
+def _bm25_sql(
+    terms: list[str], mode: str, k: int, offset: int = 0, msm: int = 1
+) -> str:
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     n_terms = len(set(terms))
-    having = f"HAVING count(*) = {n_terms}" if mode == "AND" else ""
+    having = f"HAVING count(*) = {n_terms}" if mode == "AND" else (
+        f"HAVING count(*) >= {msm}" if msm > 1 else ""
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id, {TOK} AS toks FROM documents
@@ -1190,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_bmw": or_sql,
         "bm25_index_segprune": or_sql,
         "bm25_page2": _bm25_sql(OR_TERMS, "OR", 10, offset=10),
+        "min_should_match2": _bm25_sql(OR_TERMS, "OR", 20, msm=2),
         "facet_counts": _FACET_COUNTS_SQL,
         "search_count": _SEARCH_COUNT_SQL,
         "explain_top1": _EXPLAIN_SQL,

@@ -105,6 +105,32 @@ def _match_docs(
     return reduce(np.union1d, present) if present else empty
 
 
+def _msm_scores(
+    postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    terms_sorted: list[str],
+    idf: dict[str, float],
+    avgdl: "float | dict[str, float]",
+    min_should_match: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``minimum_should_match`` kernel for one segment: keep docs
+    containing at least ``m`` of the query terms, score the keepers by
+    the standard disjunctive sum.  Per-doc match counts come from the
+    same membership passes as the scores (one extra int array)."""
+    present = [t for t in terms_sorted if t in postings]
+    if len(present) < min_should_match:
+        return np.array([], np.int64), np.array([], np.float64)
+    all_docs = reduce(np.union1d, (postings[t][0] for t in present))
+    scores = np.zeros(len(all_docs), dtype=np.float64)
+    nmatch = np.zeros(len(all_docs), dtype=np.int64)
+    for t in present:
+        d, tf, dl = postings[t]
+        idx = np.searchsorted(all_docs, d)
+        scores[idx] += idf[t] * bm25_tf_weight(tf, dl, _adl(avgdl, t))
+        nmatch[idx] += 1
+    keep = nmatch >= min_should_match
+    return all_docs[keep], scores[keep]
+
+
 def _fielded_and_scores(
     postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
     variants: dict[str, list[str]],
@@ -1122,6 +1148,7 @@ class IndexSearcher:
         k: int = 10,
         algo: str = "auto",
         segment_prune: bool | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Top-k BM25.  Returns DataFrame(doc_id, score) already sorted
         by (score desc, doc_id asc), exactly k rows or fewer.
@@ -1145,7 +1172,15 @@ class IndexSearcher:
         manifest's segment count at the measured crossover
         (SEGPRUNE_AUTO_MIN_SEGMENTS); True/False force it.  The
         sequential LocalSearcher has it always-on for free.
-        ``last_segments_skipped`` reports the count."""
+        ``last_segments_skipped`` reports the count.
+
+        ``min_should_match`` (ES analog, OR mode only): a doc must
+        contain at least this many of the query terms; scoring stays
+        the disjunctive sum over the terms it has.  m=1 is plain OR,
+        m=len(terms) equals AND."""
+        msm = int(min_should_match)
+        if msm > 1 and mode.upper() != "OR":
+            raise ValueError("min_should_match applies to OR queries only")
         auto_prune = segment_prune is None
         if auto_prune:
             n_segs = int(
@@ -1182,6 +1217,20 @@ class IndexSearcher:
                 t: bm25_idf(n_docs, int(d))
                 for t, d in zip(pdf["term"], pdf["df_global"])
             }
+            if msm > 1:
+                # dedicated path: the pruned kernels' candidate sets
+                # are not msm-safe (a doc matching only weak terms may
+                # be excluded before its match count is known)
+                postings = {
+                    r.term: codecs.decode_postings(bytes(r.blob))
+                    for r in pdf.itertuples()
+                }
+                postings = _mask_deleted(postings, dead)
+                docs, scores = _msm_scores(
+                    postings, terms_sorted, idf, avgdl, msm
+                )
+                docs, scores = _topk(docs, scores, k)
+                return pd.DataFrame({"doc_id": docs, "score": scores})
             if mode_u == "OR" and algo == "bmw":
                 blobs = {r.term: bytes(r.blob) for r in pdf.itertuples()}
                 # block upper bound derived at query time from
@@ -1231,7 +1280,7 @@ class IndexSearcher:
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         self.last_segments_skipped = 0
-        if segment_prune and algo not in ("bmw", "exhaustive"):
+        if segment_prune and msm == 1 and algo not in ("bmw", "exhaustive"):
             pruned = self._two_phase_segment_prune(
                 rows, score_segment, terms_sorted, mode_u, k,
                 auto=auto_prune, avgdl=avgdl,

@@ -326,7 +326,12 @@ class LocalSearcher:
         return bounds, present
 
     def search(
-        self, terms: list[str], mode: str = "OR", k: int = 10, algo: str = "auto"
+        self,
+        terms: list[str],
+        mode: str = "OR",
+        k: int = 10,
+        algo: str = "auto",
+        min_should_match: int = 1,
     ) -> list[tuple[int, float]]:
         """Top-k BM25 → [(doc_id, score)] by (score desc, doc_id asc).
         Identical accumulation order to IndexSearcher → bit-identical.
@@ -344,11 +349,38 @@ class LocalSearcher:
         terms_sorted = sorted(set(terms))
         dfs = self.global_dfs(terms_sorted)
         mode_u = mode.upper()
+        msm = int(min_should_match)
+        if msm > 1 and mode_u != "OR":
+            raise ValueError("min_should_match applies to OR queries only")
         self.last_segments_skipped = 0
         if not dfs or (mode_u == "AND" and any(t not in dfs for t in terms_sorted)):
             return []
         idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
         avgdl = field_avgdl_map(self.manifest, terms_sorted)
+
+        if msm > 1:
+            from .bm25 import _msm_scores
+
+            rows = self._rows_for(terms_sorted)
+            acc_d = np.array([], np.int64)
+            acc_s = np.array([], np.float64)
+            for seg in sorted({s for m in rows.values() for s in m}):
+                postings = {
+                    t: self._decode_cached(t, seg, rows[t][seg].blob)
+                    for t in terms_sorted
+                    if seg in rows.get(t, {})
+                }
+                postings = _mask_deleted(postings, self._deletes.get(seg))
+                docs, scores = _msm_scores(
+                    postings, terms_sorted, idf, avgdl, msm
+                )
+                if docs.size:
+                    acc_d, acc_s = _topk(
+                        np.concatenate([acc_d, docs]),
+                        np.concatenate([acc_s, scores]),
+                        k,
+                    )
+            return list(zip(acc_d.tolist(), acc_s.tolist()))
 
         cols = ["term", "segment", "df", "blob", "block_last", "block_max_tf", "block_min_dl", "block_off"]
         if algo in ("auto", "maxscore") or (

@@ -138,3 +138,37 @@ def test_more_like_this_parity(spark, small_index, small_oracle):
         LocalSearcher(index_dir).more_like_this(like, k=15, max_query_terms=8)
         == expected
     )
+
+
+def test_min_should_match(spark, small_index, small_oracle):
+    """msm=2 of 3 OR terms: docs with >=2 matches, disjunctive scores;
+    msm=1 == plain OR; msm=n == AND; parity across searchers."""
+    index_dir, _ = small_index
+    oracle, _ = small_oracle
+    terms = ["the", "of", "term0042"]
+    full = dict(oracle.topk(terms, "OR", 10_000))
+    counts = {
+        d: sum(1 for t in terms if t in tk)
+        for d, tk in oracle.doc_tokens.items()
+    }
+    expected = sorted(
+        ((d, s) for d, s in full.items() if counts[d] >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:15]
+    ls = LocalSearcher(index_dir)
+    assert ls.search(terms, "OR", 15, min_should_match=2) == expected
+    s = IndexSearcher(spark, index_dir)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.search(terms, "OR", 15, min_should_match=2).collect()
+    ]
+    assert got == expected
+    # boundary identities
+    assert ls.search(terms, "OR", 15, min_should_match=1) == ls.search(
+        terms, "OR", 15
+    )
+    assert ls.search(terms, "OR", 15, min_should_match=3) == ls.search(
+        terms, "AND", 15
+    )
+    with pytest.raises(ValueError, match="OR"):
+        ls.search(terms, "AND", 5, min_should_match=2)
