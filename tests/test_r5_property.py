@@ -1,0 +1,134 @@
+"""Property-based checks (hypothesis) for the round-5 pure kernels:
+Levenshtein, best-window selection, snippet assembly, and the
+minimum_should_match scorer — each against a brute-force reference."""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hail_elasticsearch_pipelines_spark.functions.snippets import (
+    best_window,
+    py_highlight,
+)
+from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+    _msm_scores,
+    py_levenshtein,
+)
+
+WORDS = st.text(alphabet="ab1", min_size=0, max_size=7)
+
+
+def _lev_ref(a: str, b: str) -> int:
+    @lru_cache(maxsize=None)
+    def d(i: int, j: int) -> int:
+        if i == 0:
+            return j
+        if j == 0:
+            return i
+        return min(
+            d(i - 1, j) + 1,
+            d(i, j - 1) + 1,
+            d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+        )
+
+    return d(len(a), len(b))
+
+
+@settings(max_examples=300, deadline=None)
+@given(WORDS, WORDS)
+def test_levenshtein_matches_reference(a, b):
+    assert py_levenshtein(a, b) == _lev_ref(a, b)
+    assert py_levenshtein(a, b) == py_levenshtein(b, a)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 400), min_size=0, max_size=12),
+    st.integers(1, 60),
+)
+def test_best_window_matches_bruteforce(starts, window):
+    spans = sorted((s, s + 3, "t") for s in set(starts))
+
+    def count(i):
+        return sum(
+            1 for j in range(i, len(spans)) if spans[j][1] - spans[i][0] <= window
+        )
+
+    got_i, got_j = best_window(spans, window)
+    got = got_j - got_i
+    best = max((count(i) for i in range(len(spans))), default=0)
+    assert got == best
+    # earliest tie: no earlier start achieves the same count
+    for i in range(got_i):
+        assert count(i) < got or spans[i][0] >= spans[got_i][0]
+
+
+TOKENS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "xx", "needle", "y7"]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(TOKENS, st.integers(10, 200))
+def test_highlight_invariants(tokens, window):
+    text = " ".join(tokens)
+    terms = {"needle", "beta"}
+    snippet, n = py_highlight(text, terms, window_chars=window)
+    expected_total = sum(1 for t in tokens if t in terms)
+    if expected_total == 0:
+        assert snippet is None and n == 0
+        return
+    assert 1 <= n <= expected_total
+    assert snippet.count("<em>") == snippet.count("</em>") >= n
+    # stripping tags and ellipses yields a contiguous slice of the text
+    body = snippet.strip("…").replace("<em>", "").replace("</em>", "")
+    assert body in text
+    # every tagged token is a query term
+    import re
+
+    for m in re.finditer(r"<em>(.*?)</em>", snippet):
+        assert m.group(1) in terms
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.lists(st.integers(0, 30), min_size=1, max_size=10),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(1, 4),
+)
+def test_msm_scores_matches_bruteforce(doc_lists, msm):
+    postings = {}
+    for t, docs in doc_lists.items():
+        d = np.unique(np.asarray(docs, np.int64))
+        postings[t] = (d, np.ones(d.size, np.int64), np.full(d.size, 5, np.int64))
+    terms = sorted(postings)
+    idf = {t: 1.0 + i for i, t in enumerate(terms)}
+    docs, scores = _msm_scores(postings, terms, idf, 5.0, msm)
+    # brute force
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for t in terms:
+        for dd in postings[t][0].tolist():
+            per_doc[dd].append(t)
+    keep = sorted(d for d, ts in per_doc.items() if len(ts) >= msm)
+    assert docs.tolist() == keep
+    from hail_elasticsearch_pipelines_spark.operators.index_build import (
+        bm25_tf_weight,
+    )
+
+    w = float(
+        bm25_tf_weight(np.array([1], np.int64), np.array([5], np.int64), 5.0)[0]
+    )
+    for dd, s in zip(docs.tolist(), scores.tolist()):
+        assert s == sum(idf[t] * w for t in sorted(per_doc[dd]))
