@@ -82,16 +82,24 @@ class IndexCatalog:
     def swap(self, name: str, new_dir: str) -> str:
         """Atomically repoint ``name`` → ``new_dir``; returns the OLD
         directory (still intact — callers GC it after their searchers
-        reload, never at swap time)."""
+        reload, never at swap time).  The read-modify-write runs under
+        a kernel flock so concurrent swappers serialize instead of
+        losing a history entry (same discipline as the maintenance
+        single-writer lock)."""
+        import fcntl
+
         if not os.path.exists(os.path.join(new_dir, "manifest.json")):
             raise FileNotFoundError(
                 f"{new_dir} has no manifest.json — not a published index"
             )
-        entry = self._read(name)
-        old = entry["index_dir"]
-        entry["history"] = (entry.get("history") or []) + [old]
-        entry["index_dir"] = os.path.abspath(new_dir)
-        self._write_atomic(name, entry)
+        lock_path = os.path.join(self.root, ".catalog.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            entry = self._read(name)
+            old = entry["index_dir"]
+            entry["history"] = (entry.get("history") or []) + [old]
+            entry["index_dir"] = os.path.abspath(new_dir)
+            self._write_atomic(name, entry)
         return old
 
     def list_indexes(self) -> dict[str, str]:

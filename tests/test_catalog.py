@@ -71,3 +71,39 @@ def test_reindex_swap_blue_green(spark, tmp_path):
     # swap to a non-index path refuses
     with pytest.raises(FileNotFoundError):
         cat.swap("web", str(tmp_path / "nothing"))
+
+
+def test_concurrent_swaps_keep_full_history(small_index, tmp_path):
+    """Two threads swapping the same name serialize under the catalog
+    flock: both swaps land and the history holds every prior dir."""
+    import shutil
+    import threading
+
+    index_dir, _ = small_index
+    cat = IndexCatalog(str(tmp_path / "cat"))
+    dirs = []
+    for i in range(3):
+        d = str(tmp_path / f"idx{i}")
+        shutil.copytree(index_dir, d)
+        dirs.append(d)
+    cat.register("web", dirs[0])
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def swapper(d):
+        try:
+            barrier.wait()
+            cat.swap("web", d)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=swapper, args=(d,)) for d in dirs[1:]]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    entry_hist = cat._read("web")["history"]
+    # both swaps recorded: initial dir + the loser of the race
+    assert len(entry_hist) == 2
+    assert cat.resolve("web") in (os.path.abspath(d) for d in dirs[1:])
