@@ -2166,6 +2166,63 @@ class IndexSearcher:
             F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_hits")
         )
 
+    # ---- doc-value queries (operators/docvalues.py): range filters,
+    # sort-by-field, and field aggregations over the doclens sidecar ----
+
+    def matched_ids(self, query, mode: str = "OR") -> DataFrame:
+        """DataFrame(doc_id) of live matching docs; query=None =
+        match_all."""
+        from . import docvalues as dv
+
+        return dv.matched_ids(self, query, mode)
+
+    def search_sorted(
+        self, query, by: str, ascending: bool = False, k: int = 10,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """ES sort-by-field (see docvalues.search_sorted)."""
+        from . import docvalues as dv
+
+        return dv.search_sorted(self, query, by, ascending, k, mode)
+
+    def search_range(
+        self, query, field: str, lo=None, hi=None, mode: str = "OR",
+        k: int = 10,
+    ) -> DataFrame:
+        """BM25 top-k with a range filter clause (see
+        docvalues.search_range)."""
+        from . import docvalues as dv
+
+        return dv.search_range(self, query, field, lo, hi, mode, k)
+
+    def search_value_histogram(
+        self, query, field: str, interval, mode: str = "OR"
+    ) -> DataFrame:
+        """ES histogram / date_histogram on a doc-value field (see
+        docvalues.search_value_histogram)."""
+        from . import docvalues as dv
+
+        return dv.search_value_histogram(self, query, field, interval, mode)
+
+    def search_cardinality(
+        self, query, field: str, mode: str = "OR", exact: bool = True,
+        rsd: float = 0.05,
+    ) -> DataFrame:
+        """ES cardinality aggregation (see
+        docvalues.search_cardinality)."""
+        from . import docvalues as dv
+
+        return dv.search_cardinality(self, query, field, mode, exact, rsd)
+
+    def significant_terms(
+        self, query, field: str, size: int = 10, mode: str = "OR"
+    ) -> DataFrame:
+        """ES significant_terms on a doc-value field (see
+        docvalues.significant_terms)."""
+        from . import docvalues as dv
+
+        return dv.significant_terms(self, query, field, size, mode)
+
     EXPLAIN_SCHEMA = T.StructType(
         [
             T.StructField("term", T.StringType(), False),

@@ -1,0 +1,394 @@
+"""Doc-value queries: range filters, sort-by-field, and field
+aggregations over the doclens sidecar.
+
+The reference exports per-field ES mappings with date/numeric fields
+(hail_scripts/v02/utils/elasticsearch_utils.py:38-77) and seqr then
+issues range filters, field sorts, and aggregations against them
+(hail_scripts/v02/utils/elasticsearch_client.py:106-177).  ES serves
+those from BKD trees + columnar doc values; the Spark-first analog is
+the doclens table itself: columnar parquet keyed by ``doc_id``, so
+
+* a (doc_id, field) projection reads exactly two columns
+  (``ReadSchema`` pruning),
+* a range predicate reaches the scan as a ``PushedFilter`` and prunes
+  whole row groups via parquet min/max stats — the BKD-tree role,
+* the crawl timestamp ``warc_ts`` (BASELINE input_hint) is stored as a
+  doc value at build time (format v6), making recency sorts and
+  date-range filters first-class.
+
+Scoring contract: a range filter is ES *filter context* — it never
+changes BM25 scores (idf stays global), it only restricts which docs
+may enter the top-k.  All filtered paths reuse the exhaustive
+``_msm_scores`` kernel, so scores are bit-identical to the unfiltered
+scorers for the docs that survive the filter.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import codecs
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .bm25 import IndexSearcher
+
+
+class DocValueError(ValueError):
+    """Unknown or non-doc-value field requested."""
+
+
+MATCHED_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+
+# calendar units supported for timestamp bucketing (shared by the
+# distributed date_trunc path, the serving numpy path, and the DuckDB
+# oracle — all three truncate identically)
+CALENDAR_UNITS = ("hour", "day", "week", "month")
+
+
+def segment_expr(doc_id_col, dpp: int, seg_group: int):
+    """segment = (doc_id // dpp) // seg_group, JVM-side (the packing
+    rule of plans/maintenance._segment_col — duplicated here so the
+    query side never imports the maintenance plan)."""
+    return (
+        F.floor(F.floor(doc_id_col / F.lit(dpp)) / F.lit(seg_group))
+    ).cast("int")
+
+
+def _seg_params(manifest: dict) -> tuple[int, int]:
+    g, p = manifest["globals"], manifest["params"]
+    return int(g["docs_per_part"]), int(p["seg_group"])
+
+
+def doclens_df(searcher: "IndexSearcher") -> DataFrame:
+    """The pinned snapshot's doclens table (generation-resolved path
+    captured at searcher construction)."""
+    return searcher.spark.read.parquet(searcher._doclens_path)
+
+
+def check_field(searcher: "IndexSearcher", field: str, cols) -> None:
+    if field not in cols:
+        raise DocValueError(
+            f"{field!r} is not a doc-value field of this index "
+            f"(doclens columns: {sorted(c for c in cols if c != 'doc_id')}); "
+            "stored fields and warc_ts (format v6+) are doc values"
+        )
+
+
+def _all_dead_ids(searcher: "IndexSearcher") -> np.ndarray:
+    """Every tombstoned doc id at the searcher's pinned epoch, as one
+    sorted array.  Tombstone volume is bounded by deleted-not-yet-
+    compacted docs (compaction strips them), so driver-side assembly is
+    the ES deleted-docs-bitmap analog, not a data-scale collect."""
+    from .bm25 import load_deletes
+
+    dead = load_deletes(
+        searcher.index_dir,
+        epoch=searcher._deletes_epoch,
+        manifest=searcher.manifest,
+    )
+    if not dead:
+        return np.array([], np.int64)
+    return np.unique(np.concatenate(list(dead.values())))
+
+
+def matched_ids(
+    searcher: "IndexSearcher",
+    query: "list[str] | str | None",
+    mode: str = "OR",
+) -> DataFrame:
+    """DataFrame(doc_id) of live docs matching ``query`` (term list
+    with OR/AND, boolean string with mode="BOOL", or ``None`` =
+    match_all).  Per-segment tasks decode only doc-id streams and emit
+    matched ids — the doc-value aggregation front half."""
+    from ..functions import boolquery as bq
+    from .bm25 import _check_unique_terms, _match_docs
+
+    spark = searcher.spark
+    if query is None:
+        # match_all: every live doclens id (deletes anti-joined; the
+        # tombstone side is small by construction — see _all_dead_ids)
+        live = doclens_df(searcher).select("doc_id")
+        dead = _all_dead_ids(searcher)
+        if dead.size:
+            dead_df = spark.createDataFrame(
+                [(int(d),) for d in dead.tolist()], MATCHED_SCHEMA
+            )
+            live = live.join(F.broadcast(dead_df), "doc_id", "left_anti")
+        return live
+    ast, qterms = searcher._query_ast_terms(query, mode.upper())
+    if not qterms:
+        return spark.createDataFrame([], MATCHED_SCHEMA)
+    rows = searcher._term_rows(qterms).select("segment", "term", "blob")
+    get_deletes = searcher._segment_deletes_fn()
+    mode_u = mode.upper()
+
+    def ids_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame({"doc_id": []})
+        _check_unique_terms(pdf)
+        dead = get_deletes(pdf["segment"].iloc[0])
+        qdocs = {
+            r.term: codecs.decode_postings(bytes(r.blob))[0]
+            for r in pdf.itertuples()
+        }
+        matches = _match_docs(qdocs, qterms, mode_u, ast)
+        if dead is not None and dead.size and matches.size:
+            matches = matches[~np.isin(matches, dead, assume_unique=True)]
+        return pd.DataFrame({"doc_id": matches})
+
+    return rows.groupBy("segment").applyInPandas(ids_segment, MATCHED_SCHEMA)
+
+
+def _matched_values(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    mode: str,
+) -> DataFrame:
+    """(doc_id, <field>) for every matching live doc — matched ids
+    joined to the two-column doclens projection.  The join shuffles on
+    the long doc_id key; AQE broadcasts the matched side when the query
+    is selective."""
+    dl = doclens_df(searcher)
+    check_field(searcher, field, dl.columns)
+    return matched_ids(searcher, query, mode).join(
+        dl.select("doc_id", field), "doc_id"
+    )
+
+
+def search_sorted(
+    searcher: "IndexSearcher",
+    query,
+    by: str,
+    ascending: bool = False,
+    k: int = 10,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES sort-by-field: top-k matching docs ordered by a doc-value
+    field instead of BM25 score — DataFrame(doc_id, <by>) with
+    deterministic (value, doc_id asc) order.  ``query=None`` sorts the
+    whole live index (recency listing).  Catalyst turns orderBy+limit
+    into TakeOrderedAndProject: per-partition heaps, no full sort."""
+    mv = _matched_values(searcher, query, by, mode)
+    order = [
+        F.col(by).asc() if ascending else F.col(by).desc(),
+        F.col("doc_id").asc(),
+    ]
+    return mv.orderBy(*order).limit(int(k)).select("doc_id", by)
+
+
+def search_range(
+    searcher: "IndexSearcher",
+    query: "list[str] | str",
+    field: str,
+    lo=None,
+    hi=None,
+    mode: str = "OR",
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k restricted to docs whose doc-value ``field`` falls in
+    [lo, hi] (either bound may be None) — the ES bool query with a
+    ``range`` filter clause.  Filter context: scores are bit-identical
+    to the unfiltered searcher for surviving docs.
+
+    Plan: the range predicate is pushed into the doclens parquet scan
+    (row-group min/max pruning — the BKD analog), the allowed ids are
+    cogrouped with the query terms' posting rows by segment, and each
+    segment task scores exhaustively then masks — no driver-side
+    materialization of the allowed set."""
+    from .bm25 import (
+        RESULT_SCHEMA,
+        _check_unique_terms,
+        _msm_scores,
+        _topk,
+        bm25_idf,
+        field_avgdl_map,
+    )
+
+    if lo is None and hi is None:
+        raise DocValueError("range filter needs at least one bound")
+    mode_u = mode.upper()
+    if mode_u not in ("OR", "AND"):
+        raise ValueError("search_range supports OR/AND term queries")
+    qterms = sorted(set(query))
+    spark = searcher.spark
+    if not qterms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    dl = doclens_df(searcher)
+    check_field(searcher, field, dl.columns)
+    pred = None
+    if lo is not None:
+        pred = F.col(field) >= F.lit(lo)
+    if hi is not None:
+        p2 = F.col(field) <= F.lit(hi)
+        pred = p2 if pred is None else (pred & p2)
+    dpp, seg_group = _seg_params(searcher.manifest)
+    allowed = dl.filter(pred).select(
+        segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
+        "doc_id",
+    )
+    rows = searcher._rows_with_global_df(qterms)
+    if rows is None:  # legacy index without a termdict
+        dfs = searcher.global_dfs(qterms)
+        if not dfs or (mode_u == "AND" and any(t not in dfs for t in qterms)):
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        rows = (
+            searcher._term_rows(qterms)
+            .select(*searcher.SCORING_COLS)
+            .withColumn(
+                "df_global",
+                F.create_map(
+                    *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
+                )[F.col("term")],
+            )
+        )
+    rows = rows.select("segment", "term", "blob", "df_global")
+    n_docs = searcher.n_docs
+    avgdl = field_avgdl_map(searcher.manifest, qterms)
+    get_deletes = searcher._segment_deletes_fn()
+    msm = len(qterms) if mode_u == "AND" else 1
+
+    def score_segment(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        _check_unique_terms(left)
+        seg = int(key[0])
+        dead = get_deletes(seg)
+        idf = {
+            t: bm25_idf(n_docs, int(d))
+            for t, d in zip(left["term"], left["df_global"])
+        }
+        postings = {
+            r.term: codecs.decode_postings(bytes(r.blob))
+            for r in left.itertuples()
+        }
+        docs, scores = _msm_scores(postings, qterms, idf, avgdl, msm)
+        if not docs.size:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        allowed_ids = np.sort(right["doc_id"].to_numpy(np.int64))
+        keep = np.isin(docs, allowed_ids, assume_unique=True)
+        if dead is not None and dead.size:
+            keep &= ~np.isin(docs, dead, assume_unique=True)
+        docs, scores = _topk(docs[keep], scores[keep], k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    partials = (
+        rows.groupBy("segment")
+        .cogroup(allowed.groupBy("segment"))
+        .applyInPandas(score_segment, RESULT_SCHEMA)
+    )
+    return partials.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        int(k)
+    )
+
+
+def _bucket_expr(field_col, interval, is_time: bool):
+    if is_time:
+        if interval not in CALENDAR_UNITS:
+            raise DocValueError(
+                f"timestamp bucketing takes a calendar unit {CALENDAR_UNITS}, "
+                f"got {interval!r}"
+            )
+        return F.date_trunc(interval, field_col)
+    iv = int(interval)
+    if iv <= 0:
+        raise DocValueError("numeric interval must be a positive int")
+    return (F.floor(field_col / F.lit(iv)) * F.lit(iv)).cast("long")
+
+
+def search_value_histogram(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    interval,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``histogram`` / ``date_histogram`` over a doc-value field:
+    per bucket, the count of matching live docs — DataFrame(bucket,
+    doc_count) sorted by bucket.  ``interval`` is a calendar unit
+    ("hour"/"day"/"week"/"month") for timestamp fields, a positive int
+    width for numeric fields.  ``query=None`` = the whole live index
+    (crawl-volume-over-time dashboards)."""
+    mv = _matched_values(searcher, query, field, mode)
+    is_time = isinstance(mv.schema[field].dataType, (T.TimestampType, T.DateType))
+    return (
+        mv.select(_bucket_expr(F.col(field), interval, is_time).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def search_cardinality(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    mode: str = "OR",
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """ES ``cardinality`` aggregation: distinct doc-value count among
+    matching live docs — one row (n_values).  ``exact=False`` switches
+    to the HLL++ sketch (approx_count_distinct, relative error ``rsd``)
+    — the ES default, and the only sane mode at 10^12 docs where an
+    exact distinct would shuffle every value; exact mode stays for
+    small fields and the correctness oracle."""
+    mv = _matched_values(searcher, query, field, mode)
+    agg = (
+        F.countDistinct(F.col(field))
+        if exact
+        else F.approx_count_distinct(F.col(field), rsd)
+    )
+    return mv.agg(agg.cast("long").alias("n_values"))
+
+
+def significant_terms(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    size: int = 10,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``significant_terms`` on a doc-value field: values
+    over-represented in the query's matches (foreground) vs the whole
+    live index (background), scored by relative-frequency lift
+    ``(fg/fg_total) / (bg/bg_total)`` (ES offers several heuristics;
+    lift is its percentage-score mode) — DataFrame(value, fg_count,
+    bg_count, lift) by (lift desc, value asc), ``size`` rows.  Two
+    small aggregations joined on the value: the background side is
+    query-independent and cacheable."""
+    mv = _matched_values(searcher, query, field, mode)
+    fg = mv.groupBy(F.col(field).alias("value")).agg(
+        F.count("*").alias("fg_count")
+    )
+    bg = (
+        _matched_values(searcher, None, field, mode)
+        .groupBy(F.col(field).alias("value"))
+        .agg(F.count("*").alias("bg_count"))
+    )
+    totals = F.broadcast(
+        fg.agg(F.sum("fg_count").alias("fg_total")).crossJoin(
+            bg.agg(F.sum("bg_count").alias("bg_total"))
+        )
+    )
+    return (
+        fg.join(bg, "value")
+        .crossJoin(totals)
+        .select(
+            "value",
+            "fg_count",
+            "bg_count",
+            (
+                (F.col("fg_count") / F.col("fg_total"))
+                / (F.col("bg_count") / F.col("bg_total"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("value").asc())
+        .limit(int(size))
+    )

@@ -238,10 +238,16 @@ def docs_with_ids(
     meta_cols: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
     """Dense doc_id in url order + doc_len (BM25 `dl`).  Carries the
-    field manifest's metadata columns (facet + stored) through."""
+    field manifest's metadata columns (facet + stored) through, plus
+    ``warc_ts`` (the crawl timestamp becomes a doc value in doclens —
+    the ES ``date``-field analog for range filters / recency sorts)."""
     if meta_cols is None:
         meta_cols = [f for f in DEFAULT_FACET_FIELDS if f in normalized.columns]
-    keep = ["url", "text"] + [c for c in meta_cols if c in normalized.columns]
+    keep = ["url", "text"] + [
+        c
+        for c in [*meta_cols, "warc_ts"]
+        if c in normalized.columns and c not in ("url", "text")
+    ]
     return assign_dense_ids(
         normalized.select(*keep), key="url", num_partitions=num_partitions
     ).withColumn("doc_len", token_count_col("text"))
@@ -263,7 +269,11 @@ def docs_with_ids_fused(
         extracted, key="url", ts="warc_ts", tiebreak="text",
         num_partitions=num_partitions,
     )
-    keep = ["doc_id", "url", "text"] + [c for c in meta_cols if c in ided.columns]
+    keep = ["doc_id", "url", "text"] + [
+        c
+        for c in [*meta_cols, "warc_ts"]
+        if c in ided.columns and c not in ("doc_id", "url", "text")
+    ]
     return ided.select(*keep).withColumn("doc_len", token_count_col("text"))
 
 

@@ -148,6 +148,15 @@ class LocalSearcher:
         self._rows_cache: dict[str, dict[int, _CacheRow]] = {}
         self._rows_cache_bytes = 0
         self._rows_cache_cap = 512 * 1024 * 1024
+        # doc-values cache: field → (doc_id sorted asc, values aligned)
+        # — the ES in-memory doc-values/fielddata analog.  One columnar
+        # two-column doclens read per field, then every sort / range
+        # filter / aggregation is a numpy lookup.  Pinned to this
+        # snapshot; reload() drops it.
+        self._doclens_path = table_path(self.index_dir, "doclens", self.manifest)
+        self._dv_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._dv_cache_bytes = 0
+        self._dv_cache_cap = 256 * 1024 * 1024
 
     def reload(self) -> bool:
         """Advance a long-lived serving process to the latest published
@@ -981,6 +990,205 @@ class LocalSearcher:
             for bb, cc in zip(b.tolist(), c.tolist()):
                 acc[int(bb)] = acc.get(int(bb), 0) + int(cc)
         return sorted(acc.items())
+
+    # ---- doc-value queries: serving twins of the docvalues.py ops ----
+
+    def _docvalues(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids sorted asc, aligned values) for one doc-value field
+        — a two-column columnar doclens read, cached."""
+        hit = self._dv_cache.get(field)
+        if hit is not None:
+            return hit
+        import pyarrow.dataset as _ds
+
+        from .docvalues import DocValueError
+
+        dset = _ds.dataset(self._doclens_path, format="parquet")
+        if field not in dset.schema.names:
+            raise DocValueError(
+                f"{field!r} is not a doc-value field of this index "
+                f"(doclens columns: {sorted(n for n in dset.schema.names if n != 'doc_id')})"
+            )
+        tbl = dset.to_table(columns=["doc_id", field])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        vals = tbl[field].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        out = (ids[order], vals[order])
+        nbytes = out[0].nbytes + getattr(out[1], "nbytes", len(out[1]) * 8)
+        if self._dv_cache_bytes + nbytes > self._dv_cache_cap:
+            self._dv_cache.clear()
+            self._dv_cache_bytes = 0
+        self._dv_cache[field] = out
+        self._dv_cache_bytes += nbytes
+        return out
+
+    def matched_ids(self, query=None, mode: str = "OR") -> np.ndarray:
+        """Sorted live doc ids matching the query; None = match_all."""
+        if query is None:
+            ids, _ = self._docvalues("doc_len")
+            dead_all = [d for d in self._deletes.values() if d is not None and d.size]
+            if dead_all:
+                dead = np.unique(np.concatenate(dead_all))
+                ids = ids[~np.isin(ids, dead, assume_unique=True)]
+            return ids
+        parts = [m for m, _dls in self._segment_match_dls(query, mode) or ()]
+        if not parts:
+            return np.array([], np.int64)
+        return np.concatenate(parts)  # segments hold disjoint id ranges
+
+    def _dv_lookup(self, field: str, ids: np.ndarray) -> np.ndarray:
+        all_ids, vals = self._docvalues(field)
+        idx = np.searchsorted(all_ids, ids)
+        return vals[idx]
+
+    def search_sorted(
+        self, query, by: str, ascending: bool = False, k: int = 10,
+        mode: str = "OR",
+    ) -> list[tuple]:
+        """ES sort-by-field — serving twin of IndexSearcher.search_sorted:
+        [(doc_id, value)] ordered by (value asc/desc, doc_id asc)."""
+        import pandas as pd
+
+        ids = np.sort(self.matched_ids(query, mode))
+        if not ids.size:
+            return []
+        vals = self._dv_lookup(by, ids)
+        df = pd.DataFrame({"doc_id": ids, "v": vals}).sort_values(
+            ["v", "doc_id"], ascending=[ascending, True], kind="mergesort"
+        ).head(int(k))
+        return list(zip(df["doc_id"].tolist(), df["v"].tolist()))
+
+    def search_range(
+        self, query, field: str, lo=None, hi=None, mode: str = "OR",
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k with a range filter clause — serving twin of
+        docvalues.search_range, bit-identical scores (same exhaustive
+        _msm_scores kernel, same global idf/avgdl, filter context)."""
+        from .bm25 import _msm_scores
+        from .docvalues import DocValueError
+
+        if lo is None and hi is None:
+            raise DocValueError("range filter needs at least one bound")
+        mode_u = mode.upper()
+        if mode_u not in ("OR", "AND"):
+            raise ValueError("search_range supports OR/AND term queries")
+        qterms = sorted(set(query))
+        if not qterms:
+            return []
+        all_ids, vals = self._docvalues(field)
+        if np.issubdtype(vals.dtype, np.datetime64):
+            import pandas as pd
+
+            lo = None if lo is None else np.datetime64(pd.Timestamp(lo))
+            hi = None if hi is None else np.datetime64(pd.Timestamp(hi))
+        keep = np.ones(len(all_ids), dtype=bool)
+        if lo is not None:
+            keep &= vals >= lo
+        if hi is not None:
+            keep &= vals <= hi
+        allowed = all_ids[keep]
+        if not allowed.size:
+            return []
+        dfs = self.global_dfs(qterms)
+        if not dfs or (mode_u == "AND" and any(t not in dfs for t in qterms)):
+            return []
+        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        avgdl = field_avgdl_map(self.manifest, qterms)
+        msm = len(qterms) if mode_u == "AND" else 1
+        rows = self._rows_for(qterms)
+        acc_d, acc_s = [], []
+        for seg in sorted({s for m in rows.values() for s in m}):
+            postings = {
+                t: self._decode_cached(t, seg, rows[t][seg].blob)
+                for t in qterms
+                if seg in rows.get(t, {})
+            }
+            docs, scores = _msm_scores(postings, qterms, idf, avgdl, msm)
+            if not docs.size:
+                continue
+            m = np.isin(docs, allowed, assume_unique=True)
+            dead = self._deletes.get(seg)
+            if dead is not None and dead.size:
+                m &= ~np.isin(docs, dead, assume_unique=True)
+            acc_d.append(docs[m])
+            acc_s.append(scores[m])
+        if not acc_d:
+            return []
+        docs, scores = _topk(np.concatenate(acc_d), np.concatenate(acc_s), k)
+        return list(zip(docs.tolist(), scores.tolist()))
+
+    @staticmethod
+    def _trunc_time(vals: np.ndarray, unit: str) -> np.ndarray:
+        """Calendar truncation matching Spark date_trunc: hour/day are
+        floors, week is the preceding Monday 00:00, month the 1st."""
+        import pandas as pd
+
+        s = pd.Series(vals)
+        if unit == "hour":
+            return s.dt.floor("h").to_numpy()
+        if unit == "day":
+            return s.dt.normalize().to_numpy()
+        if unit == "week":
+            d = s.dt.normalize()
+            return (d - pd.to_timedelta(d.dt.weekday, unit="D")).to_numpy()
+        if unit == "month":
+            return s.dt.normalize().to_numpy().astype("datetime64[M]").astype("datetime64[us]")
+        from .docvalues import CALENDAR_UNITS, DocValueError
+
+        raise DocValueError(
+            f"timestamp bucketing takes a calendar unit {CALENDAR_UNITS}, got {unit!r}"
+        )
+
+    def search_value_histogram(
+        self, query, field: str, interval, mode: str = "OR"
+    ) -> list[tuple]:
+        """Histogram / date_histogram on a doc-value field — serving
+        twin: [(bucket, doc_count)] sorted by bucket."""
+        from .docvalues import DocValueError
+
+        ids = self.matched_ids(query, mode)
+        if not ids.size:
+            return []
+        vals = self._dv_lookup(field, np.sort(ids))
+        if np.issubdtype(vals.dtype, np.datetime64):
+            buckets = self._trunc_time(vals, interval)
+        else:
+            iv = int(interval)
+            if iv <= 0:
+                raise DocValueError("numeric interval must be a positive int")
+            buckets = vals.astype(np.int64) // iv * iv
+        b, c = np.unique(buckets, return_counts=True)
+        return list(zip(b.tolist(), c.tolist()))
+
+    def search_cardinality(self, query, field: str, mode: str = "OR") -> int:
+        """Exact distinct doc-value count among matching live docs."""
+        ids = self.matched_ids(query, mode)
+        if not ids.size:
+            return 0
+        return int(len(np.unique(self._dv_lookup(field, np.sort(ids)))))
+
+    def significant_terms(
+        self, query, field: str, size: int = 10, mode: str = "OR"
+    ) -> list[tuple]:
+        """significant_terms by relative-frequency lift — serving twin:
+        [(value, fg_count, bg_count, lift)] by (lift desc, value asc)."""
+        fg_ids = np.sort(self.matched_ids(query, mode))
+        if not fg_ids.size:
+            return []
+        bg_ids = self.matched_ids(None)
+        fg_v, fg_c = np.unique(self._dv_lookup(field, fg_ids), return_counts=True)
+        bg_v, bg_c = np.unique(self._dv_lookup(field, bg_ids), return_counts=True)
+        bg_map = dict(zip(bg_v.tolist(), bg_c.tolist()))
+        fg_total, bg_total = int(fg_c.sum()), int(bg_c.sum())
+        out = []
+        for v, c in zip(fg_v.tolist(), fg_c.tolist()):
+            bc = bg_map.get(v)
+            if bc is None:
+                continue
+            out.append((v, int(c), int(bc), (c / fg_total) / (bc / bg_total)))
+        out.sort(key=lambda r: (-r[3], r[0]))
+        return out[: int(size)]
 
     def more_like_this(
         self,

@@ -700,7 +700,15 @@ def _extend_index_locked(
                 postings_path
             )
             stored = [c for c in stored_fields if c in docs.columns]
-            docs.select("doc_id", "url", "doc_len", *stored).write.mode(
+            # append must match the EXISTING doclens schema: a pre-v6
+            # index has no warc_ts column and plain (non-mergeSchema)
+            # parquet reads take the first file's schema
+            dv = (
+                ["warc_ts"]
+                if "warc_ts" in existing.columns and "warc_ts" in docs.columns
+                else []
+            )
+            docs.select("doc_id", "url", "doc_len", *stored, *dv).write.mode(
                 "append"
             ).parquet(doclens_path)
             # incremental: fold ONLY the new batch into the termdict —

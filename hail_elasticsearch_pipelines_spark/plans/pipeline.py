@@ -49,7 +49,7 @@ from . import sizing
 
 # bump when the on-disk postings schema changes (readers refuse or
 # rebuild on mismatch — the ES index-version analog)
-INDEX_FORMAT_VERSION = 5  # v5: __dlen_{2^k}__ bucket facet tokens indexed
+INDEX_FORMAT_VERSION = 6  # v6: doclens carries warc_ts doc values
 
 
 def _write_termdict(
@@ -415,7 +415,11 @@ class IndexBuildPipeline:
 
         docs = self.spark.read.parquet(self._p("stages", "docs"))
         stored = [c for c in self.stored_fields if c in docs.columns]
-        docs.select("doc_id", "url", "doc_len", *stored).write.mode(
+        # warc_ts rides doclens as a doc value (ES date-field analog):
+        # range filters and recency sorts read it columnar with parquet
+        # min/max row-group pruning — the BKD-tree role
+        dv = ["warc_ts"] if "warc_ts" in docs.columns else []
+        docs.select("doc_id", "url", "doc_len", *stored, *dv).write.mode(
             "overwrite"
         ).parquet(self._p("doclens"))
 

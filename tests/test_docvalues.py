@@ -1,0 +1,225 @@
+"""Doc-value queries: range filters, sort-by-field, field aggregations
+(operators/docvalues.py + the LocalSearcher twins).
+
+Reference analog: ES date/numeric fields in the export mapping
+(hail_scripts/v02/utils/elasticsearch_utils.py:38-77) and seqr's
+range/sort/aggregation queries against them."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+from hail_elasticsearch_pipelines_spark.operators.docvalues import DocValueError
+from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+Q = ["term0020", "term0025"]
+
+
+@pytest.fixture(scope="module")
+def searchers(spark, small_index):
+    out, _m = small_index
+    return IndexSearcher(spark, out), LocalSearcher(out)
+
+
+def _ts(v):
+    return pd.Timestamp(v).to_pydatetime()
+
+
+def test_doclens_carries_warc_ts(spark, small_index):
+    out, m = small_index
+    from hail_elasticsearch_pipelines_spark import layout
+
+    dl = spark.read.parquet(layout.table_path(out, "doclens", m))
+    assert "warc_ts" in dl.columns
+    assert dl.filter("warc_ts is null").count() == 0
+
+
+def test_sorted_parity_and_order(searchers):
+    s, L = searchers
+    dist = [(r.doc_id, r.warc_ts) for r in s.search_sorted(Q, "warc_ts", False, 8).collect()]
+    loc = [(i, _ts(v)) for i, v in L.search_sorted(Q, "warc_ts", False, 8)]
+    assert dist == loc and len(dist) == 8
+    # descending by value, doc_id asc tiebreak
+    vals = [v for _i, v in dist]
+    assert vals == sorted(vals, reverse=True)
+    asc = [(r.doc_id, r.doc_len) for r in s.search_sorted(Q, "doc_len", True, 8).collect()]
+    lasc = L.search_sorted(Q, "doc_len", True, 8)
+    assert asc == lasc
+    dl_vals = [v for _i, v in asc]
+    assert dl_vals == sorted(dl_vals)
+    for (i1, v1), (i2, v2) in zip(asc, asc[1:]):
+        if v1 == v2:
+            assert i1 < i2
+
+
+def test_match_all_sorted_recency(searchers):
+    s, L = searchers
+    dist = [(r.doc_id, r.warc_ts) for r in s.search_sorted(None, "warc_ts", False, 5).collect()]
+    loc = [(i, _ts(v)) for i, v in L.search_sorted(None, "warc_ts", False, 5)]
+    assert dist == loc and len(dist) == 5
+
+
+def test_range_filter_context_scores(searchers, spark):
+    """Range filter restricts candidates but never changes scores:
+    every (doc, score) pair must appear identically in the unfiltered
+    exhaustive ranking, and the result must equal brute-force
+    filter-then-topk of that ranking."""
+    s, L = searchers
+    plain = [
+        (r.doc_id, r.score)
+        for r in s.search(Q, "OR", k=10_000, algo="exhaustive").collect()
+    ]
+    dl = pd.read_parquet(s._doclens_path, columns=["doc_id", "doc_len"]).set_index("doc_id")
+    expected = [
+        (d, sc) for d, sc in plain if 50 <= int(dl.loc[d, "doc_len"]) <= 500
+    ][:7]
+    dist = [(r.doc_id, r.score) for r in s.search_range(Q, "doc_len", 50, 500, k=7).collect()]
+    loc = L.search_range(Q, "doc_len", 50, 500, k=7)
+    assert dist == expected == loc
+
+
+def test_range_and_mode_and_open_bounds(searchers):
+    s, L = searchers
+    dist = [(r.doc_id, r.score) for r in s.search_range(Q, "doc_len", lo=100, mode="AND", k=5).collect()]
+    loc = L.search_range(Q, "doc_len", lo=100, mode="AND", k=5)
+    assert dist == loc
+    and_plain = {r.doc_id: r.score for r in s.search(Q, "AND", k=10_000, algo="exhaustive").collect()}
+    for d, sc in dist:
+        assert and_plain[d] == sc
+    with pytest.raises(DocValueError):
+        s.search_range(Q, "doc_len")
+    with pytest.raises(DocValueError):
+        L.search_range(Q, "doc_len")
+
+
+def test_timestamp_range_filter(searchers):
+    s, L = searchers
+    lo = pd.Timestamp("2025-01-14 01:00:00").to_pydatetime()
+    dist = [(r.doc_id, r.score) for r in s.search_range(Q, "warc_ts", lo=lo, k=10).collect()]
+    loc = L.search_range(Q, "warc_ts", lo=lo, k=10)
+    assert dist == loc and dist
+
+
+@pytest.mark.parametrize("unit", ["hour", "day", "week", "month"])
+def test_date_histogram_parity(searchers, unit):
+    s, L = searchers
+    dist = [(r.bucket, r.doc_count) for r in s.search_value_histogram(Q, "warc_ts", unit).collect()]
+    loc = [(_ts(b), c) for b, c in L.search_value_histogram(Q, "warc_ts", unit)]
+    assert dist == loc and sum(c for _b, c in dist) > 0
+
+
+def test_numeric_histogram_and_errors(searchers):
+    s, L = searchers
+    dist = [(r.bucket, r.doc_count) for r in s.search_value_histogram(Q, "doc_len", 64).collect()]
+    loc = L.search_value_histogram(Q, "doc_len", 64)
+    assert dist == loc
+    # histogram totals = match count
+    assert sum(c for _b, c in dist) == L.search_count(Q, "OR")
+    with pytest.raises(DocValueError):
+        s.search_value_histogram(Q, "doc_len", 0).collect()
+    with pytest.raises(DocValueError):
+        s.search_value_histogram(Q, "warc_ts", "fortnight").collect()
+    with pytest.raises(DocValueError):
+        L.search_value_histogram(Q, "warc_ts", "fortnight")
+
+
+def test_cardinality_exact_and_approx(searchers):
+    s, L = searchers
+    exact = s.search_cardinality(Q, "lang").collect()[0]["n_values"]
+    assert exact == L.search_cardinality(Q, "lang")
+    approx = s.search_cardinality(Q, "lang", exact=False).collect()[0]["n_values"]
+    # HLL++ at rsd=0.05 on a handful of values is exact in practice;
+    # allow generous slack to keep the bound meaningful, not flaky
+    assert abs(approx - exact) <= max(1, int(0.2 * exact))
+
+
+def test_significant_terms_parity(searchers):
+    s, L = searchers
+    dist = [
+        (r.value, r.fg_count, r.bg_count, round(r.lift, 12))
+        for r in s.significant_terms(Q, "lang", 5).collect()
+    ]
+    loc = [(v, f, b, round(x, 12)) for v, f, b, x in L.significant_terms(Q, "lang", 5)]
+    assert dist == loc and dist
+    lifts = [x for *_r, x in dist]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_unknown_field_raises(searchers):
+    s, L = searchers
+    with pytest.raises(DocValueError):
+        s.search_sorted(Q, "no_such_field", k=3)
+    with pytest.raises(DocValueError):
+        L.search_sorted(Q, "no_such_field", k=3)
+
+
+def test_docvalues_respect_deletes(spark, small_pages_df, tmp_path):
+    """Upsert-killed docs vanish from matched_ids, sorts, ranges and
+    aggregations on BOTH paths."""
+    from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import upsert_index
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "idx")
+    build_index(spark, small_pages_df, out, docs_per_part=37, seg_group=2, n_term_buckets=8)
+    s0 = IndexSearcher(spark, out)
+    victims = [r.doc_id for r in s0.search_sorted(Q, "warc_ts", False, 3).collect()]
+    dl = spark.read.parquet(s0._doclens_path)
+    batch = (
+        dl.filter(F.col("doc_id").isin(victims))
+        .select(
+            "url",
+            (F.col("warc_ts") + F.expr("INTERVAL 365 DAYS")).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.lit("replacement text entirely different tokens xyzzy").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    upsert_index(spark, out, batch)
+    s = IndexSearcher(spark, out)
+    L = LocalSearcher(out)
+    live_dist = set(r.doc_id for r in s.matched_ids(None).collect())
+    live_loc = set(L.matched_ids(None).tolist())
+    assert live_dist == live_loc
+    assert not (set(victims) & live_dist)
+    top = [r.doc_id for r in s.search_sorted(Q, "warc_ts", False, 10).collect()]
+    assert not (set(victims) & set(top))
+    assert [(r.doc_id, r.score) for r in s.search_range(Q, "doc_len", 1, 10_000, k=10).collect()] == L.search_range(Q, "doc_len", 1, 10_000, k=10)
+
+
+def test_extend_onto_legacy_doclens_without_warc_ts(spark, tiny_pages_pdf, tmp_path):
+    """A pre-v6 index (no warc_ts column) accepts extends: the append
+    matches the existing schema instead of splitting it."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import glob
+    import os
+
+    from hail_elasticsearch_pipelines_spark import layout
+    from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import extend_index
+    from hail_elasticsearch_pipelines_spark.sources.corpus import gen_pages_pdf
+
+    out = str(tmp_path / "idx")
+    m = build_index(
+        spark, spark.createDataFrame(tiny_pages_pdf), out,
+        docs_per_part=10, seg_group=2, n_term_buckets=4,
+    )
+    dl_dir = layout.table_path(out, "doclens", m)
+    for f in glob.glob(os.path.join(dl_dir, "*.parquet")):
+        t = pq.read_table(f)
+        # drop the spark row-metadata footer key too — spark trusts it
+        # over the physical schema when inferring
+        pq.write_table(t.drop_columns(["warc_ts"]).replace_schema_metadata({}), f)
+    for crc in glob.glob(os.path.join(dl_dir, ".*.crc")):
+        os.unlink(crc)  # hadoop checksum sidecars for the replaced files
+    batch = spark.createDataFrame(gen_pages_pdf(np.arange(30, 45)))
+    m2 = extend_index(spark, out, batch, mode="create")
+    dl = spark.read.parquet(layout.table_path(out, "doclens", m2))
+    assert "warc_ts" not in dl.columns
+    assert dl.count() > len(tiny_pages_pdf["url"].unique()) - 1
+    with pytest.raises(DocValueError):
+        LocalSearcher(out).search_sorted(Q, "warc_ts", k=3)
