@@ -64,10 +64,18 @@ TITLES = [
 def _docs_as_pages(docs: DataFrame) -> DataFrame:
     """Adapt the documents table (doc_id,text,...) to the engine's page
     schema.  Zero-padded url preserves doc_id order so the engine's dense
-    url-ordered ids coincide with the table's own (dense) doc_id."""
+    url-ordered ids coincide with the table's own (dense) doc_id.
+
+    warc_ts varies deterministically with doc_id (doc_id % 840 hours ≈
+    a 5-week crawl window) so date-range filters, recency sorts, and
+    date_histogram buckets are non-degenerate; ``source`` and
+    ``n_chars`` ride as stored metadata → doc values in doclens."""
     return docs.select(
         F.format_string("doc://%012d", F.col("doc_id")).alias("url"),
-        F.to_timestamp(F.lit("2025-01-14 00:00:00")).alias("warc_ts"),
+        (
+            F.to_timestamp(F.lit("2025-01-14 00:00:00"))
+            + F.make_interval(hours=(F.col("doc_id") % 840).cast("int"))
+        ).alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         F.col("text"),
         F.element_at(
@@ -75,6 +83,8 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
             ((F.col("doc_id") % 5) + 1).cast("int"),
         ).alias("title"),
         F.lit("en").alias("lang"),
+        F.col("source"),
+        F.col("n_chars"),
     )
 
 
@@ -93,9 +103,12 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
-        if m.get("format_version") != INDEX_FORMAT_VERSION or m.get(
-            "params", {}
-        ).get("text_fields") != ["title"]:
+        params = m.get("params", {})
+        if (
+            m.get("format_version") != INDEX_FORMAT_VERSION
+            or params.get("text_fields") != ["title"]
+            or not {"source", "n_chars"} <= set(params.get("stored_fields") or ())
+        ):
             shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(os.path.join(out, "_INDEX_PUBLISHED")):
         shutil.rmtree(out, ignore_errors=True)
@@ -624,6 +637,53 @@ def _q_json_props(spark, sf):
     )
 
 
+# r5 doc-value queries: range filter, recency sort, date_histogram,
+# cardinality, significant_terms — all over the doclens doc-value store
+# (warc_ts derives from doc_id, source/n_chars ride as stored fields)
+
+def _q_sort_recent(spark, sf):
+    """ES sort-by-field: docs matching any OR term ordered by crawl
+    timestamp (recency), doc_id asc tiebreak."""
+    r = _searcher(spark, sf).search_sorted(
+        OR_TERMS, "warc_ts", ascending=False, k=20
+    )
+    return r.select(
+        "doc_id", F.col("warc_ts").cast("long").alias("ts_epoch")
+    )
+
+
+def _q_range_search(spark, sf):
+    """BM25 top-k with an ES filter-context range clause on the
+    n_chars doc value — scores identical to the unfiltered ranking."""
+    r = _searcher(spark, sf).search_range(
+        OR_TERMS, "n_chars", lo=150, hi=400, k=20
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_date_histogram(spark, sf):
+    """ES date_histogram: matching docs bucketed by crawl day."""
+    r = _searcher(spark, sf).search_value_histogram(OR_TERMS, "warc_ts", "day")
+    return r.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"), "doc_count"
+    )
+
+
+def _q_cardinality_src(spark, sf):
+    """ES cardinality aggregation (exact mode for the oracle; the
+    HLL++ approx mode is the 10^12-doc path)."""
+    return _searcher(spark, sf).search_cardinality(OR_TERMS, "source")
+
+
+def _q_sig_terms_src(spark, sf):
+    """ES significant_terms: sources over-represented in the match set
+    vs the whole live index, by relative-frequency lift."""
+    r = _searcher(spark, sf).significant_terms(OR_TERMS, "source", size=10)
+    return r.select(
+        "value", "fg_count", "bg_count", _micro(F.col("lift")).alias("lift_micro")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -656,6 +716,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_should_match2": _q_min_should_match2,
         "stats_agg": _q_stats_agg,
         "dlen_histogram": _q_dlen_histogram,
+        "sort_recent": _q_sort_recent,
+        "range_search": _q_range_search,
+        "date_histogram": _q_date_histogram,
+        "cardinality_src": _q_cardinality_src,
+        "sig_terms_src": _q_sig_terms_src,
         "suggest_s": _q_suggest_s,
         "mlt_doc0": _q_mlt_doc0,
         "cosine_topk": _q_cosine_topk,
@@ -1173,6 +1238,79 @@ FROM dims
 """
 
 
+# r5 doc-value oracles: the crawl timestamp is a pure function of
+# doc_id (doc_id % 840 hours past 2025-01-14, see _docs_as_pages), so
+# the SQL twins derive it instead of joining a timestamp column
+_DV_TS = "(TIMESTAMP '2025-01-14 00:00:00' + (doc_id % 840) * INTERVAL 1 HOUR)"
+
+_DV_MATCH_CTE = f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+m AS (
+  SELECT doc_id FROM tok
+  WHERE len(list_intersect(toks, ['fast', 'key', 'table'])) > 0
+)
+"""
+
+_SORT_RECENT_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+SELECT doc_id, epoch({_DV_TS})::BIGINT AS ts_epoch
+FROM m ORDER BY ts_epoch DESC, doc_id ASC LIMIT 20
+"""
+)
+
+_RANGE_SEARCH_SQL = (
+    _BM25_CTES
+    + f"""
+, flt AS (
+  SELECT agg.doc_id, agg.score
+  FROM agg JOIN documents USING (doc_id)
+  WHERE n_chars BETWEEN 150 AND 400
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM flt ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+)
+
+_DATE_HISTOGRAM_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+SELECT epoch(date_trunc('day', {_DV_TS}))::BIGINT AS bucket_epoch,
+       count(*)::BIGINT AS doc_count
+FROM m GROUP BY 1 ORDER BY 1
+"""
+)
+
+_CARDINALITY_SQL = (
+    _DV_MATCH_CTE
+    + """
+SELECT count(DISTINCT d.source)::BIGINT AS n_values
+FROM documents d JOIN m USING (doc_id)
+"""
+)
+
+_SIG_TERMS_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+, fg AS (
+  SELECT source AS value, count(*)::BIGINT AS fg_count
+  FROM documents JOIN m USING (doc_id) GROUP BY 1
+), bg AS (
+  SELECT source AS value, count(*)::BIGINT AS bg_count
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT (SELECT sum(fg_count) FROM fg) AS fgt,
+         (SELECT sum(bg_count) FROM bg) AS bgt
+)
+SELECT value, fg_count, bg_count,
+       {_micro_sql('(fg_count / t.fgt) / (bg_count / t.bgt)')} AS lift_micro
+FROM fg JOIN bg USING (value) CROSS JOIN t
+ORDER BY (fg_count / t.fgt) / (bg_count / t.bgt) DESC, value ASC
+LIMIT 10
+"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     or_sql = _bm25_sql(OR_TERMS, "OR", 20)
     and_sql = _bm25_sql(AND_TERMS, "AND", 20)
@@ -1215,6 +1353,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fielded_search": _FIELDED_SQL,
         "fielded_search_and": _FIELDED_AND_SQL,
+        "sort_recent": _SORT_RECENT_SQL,
+        "range_search": _RANGE_SEARCH_SQL,
+        "date_histogram": _DATE_HISTOGRAM_SQL,
+        "cardinality_src": _CARDINALITY_SQL,
+        "sig_terms_src": _SIG_TERMS_SQL,
         "highlight_top3": _BM25_CTES
         + r"""
 , top3 AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id ASC LIMIT 3)

@@ -262,6 +262,22 @@ def main():
     searcher.search_stats(SEL_OR, "OR").collect()
     q["stats_agg_dist"] = round(time.time() - t0, 4)
 
+    # doc-value probes (r5): doclens is the doc-values store — range
+    # filter (pushdown + per-segment cogroup scoring), recency sort
+    # (TakeOrderedAndProject / cached-numpy serving), date_histogram
+    q["range_search_local"] = cold(
+        lambda ls: ls.search_range(SEL_OR, "doc_len", 50, 500, k=10)
+    )
+    q["sort_recent_local"] = cold(
+        lambda ls: ls.search_sorted(SEL_OR, "warc_ts", False, 10)
+    )
+    t0 = time.time()
+    searcher.search_range(SEL_OR, "doc_len", 50, 500, k=10).collect()
+    q["range_search_dist"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    searcher.search_value_histogram(SEL_OR, "warc_ts", "day").collect()
+    q["date_histogram_dist"] = round(time.time() - t0, 4)
+
     # -- distributed facet retag: 10^5-url partial-doc update over the
     # bench index (r3 verdict: operator input must never collect on the
     # driver; this times the join-resolve + sidecar + bucket rewrite +
