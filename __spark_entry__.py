@@ -12,6 +12,7 @@ value-hash is insensitive to sub-1e-6 accumulation-order noise.
 
 from __future__ import annotations
 
+import datetime
 import os
 from collections.abc import Callable
 
@@ -684,6 +685,56 @@ def _q_sig_terms_src(spark, sf):
     )
 
 
+def _q_collapse_src(spark, sf):
+    """ES field collapsing: BM25 top-10 with at most one (best) hit
+    per source — one result per site in web search."""
+    r = _searcher(spark, sf).search_collapse(OR_TERMS, "source", k=10)
+    return r.select(
+        "value", "doc_id", _micro(F.col("score")).alias("score_micro")
+    )
+
+
+def _q_percentiles_nchars(spark, sf):
+    """ES percentiles aggregation on the n_chars doc value (exact
+    interpolated; ES's t-digest approximates this statistic)."""
+    r = _searcher(spark, sf).search_percentiles(
+        OR_TERMS, "n_chars", (0.25, 0.5, 0.9)
+    )
+    return r.select("pct", _micro(F.col("value")).alias("value_micro"))
+
+
+def _q_range_buckets_nchars(spark, sf):
+    """ES range aggregation: explicit [from, to) n_chars buckets over
+    the match set, empty buckets included."""
+    return _searcher(spark, sf).search_range_buckets(
+        OR_TERMS,
+        "n_chars",
+        [("lt200", None, 200), ("mid", 200, 400), ("ge400", 400, None)],
+    )
+
+
+def _q_sort_page2(spark, sf):
+    """ES search_after pagination on a recency sort: the page strictly
+    after the (2025-02-01, doc 0) cursor."""
+    r = _searcher(spark, sf).search_sorted(
+        OR_TERMS, "warc_ts", False, 20,
+        after=(datetime.datetime(2025, 2, 1), 0),
+    )
+    return r.select(
+        "doc_id", F.col("warc_ts").cast("long").alias("ts_epoch")
+    )
+
+
+def _q_date_histogram_cum(spark, sf):
+    """ES cumulative_sum pipeline agg over the daily date_histogram."""
+    r = _searcher(spark, sf).search_value_histogram(
+        OR_TERMS, "warc_ts", "day", cumulative=True
+    )
+    return r.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"), "doc_count"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -721,6 +772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": _q_date_histogram,
         "cardinality_src": _q_cardinality_src,
         "sig_terms_src": _q_sig_terms_src,
+        "collapse_src": _q_collapse_src,
+        "percentiles_nchars": _q_percentiles_nchars,
+        "range_buckets_nchars": _q_range_buckets_nchars,
+        "sort_page2": _q_sort_page2,
+        "date_histogram_cum": _q_date_histogram_cum,
         "suggest_s": _q_suggest_s,
         "mlt_doc0": _q_mlt_doc0,
         "cosine_topk": _q_cosine_topk,
@@ -1311,6 +1367,74 @@ LIMIT 10
 )
 
 
+_COLLAPSE_SQL = (
+    _BM25_CTES
+    + f"""
+, best AS (
+  SELECT d.source AS value, agg.doc_id, agg.score,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY agg.score DESC, agg.doc_id ASC
+         ) AS rn
+  FROM agg JOIN documents d USING (doc_id)
+)
+SELECT value, doc_id, {_micro_sql('score')} AS score_micro
+FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+)
+
+_PERCENTILES_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+, v AS (SELECT n_chars FROM documents JOIN m USING (doc_id)),
+q AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.9]) AS qs FROM v)
+SELECT unnest(CAST([0.25, 0.5, 0.9] AS DOUBLE[])) AS pct,
+       {_micro_sql('unnest(qs)')} AS value_micro
+FROM q ORDER BY pct
+"""
+)
+
+_RANGE_BUCKETS_SQL = (
+    _DV_MATCH_CTE
+    + """
+, v AS (SELECT n_chars FROM documents JOIN m USING (doc_id))
+SELECT * FROM (
+  SELECT 'lt200' AS key, count(*) FILTER (WHERE n_chars < 200)::BIGINT AS doc_count FROM v
+  UNION ALL
+  SELECT 'mid', count(*) FILTER (WHERE n_chars >= 200 AND n_chars < 400)::BIGINT FROM v
+  UNION ALL
+  SELECT 'ge400', count(*) FILTER (WHERE n_chars >= 400)::BIGINT FROM v
+) ORDER BY key
+"""
+)
+
+_SORT_PAGE2_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+, s AS (SELECT doc_id, {_DV_TS} AS ts FROM m)
+SELECT doc_id, epoch(ts)::BIGINT AS ts_epoch
+FROM s
+WHERE ts < TIMESTAMP '2025-02-01 00:00:00'
+   OR (ts = TIMESTAMP '2025-02-01 00:00:00' AND doc_id > 0)
+ORDER BY ts DESC, doc_id ASC LIMIT 20
+"""
+)
+
+_DATE_HISTOGRAM_CUM_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+, h AS (
+  SELECT epoch(date_trunc('day', {_DV_TS}))::BIGINT AS bucket_epoch,
+         count(*)::BIGINT AS doc_count
+  FROM m GROUP BY 1
+)
+SELECT bucket_epoch,
+       CAST(sum(doc_count) OVER (ORDER BY bucket_epoch) AS BIGINT) AS doc_count
+FROM h ORDER BY bucket_epoch
+"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     or_sql = _bm25_sql(OR_TERMS, "OR", 20)
     and_sql = _bm25_sql(AND_TERMS, "AND", 20)
@@ -1358,6 +1482,11 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "cardinality_src": _CARDINALITY_SQL,
         "sig_terms_src": _SIG_TERMS_SQL,
+        "collapse_src": _COLLAPSE_SQL,
+        "percentiles_nchars": _PERCENTILES_SQL,
+        "range_buckets_nchars": _RANGE_BUCKETS_SQL,
+        "sort_page2": _SORT_PAGE2_SQL,
+        "date_histogram_cum": _DATE_HISTOGRAM_CUM_SQL,
         "highlight_top3": _BM25_CTES
         + r"""
 , top3 AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id ASC LIMIT 3)

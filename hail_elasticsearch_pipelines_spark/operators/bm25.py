@@ -2178,12 +2178,13 @@ class IndexSearcher:
 
     def search_sorted(
         self, query, by: str, ascending: bool = False, k: int = 10,
-        mode: str = "OR",
+        mode: str = "OR", after=None,
     ) -> DataFrame:
-        """ES sort-by-field (see docvalues.search_sorted)."""
+        """ES sort-by-field, with optional search_after pagination
+        (see docvalues.search_sorted)."""
         from . import docvalues as dv
 
-        return dv.search_sorted(self, query, by, ascending, k, mode)
+        return dv.search_sorted(self, query, by, ascending, k, mode, after)
 
     def search_range(
         self, query, field: str, lo=None, hi=None, mode: str = "OR",
@@ -2196,13 +2197,45 @@ class IndexSearcher:
         return dv.search_range(self, query, field, lo, hi, mode, k)
 
     def search_value_histogram(
-        self, query, field: str, interval, mode: str = "OR"
+        self, query, field: str, interval, mode: str = "OR",
+        cumulative: bool = False,
     ) -> DataFrame:
-        """ES histogram / date_histogram on a doc-value field (see
+        """ES histogram / date_histogram on a doc-value field, with
+        optional cumulative_sum pipeline agg (see
         docvalues.search_value_histogram)."""
         from . import docvalues as dv
 
-        return dv.search_value_histogram(self, query, field, interval, mode)
+        return dv.search_value_histogram(
+            self, query, field, interval, mode, cumulative
+        )
+
+    def search_percentiles(
+        self, query, field: str, percents=(0.25, 0.5, 0.75, 0.95),
+        mode: str = "OR",
+    ) -> DataFrame:
+        """ES percentiles aggregation (see
+        docvalues.search_percentiles)."""
+        from . import docvalues as dv
+
+        return dv.search_percentiles(self, query, field, percents, mode)
+
+    def search_range_buckets(
+        self, query, field: str, ranges, mode: str = "OR"
+    ) -> DataFrame:
+        """ES range aggregation with explicit buckets (see
+        docvalues.search_range_buckets)."""
+        from . import docvalues as dv
+
+        return dv.search_range_buckets(self, query, field, ranges, mode)
+
+    def search_collapse(
+        self, query, field: str, k: int = 10, mode: str = "OR"
+    ) -> DataFrame:
+        """ES field collapsing: best hit per doc-value field value
+        (see docvalues.search_collapse)."""
+        from . import docvalues as dv
+
+        return dv.search_collapse(self, query, field, k, mode)
 
     def search_cardinality(
         self, query, field: str, mode: str = "OR", exact: bool = True,

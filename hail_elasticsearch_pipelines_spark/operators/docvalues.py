@@ -169,18 +169,57 @@ def search_sorted(
     ascending: bool = False,
     k: int = 10,
     mode: str = "OR",
+    after: "tuple | None" = None,
 ) -> DataFrame:
     """ES sort-by-field: top-k matching docs ordered by a doc-value
     field instead of BM25 score — DataFrame(doc_id, <by>) with
     deterministic (value, doc_id asc) order.  ``query=None`` sorts the
     whole live index (recency listing).  Catalyst turns orderBy+limit
-    into TakeOrderedAndProject: per-partition heaps, no full sort."""
+    into TakeOrderedAndProject: per-partition heaps, no full sort.
+
+    ``after=(value, doc_id)`` is ES ``search_after`` pagination on the
+    same sort key: only rows strictly after that cursor in
+    (value, doc_id asc) order are returned, so deep pagination stays
+    top-k-cheap instead of offset-scan-expensive."""
     mv = _matched_values(searcher, query, by, mode)
+    if after is not None:
+        mv = mv.filter(_after_pred(F.col(by), after, ascending))
     order = [
         F.col(by).asc() if ascending else F.col(by).desc(),
         F.col("doc_id").asc(),
     ]
     return mv.orderBy(*order).limit(int(k)).select("doc_id", by)
+
+
+def _after_pred(col, after: tuple, ascending: bool):
+    """(value, doc_id) rows strictly after the cursor in the sort
+    order (value asc/desc, doc_id asc) — the search_after predicate."""
+    av, aid = after
+    on_value = col > F.lit(av) if ascending else col < F.lit(av)
+    return on_value | ((col == F.lit(av)) & (F.col("doc_id") > F.lit(int(aid))))
+
+
+def _scoring_rows(searcher: "IndexSearcher", qterms, mode_u: str):
+    """(segment, term, blob, df_global) rows for the query terms, or
+    None when the query provably matches nothing (empty dictionary, or
+    AND with a term absent from the index).  Handles legacy indexes
+    without a termdict via a broadcast-literal df map."""
+    rows = searcher._rows_with_global_df(qterms)
+    if rows is None:  # legacy index without a termdict
+        dfs = searcher.global_dfs(qterms)
+        if not dfs or (mode_u == "AND" and any(t not in dfs for t in qterms)):
+            return None
+        rows = (
+            searcher._term_rows(qterms)
+            .select(*searcher.SCORING_COLS)
+            .withColumn(
+                "df_global",
+                F.create_map(
+                    *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
+                )[F.col("term")],
+            )
+        )
+    return rows.select("segment", "term", "blob", "df_global")
 
 
 def search_range(
@@ -233,22 +272,9 @@ def search_range(
         segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
         "doc_id",
     )
-    rows = searcher._rows_with_global_df(qterms)
-    if rows is None:  # legacy index without a termdict
-        dfs = searcher.global_dfs(qterms)
-        if not dfs or (mode_u == "AND" and any(t not in dfs for t in qterms)):
-            return spark.createDataFrame([], RESULT_SCHEMA)
-        rows = (
-            searcher._term_rows(qterms)
-            .select(*searcher.SCORING_COLS)
-            .withColumn(
-                "df_global",
-                F.create_map(
-                    *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
-                )[F.col("term")],
-            )
-        )
-    rows = rows.select("segment", "term", "blob", "df_global")
+    rows = _scoring_rows(searcher, qterms, mode_u)
+    if rows is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
     n_docs = searcher.n_docs
     avgdl = field_avgdl_map(searcher.manifest, qterms)
     get_deletes = searcher._segment_deletes_fn()
@@ -308,21 +334,222 @@ def search_value_histogram(
     field: str,
     interval,
     mode: str = "OR",
+    cumulative: bool = False,
 ) -> DataFrame:
     """ES ``histogram`` / ``date_histogram`` over a doc-value field:
     per bucket, the count of matching live docs — DataFrame(bucket,
     doc_count) sorted by bucket.  ``interval`` is a calendar unit
     ("hour"/"day"/"week"/"month") for timestamp fields, a positive int
     width for numeric fields.  ``query=None`` = the whole live index
-    (crawl-volume-over-time dashboards)."""
+    (crawl-volume-over-time dashboards).
+
+    ``cumulative=True`` is the ES ``cumulative_sum`` pipeline
+    aggregation over the histogram: doc_count becomes the running
+    total in bucket order.  The window runs over the already-aggregated
+    buckets (one row per bucket), so the single-partition window is
+    bounded by bucket cardinality, never corpus size."""
     mv = _matched_values(searcher, query, field, mode)
     is_time = isinstance(mv.schema[field].dataType, (T.TimestampType, T.DateType))
-    return (
+    h = (
         mv.select(_bucket_expr(F.col(field), interval, is_time).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("doc_count"))
-        .orderBy("bucket")
     )
+    if cumulative:
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        h = h.select(
+            "bucket", F.sum("doc_count").over(w).cast("long").alias("doc_count")
+        )
+    return h.orderBy("bucket")
+
+
+def search_percentiles(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    percents=(0.25, 0.5, 0.75, 0.95),
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``percentiles`` aggregation over a numeric doc-value field —
+    DataFrame(pct, value) ordered by pct.  Exact linear-interpolated
+    percentiles (Spark ``percentile``), which the DuckDB oracle's
+    ``quantile_cont`` and the serving twin's ``np.quantile`` reproduce
+    bit-for-bit; ES itself uses t-digest, an approximation of exactly
+    this statistic.  One aggregation pass computes every requested
+    percent (the sort happens once inside the agg)."""
+    pcts = [float(p) for p in percents]
+    if not pcts or any(not 0.0 <= p <= 1.0 for p in pcts):
+        raise DocValueError("percents must be fractions in [0, 1]")
+    mv = _matched_values(searcher, query, field, mode)
+    if isinstance(mv.schema[field].dataType, (T.TimestampType, T.DateType)):
+        raise DocValueError(
+            "percentiles takes a numeric doc-value field — epoch-cast "
+            "timestamp fields upstream"
+        )
+    arr = mv.agg(F.percentile(F.col(field).cast("double"), F.lit(pcts)).alias("v"))
+    pct_lit = F.array(*[F.lit(p) for p in pcts])
+    return (
+        arr.select(F.posexplode("v").alias("i", "value"))
+        .select(F.element_at(pct_lit, F.col("i") + 1).alias("pct"), "value")
+        .orderBy("pct")
+    )
+
+
+def check_range_buckets(ranges) -> list:
+    """Normalize/validate ES range-agg buckets: [(key, lo, hi)] with
+    unique keys and at least one bound each."""
+    rngs = [(str(k), lo, hi) for k, lo, hi in ranges]
+    if not rngs:
+        raise DocValueError("range aggregation needs at least one bucket")
+    if len({k for k, _lo, _hi in rngs}) != len(rngs):
+        raise DocValueError("range-aggregation bucket keys must be unique")
+    if any(lo is None and hi is None for _k, lo, hi in rngs):
+        raise DocValueError("every range bucket needs at least one bound")
+    return rngs
+
+
+def search_range_buckets(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    ranges,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``range`` aggregation: per explicit bucket (key, lo, hi),
+    the count of matching live docs with lo <= value < hi (ES from/to
+    semantics — from inclusive, to exclusive, either may be None) —
+    DataFrame(key, doc_count) ordered by key.  Buckets may overlap (a
+    doc counts in every bucket it falls in) and empty buckets are
+    returned with doc_count 0, both per ES.  All buckets fold into ONE
+    aggregation pass as conditional counts — never one job per
+    bucket."""
+    rngs = check_range_buckets(ranges)
+    mv = _matched_values(searcher, query, field, mode)
+    c = F.col(field)
+    aggs = []
+    for i, (_key, lo, hi) in enumerate(rngs):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (c < F.lit(hi))
+        aggs.append(F.count(F.when(cond, True)).alias(f"_b{i}"))
+    row = mv.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(key).alias("key"), F.col(f"_b{i}").alias("doc_count")
+            )
+            for i, (key, _lo, _hi) in enumerate(rngs)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("b"))
+        .select("b.key", F.col("b.doc_count").cast("long").alias("doc_count"))
+        .orderBy("key")
+    )
+
+
+def search_collapse(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    k: int = 10,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES field collapsing (``collapse``): BM25 top-k keeping only the
+    best-scoring hit per distinct value of a doc-value field — one
+    result per site/source in web search.  DataFrame(value, doc_id,
+    score) by (score desc, doc_id asc); scores are the unfiltered
+    exhaustive BM25 scores (collapse never rescores).
+
+    Plan: the query terms' posting rows are cogrouped with the
+    segment's (doc_id, field) doclens slice; each segment task scores
+    exhaustively, masks deletes, and emits ONE row per distinct value
+    (its best doc) — the shuffle carries at most n_values x n_segments
+    rows, never per-doc data.  The global reduce is a max_by per value
+    followed by top-k."""
+    from .bm25 import _check_unique_terms, _msm_scores, bm25_idf, field_avgdl_map
+
+    mode_u = mode.upper()
+    if mode_u not in ("OR", "AND"):
+        raise ValueError("search_collapse supports OR/AND term queries")
+    qterms = sorted(set(query))
+    spark = searcher.spark
+    dl = doclens_df(searcher)
+    check_field(searcher, field, dl.columns)
+    out_schema = T.StructType(
+        [
+            T.StructField("value", dl.schema[field].dataType, True),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    if not qterms:
+        return spark.createDataFrame([], out_schema)
+    rows = _scoring_rows(searcher, qterms, mode_u)
+    if rows is None:
+        return spark.createDataFrame([], out_schema)
+    dpp, seg_group = _seg_params(searcher.manifest)
+    vals = dl.select(
+        segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
+        "doc_id",
+        F.col(field).alias("value"),
+    )
+    n_docs = searcher.n_docs
+    avgdl = field_avgdl_map(searcher.manifest, qterms)
+    get_deletes = searcher._segment_deletes_fn()
+    msm = len(qterms) if mode_u == "AND" else 1
+    empty = {"value": [], "doc_id": [], "score": []}
+
+    def best_per_value(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(empty)
+        _check_unique_terms(left)
+        dead = get_deletes(int(key[0]))
+        idf = {
+            t: bm25_idf(n_docs, int(d))
+            for t, d in zip(left["term"], left["df_global"])
+        }
+        postings = {
+            r.term: codecs.decode_postings(bytes(r.blob))
+            for r in left.itertuples()
+        }
+        docs, scores = _msm_scores(postings, qterms, idf, avgdl, msm)
+        if dead is not None and dead.size and docs.size:
+            keep = ~np.isin(docs, dead, assume_unique=True)
+            docs, scores = docs[keep], scores[keep]
+        if not docs.size:
+            return pd.DataFrame(empty)
+        rid = right["doc_id"].to_numpy(np.int64)
+        order = np.argsort(rid)
+        v = right["value"].to_numpy()[order][np.searchsorted(rid[order], docs)]
+        pdf = pd.DataFrame({"value": v, "doc_id": docs, "score": scores})
+        pdf = pdf.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return pdf.drop_duplicates("value", keep="first")
+
+    partials = (
+        rows.groupBy("segment")
+        .cogroup(vals.groupBy("segment"))
+        .applyInPandas(best_per_value, out_schema)
+    )
+    best = (
+        partials.groupBy("value")
+        .agg(
+            F.max_by(
+                F.struct("doc_id", "score"),
+                F.struct(F.col("score"), (-F.col("doc_id")).alias("nid")),
+            ).alias("m")
+        )
+        .select("value", F.col("m.doc_id").alias("doc_id"), F.col("m.score").alias("score"))
+    )
+    return best.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(int(k))
 
 
 def search_cardinality(

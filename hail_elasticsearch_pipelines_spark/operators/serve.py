@@ -1043,16 +1043,24 @@ class LocalSearcher:
 
     def search_sorted(
         self, query, by: str, ascending: bool = False, k: int = 10,
-        mode: str = "OR",
+        mode: str = "OR", after=None,
     ) -> list[tuple]:
         """ES sort-by-field — serving twin of IndexSearcher.search_sorted:
-        [(doc_id, value)] ordered by (value asc/desc, doc_id asc)."""
+        [(doc_id, value)] ordered by (value asc/desc, doc_id asc).
+        ``after=(value, doc_id)`` = search_after pagination."""
         import pandas as pd
 
         ids = np.sort(self.matched_ids(query, mode))
         if not ids.size:
             return []
         vals = self._dv_lookup(by, ids)
+        if after is not None:
+            av, aid = after
+            if np.issubdtype(vals.dtype, np.datetime64):
+                av = np.datetime64(pd.Timestamp(av))
+            m = (vals > av) if ascending else (vals < av)
+            m |= (vals == av) & (ids > int(aid))
+            ids, vals = ids[m], vals[m]
         df = pd.DataFrame({"doc_id": ids, "v": vals}).sort_values(
             ["v", "doc_id"], ascending=[ascending, True], kind="mergesort"
         ).head(int(k))
@@ -1141,10 +1149,12 @@ class LocalSearcher:
         )
 
     def search_value_histogram(
-        self, query, field: str, interval, mode: str = "OR"
+        self, query, field: str, interval, mode: str = "OR",
+        cumulative: bool = False,
     ) -> list[tuple]:
         """Histogram / date_histogram on a doc-value field — serving
-        twin: [(bucket, doc_count)] sorted by bucket."""
+        twin: [(bucket, doc_count)] sorted by bucket.
+        ``cumulative=True`` = the cumulative_sum pipeline agg."""
         from .docvalues import DocValueError
 
         ids = self.matched_ids(query, mode)
@@ -1159,7 +1169,121 @@ class LocalSearcher:
                 raise DocValueError("numeric interval must be a positive int")
             buckets = vals.astype(np.int64) // iv * iv
         b, c = np.unique(buckets, return_counts=True)
+        if cumulative:
+            c = np.cumsum(c)
         return list(zip(b.tolist(), c.tolist()))
+
+    def search_percentiles(
+        self, query, field: str, percents=(0.25, 0.5, 0.75, 0.95),
+        mode: str = "OR",
+    ) -> list[tuple[float, float]]:
+        """ES percentiles aggregation — serving twin: [(pct, value)]
+        ordered by pct; np.quantile linear interpolation matches the
+        distributed Spark ``percentile`` bit-for-bit."""
+        from .docvalues import DocValueError
+
+        pcts = [float(p) for p in percents]
+        if not pcts or any(not 0.0 <= p <= 1.0 for p in pcts):
+            raise DocValueError("percents must be fractions in [0, 1]")
+        ids = self.matched_ids(query, mode)
+        if not ids.size:
+            return []
+        vals = self._dv_lookup(field, np.sort(ids))
+        if np.issubdtype(vals.dtype, np.datetime64):
+            raise DocValueError(
+                "percentiles takes a numeric doc-value field — epoch-cast "
+                "timestamp fields upstream"
+            )
+        qs = np.quantile(vals.astype(np.float64), pcts, method="linear")
+        return sorted(zip(pcts, qs.tolist()))
+
+    def search_range_buckets(
+        self, query, field: str, ranges, mode: str = "OR"
+    ) -> list[tuple[str, int]]:
+        """ES range aggregation — serving twin: [(key, doc_count)]
+        ordered by key; [lo, hi) buckets, either bound None, overlaps
+        and empty buckets per ES."""
+        import pandas as pd
+
+        from .docvalues import check_range_buckets
+
+        rngs = check_range_buckets(ranges)
+        ids = self.matched_ids(query, mode)
+        vals = (
+            self._dv_lookup(field, np.sort(ids))
+            if ids.size
+            else np.array([], np.float64)
+        )
+        is_time = np.issubdtype(vals.dtype, np.datetime64)
+        out = []
+        for key, lo, hi in rngs:
+            if is_time:
+                lo = None if lo is None else np.datetime64(pd.Timestamp(lo))
+                hi = None if hi is None else np.datetime64(pd.Timestamp(hi))
+            m = np.ones(len(vals), bool)
+            if lo is not None:
+                m &= vals >= lo
+            if hi is not None:
+                m &= vals < hi
+            out.append((key, int(m.sum())))
+        return sorted(out)
+
+    def search_collapse(
+        self, query, field: str, k: int = 10, mode: str = "OR"
+    ) -> list[tuple]:
+        """ES field collapsing — serving twin of
+        docvalues.search_collapse: [(value, doc_id, score)] keeping
+        only the best-scoring live hit per distinct field value, by
+        (score desc, doc_id asc); scores bit-identical to the
+        distributed path (same exhaustive _msm_scores kernel)."""
+        import pandas as pd
+
+        from .bm25 import _msm_scores
+
+        mode_u = mode.upper()
+        if mode_u not in ("OR", "AND"):
+            raise ValueError("search_collapse supports OR/AND term queries")
+        qterms = sorted(set(query))
+        if not qterms:
+            return []
+        dfs = self.global_dfs(qterms)
+        if not dfs or (mode_u == "AND" and any(t not in dfs for t in qterms)):
+            return []
+        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        avgdl = field_avgdl_map(self.manifest, qterms)
+        msm = len(qterms) if mode_u == "AND" else 1
+        rows = self._rows_for(qterms)
+        acc_d, acc_s = [], []
+        for seg in sorted({s for m in rows.values() for s in m}):
+            postings = {
+                t: self._decode_cached(t, seg, rows[t][seg].blob)
+                for t in qterms
+                if seg in rows.get(t, {})
+            }
+            docs, scores = _msm_scores(postings, qterms, idf, avgdl, msm)
+            if not docs.size:
+                continue
+            dead = self._deletes.get(seg)
+            if dead is not None and dead.size:
+                m = ~np.isin(docs, dead, assume_unique=True)
+                docs, scores = docs[m], scores[m]
+            acc_d.append(docs)
+            acc_s.append(scores)
+        if not acc_d:
+            return []
+        docs = np.concatenate(acc_d)
+        scores = np.concatenate(acc_s)
+        pdf = pd.DataFrame(
+            {
+                "value": self._dv_lookup(field, docs),
+                "doc_id": docs,
+                "score": scores,
+            }
+        ).sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        pdf = pdf.drop_duplicates("value", keep="first").head(int(k))
+        return list(
+            zip(pdf["value"].tolist(), pdf["doc_id"].tolist(), pdf["score"].tolist())
+        )
 
     def search_cardinality(self, query, field: str, mode: str = "OR") -> int:
         """Exact distinct doc-value count among matching live docs."""

@@ -223,3 +223,122 @@ def test_extend_onto_legacy_doclens_without_warc_ts(spark, tiny_pages_pdf, tmp_p
     assert dl.count() > len(tiny_pages_pdf["url"].unique()) - 1
     with pytest.raises(DocValueError):
         LocalSearcher(out).search_sorted(Q, "warc_ts", k=3)
+
+
+# ---- round-5 late additions: collapse, percentiles, range buckets,
+# search_after pagination, cumulative histograms ----
+
+
+def test_collapse_parity_and_semantics(searchers):
+    """Field collapse keeps exactly the best-scoring live hit per
+    distinct value, ordered (score desc, doc_id asc) — checked against
+    brute force from the exhaustive ranking + the doclens lookup."""
+    s, L = searchers
+    dist = [(r.value, r.doc_id, r.score) for r in s.search_collapse(Q, "doc_len", k=6).collect()]
+    loc = L.search_collapse(Q, "doc_len", k=6)
+    assert dist == loc and 0 < len(dist) <= 6
+    assert len({v for v, _i, _s in dist}) == len(dist)  # one hit per value
+    # brute force: full exhaustive ranking -> first hit per value
+    plain = [
+        (r.doc_id, r.score)
+        for r in s.search(Q, "OR", k=10_000, algo="exhaustive").collect()
+    ]
+    dl = pd.read_parquet(s._doclens_path, columns=["doc_id", "doc_len"]).set_index("doc_id")
+    seen, expected = set(), []
+    for d, sc in plain:
+        v = int(dl.loc[d, "doc_len"])
+        if v in seen:
+            continue
+        seen.add(v)
+        expected.append((v, d, sc))
+    assert dist == expected[:6]
+
+
+def test_collapse_and_mode(searchers):
+    s, L = searchers
+    dist = [(r.value, r.doc_id, r.score) for r in s.search_collapse(["the", "of"], "doc_len", k=5, mode="AND").collect()]
+    assert dist == L.search_collapse(["the", "of"], "doc_len", k=5, mode="AND")
+    and_docs = {r.doc_id for r in s.search(["the", "of"], "AND", k=10_000, algo="exhaustive").collect()}
+    assert all(d in and_docs for _v, d, _s in dist)
+
+
+def test_percentiles_parity(searchers):
+    s, L = searchers
+    pcts = (0.0, 0.25, 0.5, 0.9, 1.0)
+    dist = [(r.pct, r.value) for r in s.search_percentiles(Q, "doc_len", pcts).collect()]
+    loc = L.search_percentiles(Q, "doc_len", pcts)
+    assert dist == loc and len(dist) == 5
+    # manual check vs numpy over the matched values
+    ids = np.sort(L.matched_ids(Q))
+    vals = L._dv_lookup("doc_len", ids).astype(np.float64)
+    for (p, v) in dist:
+        assert v == np.quantile(vals, p, method="linear")
+    with pytest.raises(DocValueError):
+        L.search_percentiles(Q, "warc_ts")
+    with pytest.raises(DocValueError):
+        s.search_percentiles(Q, "warc_ts").collect()
+    with pytest.raises(DocValueError):
+        L.search_percentiles(Q, "doc_len", (1.5,))
+
+
+def test_range_buckets_parity(searchers):
+    s, L = searchers
+    R = [
+        ("small", None, 60),
+        ("mid", 60, 200),
+        ("big", 200, None),
+        ("overlap", 50, 250),   # overlapping buckets double-count per ES
+        ("empty", 10_000, None),
+    ]
+    dist = [(r.key, r.doc_count) for r in s.search_range_buckets(Q, "doc_len", R).collect()]
+    loc = L.search_range_buckets(Q, "doc_len", R)
+    assert dist == loc and len(dist) == 5
+    counts = dict(dist)
+    n = len(L.matched_ids(Q))
+    assert counts["small"] + counts["mid"] + counts["big"] == n  # partition
+    assert counts["empty"] == 0  # empty bucket still returned
+    with pytest.raises(DocValueError):
+        L.search_range_buckets(Q, "doc_len", [("a", None, None)])
+    with pytest.raises(DocValueError):
+        L.search_range_buckets(Q, "doc_len", [("a", 1, 2), ("a", 3, 4)])
+
+
+def test_range_buckets_on_timestamps(searchers):
+    s, L = searchers
+    R = [("early", None, "2025-01-20"), ("late", "2025-01-20", None)]
+    dist = [(r.key, r.doc_count) for r in s.search_range_buckets(Q, "warc_ts", R).collect()]
+    loc = L.search_range_buckets(Q, "warc_ts", R)
+    assert dist == loc
+    assert sum(c for _k, c in dist) == len(L.matched_ids(Q))
+
+
+def test_sorted_after_pagination(searchers):
+    """search_after pages are exactly consecutive slices of the full
+    sorted listing, both directions, both searchers."""
+    s, L = searchers
+    for asc in (False, True):
+        full = [(r.doc_id, r.warc_ts) for r in s.search_sorted(Q, "warc_ts", asc, 12).collect()]
+        cur, pages = None, []
+        for _ in range(3):
+            page = [
+                (r.doc_id, r.warc_ts)
+                for r in s.search_sorted(Q, "warc_ts", asc, 4, after=cur).collect()
+            ]
+            lpage = [(i, _ts(v)) for i, v in L.search_sorted(Q, "warc_ts", asc, 4, after=cur)]
+            assert page == lpage
+            pages.extend(page)
+            cur = (page[-1][1], page[-1][0])
+        assert pages == full
+
+
+def test_histogram_cumulative(searchers):
+    s, L = searchers
+    plain = [(r.bucket, r.doc_count) for r in s.search_value_histogram(Q, "warc_ts", "day").collect()]
+    cum = [(r.bucket, r.doc_count) for r in s.search_value_histogram(Q, "warc_ts", "day", cumulative=True).collect()]
+    assert [b for b, _c in cum] == [b for b, _c in plain]
+    assert [c for _b, c in cum] == list(np.cumsum([c for _b, c in plain]))
+    loc = [(
+        _ts(b), int(c)
+    ) for b, c in L.search_value_histogram(Q, "warc_ts", "day", cumulative=True)]
+    assert cum == loc
+    assert cum[-1][1] == len(L.matched_ids(Q))
