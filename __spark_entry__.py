@@ -685,6 +685,16 @@ def _q_sig_terms_src(spark, sf):
     )
 
 
+def _q_bool_range(spark, sf):
+    """Range atom in the boolean query language (ES query_string
+    range syntax, filter context, exclusive lower bound):
+    ``(fast OR key OR table) AND n_chars:{150 TO 400]``."""
+    r = _searcher(spark, sf).search_bool(
+        "(fast OR key OR table) AND n_chars:{150 TO 400]", k=20
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_collapse_src(spark, sf):
     """ES field collapsing: BM25 top-10 with at most one (best) hit
     per source — one result per site in web search."""
@@ -772,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": _q_date_histogram,
         "cardinality_src": _q_cardinality_src,
         "sig_terms_src": _q_sig_terms_src,
+        "bool_range_search": _q_bool_range,
         "collapse_src": _q_collapse_src,
         "percentiles_nchars": _q_percentiles_nchars,
         "range_buckets_nchars": _q_range_buckets_nchars,
@@ -1367,6 +1378,19 @@ LIMIT 10
 )
 
 
+_BOOL_RANGE_SQL = (
+    _BM25_CTES
+    + f"""
+, flt AS (
+  SELECT agg.doc_id, agg.score
+  FROM agg JOIN documents USING (doc_id)
+  WHERE n_chars > 150 AND n_chars <= 400
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM flt ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+)
+
 _COLLAPSE_SQL = (
     _BM25_CTES
     + f"""
@@ -1482,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "cardinality_src": _CARDINALITY_SQL,
         "sig_terms_src": _SIG_TERMS_SQL,
+        "bool_range_search": _BOOL_RANGE_SQL,
         "collapse_src": _COLLAPSE_SQL,
         "percentiles_nchars": _PERCENTILES_SQL,
         "range_buckets_nchars": _RANGE_BUCKETS_SQL,

@@ -31,8 +31,16 @@ import numpy as np
 
 from .tokenize import py_tokenize
 
-_TOKEN_RE = re.compile(r"\(|\)|\bAND\b|\bOR\b|\bNOT\b|[^\s()]+", re.IGNORECASE)
+_TOKEN_RE = re.compile(
+    r"\(|\)|\bAND\b|\bOR\b|\bNOT\b"
+    r"|[^\s():]+:[\[{][^\[\]{}]*[\]}]"  # range atom: field:[lo TO hi]
+    r"|[^\s()]+",
+    re.IGNORECASE,
+)
 _FUZZY_RE = re.compile(r"^(.+)~([0-9])?$")
+_RANGE_RE = re.compile(
+    r"^([^\s():]+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$", re.IGNORECASE
+)
 
 
 @dataclass
@@ -47,6 +55,41 @@ class Term:
     # fuzzy terms (`foo~` / `foo~2`) hold the base term; ``fuzzy`` is
     # the max edit distance, expanded by the searcher like wildcards
     fuzzy: int = 0
+
+
+@dataclass
+class RangeTerm:
+    """Doc-value range atom ``field:[lo TO hi]`` — the ES query_string
+    range syntax.  `[`/`]` are inclusive, `{`/`}` exclusive (per ES);
+    ``*`` = unbounded (None).  Pure filter context: constrains matches,
+    never contributes to the BM25 score (same contract as facet
+    atoms).  Searchers resolve it against the doc-value store and
+    inject the allowed doc set under ``key()`` before evaluation."""
+
+    field: str
+    lo: object  # None = unbounded
+    hi: object
+    incl_lo: bool = True
+    incl_hi: bool = True
+
+    def key(self) -> str:
+        lo = "*" if self.lo is None else self.lo
+        hi = "*" if self.hi is None else self.hi
+        lb = "[" if self.incl_lo else "{"
+        rb = "]" if self.incl_hi else "}"
+        return f"{self.field}:{lb}{lo} TO {hi}{rb}"
+
+
+def _range_value(tok: str):
+    """``*`` → None; else int, float, or the raw string (timestamps)."""
+    if tok == "*":
+        return None
+    for conv in (int, float):
+        try:
+            return conv(tok)
+        except ValueError:
+            pass
+    return tok
 
 
 @dataclass
@@ -105,6 +148,17 @@ def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()
         if t.upper() in ("AND", "OR", "NOT", ")"):
             raise QueryParseError(f"unexpected {t!r} in {query!r}")
         eat()
+        rng = _RANGE_RE.match(t)
+        if rng:
+            field, lb, lo, hi, rb = rng.groups()
+            lo_v, hi_v = _range_value(lo), _range_value(hi)
+            if lo_v is None and hi_v is None:
+                raise QueryParseError(
+                    f"range atom needs at least one bound: {t!r}"
+                )
+            return RangeTerm(
+                field, lo_v, hi_v, incl_lo=lb == "[", incl_hi=rb == "]"
+            )
         fuzz = _FUZZY_RE.match(t)
         if t.endswith("*") and len(t) > 1 or fuzz:  # expansion atom
             edits = 0
@@ -192,6 +246,8 @@ def expand_wildcards(node, expander, fuzzy_expander=None):
     (``fuzzy_expander(term, max_edits) -> list[str]``).  An empty
     expansion becomes the reserved NO_MATCH_TERM (matches nothing,
     scores nothing) — ES semantics for both."""
+    if isinstance(node, RangeTerm):
+        return node
     if isinstance(node, Term):
         if node.wildcard:
             terms = expander(node.term)
@@ -221,8 +277,31 @@ def expand_wildcards(node, expander, fuzzy_expander=None):
     raise QueryParseError(f"unknown node {node!r}")
 
 
+def range_atoms(node) -> list:
+    """Unique RangeTerm atoms of the AST, in first-appearance order
+    (deduped by key()) — the doc-value sets a searcher must resolve
+    before evaluation."""
+    out, seen = [], set()
+
+    def walk(n):
+        if isinstance(n, RangeTerm):
+            if n.key() not in seen:
+                seen.add(n.key())
+                out.append(n)
+        elif isinstance(n, Not):
+            walk(n.part)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p)
+
+    walk(node)
+    return out
+
+
 def has_wildcards(node) -> bool:
     """True when any atom needs termdict expansion (wildcard OR fuzzy)."""
+    if isinstance(node, RangeTerm):
+        return False
     if isinstance(node, Term):
         return node.wildcard or bool(node.fuzzy)
     if isinstance(node, Not):
@@ -235,7 +314,9 @@ def positive_terms(node) -> list[str]:
     out: set[str] = set()
 
     def walk(n, negated: bool):
-        if isinstance(n, Term):
+        if isinstance(n, RangeTerm):
+            pass  # filter context: never scores
+        elif isinstance(n, Term):
             if not negated and not n.filter:
                 out.add(n.term)
         elif isinstance(n, Not):
@@ -262,7 +343,7 @@ def required_terms(node) -> list[str]:
         elif isinstance(n, And):
             for p in n.parts:
                 walk(p)
-        # Or / Not subtrees contribute no individually-required terms
+        # Or / Not / RangeTerm subtrees contribute no required terms
 
     walk(node)
     return sorted(out)
@@ -272,7 +353,9 @@ def all_terms(node) -> list[str]:
     out: set[str] = set()
 
     def walk(n):
-        if isinstance(n, Term):
+        if isinstance(n, RangeTerm):
+            pass  # resolved against doc values, not the termdict
+        elif isinstance(n, Term):
             out.add(n.term)
         elif isinstance(n, Not):
             walk(n.part)
@@ -292,6 +375,17 @@ def eval_docs(node, doc_sets: dict[str, np.ndarray]):
     set (absent term → empty).  Negations propagate as (NEG, docs)
     markers and must be absorbed by an AND with a positive side."""
     empty = np.array([], dtype=np.int64)
+    if isinstance(node, RangeTerm):
+        if node.key() not in doc_sets:
+            # callers that support ranges always inject a (possibly
+            # empty) set per atom; absence means an API that can't
+            # resolve doc values — fail loud, never silently empty
+            raise QueryParseError(
+                f"range atom {node.key()!r} not resolved against the "
+                "doc-value store — this API does not support range "
+                "atoms (use search_bool)"
+            )
+        return doc_sets[node.key()]
     if isinstance(node, Term):
         return doc_sets.get(node.term, empty)
     if isinstance(node, Not):

@@ -1420,7 +1420,14 @@ class IndexSearcher:
         query-string analog.  The expression filters; BM25 scores sum
         over the positive terms each match contains (see
         functions/boolquery.py).  Segment-local evaluation is globally
-        correct because a doc's full term set lives in one segment."""
+        correct because a doc's full term set lives in one segment.
+
+        Doc-value range atoms (``n_chars:[150 TO 400]``,
+        ``warc_ts:[2025-02-01T00:00:00 TO *]`` — ES query_string range
+        syntax, filter context) compose with any boolean structure: the
+        per-atom predicates push into the doclens parquet scan and the
+        allowed ids are cogrouped with the posting rows per segment, so
+        range evaluation never materializes on the driver."""
         from ..functions import boolquery as bq
 
         ast = bq.parse(query, analyzed_fields=set(analyzed_fields_of(self.manifest)))
@@ -1429,6 +1436,7 @@ class IndexSearcher:
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
+        ranges = bq.range_atoms(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
         avgdl = field_avgdl_map(self.manifest, terms)
@@ -1444,6 +1452,68 @@ class IndexSearcher:
                     *[x for t, d in dfs.items() for x in (F.lit(t), F.lit(d))]
                 )[F.col("term")],
             )
+
+        if ranges:
+            # range filters evaluate on the doc-set path (block-skip
+            # can't see doc-value sets); allowed ids ride a per-segment
+            # cogroup, tagged by atom key
+            from . import docvalues as dv
+
+            dl = dv.doclens_df(self)
+            dpp, seg_group = dv._seg_params(self.manifest)
+            parts = []
+            for rt in ranges:
+                dv.check_field(self, rt.field, dl.columns)
+                parts.append(
+                    dl.filter(dv.range_pred(rt)).select(
+                        dv.segment_expr(
+                            F.col("doc_id"), dpp, seg_group
+                        ).alias("segment"),
+                        "doc_id",
+                        F.lit(rt.key()).alias("rkey"),
+                    )
+                )
+            allowed = parts[0]
+            for p in parts[1:]:
+                allowed = allowed.unionByName(p)
+            rkeys = [rt.key() for rt in ranges]
+
+            def score_segment_rng(
+                key, left: pd.DataFrame, right: pd.DataFrame
+            ) -> pd.DataFrame:
+                dead = get_deletes(int(key[0]))
+                postings, idf = {}, {}
+                if not left.empty:
+                    _check_unique_terms(left)
+                    idf = {
+                        t: bm25_idf(n_docs, int(d))
+                        for t, d in zip(left["term"], left["df_global"])
+                    }
+                    for r in left.itertuples():
+                        postings[r.term] = codecs.decode_postings(bytes(r.blob))
+                postings = _mask_deleted(postings, dead)
+                doc_sets = {t: p[0] for t, p in postings.items()}
+                empty_ids = np.array([], np.int64)
+                for rk in rkeys:  # atoms with no match in this segment
+                    doc_sets[rk] = empty_ids
+                for rk, grp in right.groupby("rkey"):
+                    ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+                    if dead is not None and dead.size and ids.size:
+                        ids = ids[~np.isin(ids, dead, assume_unique=True)]
+                    doc_sets[rk] = ids
+                cand = bq.eval_docs(ast, doc_sets)
+                if isinstance(cand, tuple) or cand.size == 0:
+                    return pd.DataFrame({"doc_id": [], "score": []})
+                scores = bq.score_candidates(cand, postings, pos_terms, idf, avgdl)
+                d, s = _topk(cand, scores, k)
+                return pd.DataFrame({"doc_id": d, "score": s})
+
+            per_segment = (
+                rows.groupBy("segment")
+                .cogroup(allowed.groupBy("segment"))
+                .applyInPandas(score_segment_rng, RESULT_SCHEMA)
+            )
+            return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
         def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:

@@ -199,6 +199,35 @@ def _after_pred(col, after: tuple, ascending: bool):
     return on_value | ((col == F.lit(av)) & (F.col("doc_id") > F.lit(int(aid))))
 
 
+def range_pred(rt):
+    """Spark predicate for a boolquery RangeTerm over its doc-value
+    column — pushed into the doclens parquet scan (row-group min/max
+    pruning).  String bounds compare against timestamp columns via
+    Spark's implicit ISO-8601 cast."""
+    c = F.col(rt.field)
+    pred = None
+    if rt.lo is not None:
+        pred = c >= F.lit(rt.lo) if rt.incl_lo else c > F.lit(rt.lo)
+    if rt.hi is not None:
+        p2 = c <= F.lit(rt.hi) if rt.incl_hi else c < F.lit(rt.hi)
+        pred = p2 if pred is None else pred & p2
+    return pred
+
+
+def range_mask(vals: np.ndarray, rt) -> np.ndarray:
+    """Numpy twin of range_pred for the serving path."""
+    lo, hi = rt.lo, rt.hi
+    if np.issubdtype(vals.dtype, np.datetime64):
+        lo = None if lo is None else np.datetime64(pd.Timestamp(lo))
+        hi = None if hi is None else np.datetime64(pd.Timestamp(hi))
+    m = np.ones(len(vals), bool)
+    if lo is not None:
+        m &= (vals >= lo) if rt.incl_lo else (vals > lo)
+    if hi is not None:
+        m &= (vals <= hi) if rt.incl_hi else (vals < hi)
+    return m
+
+
 def _scoring_rows(searcher: "IndexSearcher", qterms, mode_u: str):
     """(segment, term, blob, df_global) rows for the query terms, or
     None when the query provably matches nothing (empty dictionary, or

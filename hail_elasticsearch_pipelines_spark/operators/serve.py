@@ -1489,11 +1489,26 @@ class LocalSearcher:
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
+        ranges = bq.range_atoms(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
         avgdl = field_avgdl_map(self.manifest, terms)
         dfs = self.global_dfs(terms)
         idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        range_sets: dict[str, tuple] = {}
+        if ranges:
+            # doc-value range atoms (filter context): resolve allowed
+            # ids once from the cached doc values, sliced per segment
+            # below; forces the doc-set evaluation path
+            from .docvalues import range_mask
+
+            req = []
+            g, p = self.manifest["globals"], self.manifest["params"]
+            dpp, seg_group = int(g["docs_per_part"]), int(p["seg_group"])
+            for rt in ranges:
+                all_ids, vals = self._docvalues(rt.field)
+                ids = all_ids[range_mask(vals, rt)]
+                range_sets[rt.key()] = (ids, (ids // dpp) // seg_group)
         if req:
             # required conjuncts → same block-skip evaluation as the
             # distributed searcher, seeded from the decoded-postings
@@ -1554,16 +1569,27 @@ class LocalSearcher:
             return list(zip(acc_d.tolist(), acc_s.tolist()))
         tbl = self._term_rows(terms, ["term", "segment", "blob"])
         seg_arr = np.asarray(tbl["segment"].to_pylist())
+        seg_list = set(np.unique(seg_arr).tolist())
+        for _ids, segs in range_sets.values():
+            # range-only OR branches can match in segments none of the
+            # query terms touch
+            seg_list |= set(np.unique(segs).tolist())
         cand_d, cand_s = [], []
-        for seg in np.unique(seg_arr):
+        for seg in sorted(seg_list):
             idxs = np.flatnonzero(seg_arr == seg)
             postings = {}
             for i in idxs:
                 t = tbl["term"][int(i)].as_py()
                 d, tf, dl = self._decode_cached(t, int(seg), tbl["blob"][int(i)])
                 _put_unique(postings, t, (d, tf, dl))
-            postings = _mask_deleted(postings, self._deletes.get(int(seg)))
+            dead = self._deletes.get(int(seg))
+            postings = _mask_deleted(postings, dead)
             doc_sets = {t: p[0] for t, p in postings.items()}
+            for rk, (ids, segs) in range_sets.items():
+                sel = ids[segs == seg]
+                if dead is not None and dead.size and sel.size:
+                    sel = sel[~np.isin(sel, dead, assume_unique=True)]
+                doc_sets[rk] = sel
             cand = bq.eval_docs(ast, doc_sets)
             if isinstance(cand, tuple) or cand.size == 0:
                 continue
