@@ -695,6 +695,20 @@ def _q_bool_range(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_filtered_histogram(spark, sf):
+    """ES bool query + aggregations combo: daily date_histogram of
+    docs matching the OR terms AND an n_chars range atom."""
+    r = _searcher(spark, sf).search_value_histogram(
+        "(fast OR key OR table) AND n_chars:[150 TO 400]",
+        "warc_ts",
+        "day",
+        mode="BOOL",
+    )
+    return r.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"), "doc_count"
+    )
+
+
 def _q_collapse_src(spark, sf):
     """ES field collapsing: BM25 top-10 with at most one (best) hit
     per source — one result per site in web search."""
@@ -783,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_src": _q_cardinality_src,
         "sig_terms_src": _q_sig_terms_src,
         "bool_range_search": _q_bool_range,
+        "filtered_histogram": _q_filtered_histogram,
         "collapse_src": _q_collapse_src,
         "percentiles_nchars": _q_percentiles_nchars,
         "range_buckets_nchars": _q_range_buckets_nchars,
@@ -1391,6 +1406,19 @@ FROM flt ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 )
 
+_FILTERED_HISTOGRAM_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+, f AS (
+  SELECT m.doc_id FROM m JOIN documents USING (doc_id)
+  WHERE n_chars BETWEEN 150 AND 400
+)
+SELECT epoch(date_trunc('day', {_DV_TS}))::BIGINT AS bucket_epoch,
+       count(*)::BIGINT AS doc_count
+FROM f GROUP BY 1 ORDER BY 1
+"""
+)
+
 _COLLAPSE_SQL = (
     _BM25_CTES
     + f"""
@@ -1507,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
         "cardinality_src": _CARDINALITY_SQL,
         "sig_terms_src": _SIG_TERMS_SQL,
         "bool_range_search": _BOOL_RANGE_SQL,
+        "filtered_histogram": _FILTERED_HISTOGRAM_SQL,
         "collapse_src": _COLLAPSE_SQL,
         "percentiles_nchars": _PERCENTILES_SQL,
         "range_buckets_nchars": _RANGE_BUCKETS_SQL,

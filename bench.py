@@ -278,6 +278,21 @@ def main():
     searcher.search_value_histogram(SEL_OR, "warc_ts", "day").collect()
     q["date_histogram_dist"] = round(time.time() - t0, 4)
 
+    # late-r5 doc-value surface: field collapsing (best hit per value,
+    # per-segment cogroup), and a range atom composed into the boolean
+    # query language (filter-context, doclens-pushdown)
+    q["collapse_local"] = cold(
+        lambda ls: ls.search_collapse(SEL_OR, "doc_len", k=10)
+    )
+    q["bool_range_local"] = cold(
+        lambda ls: ls.search_bool(
+            f"({SEL_OR[0]} OR {SEL_OR[1]}) AND doc_len:[50 TO 500]", k=10
+        )
+    )
+    t0 = time.time()
+    searcher.search_collapse(SEL_OR, "doc_len", k=10).collect()
+    q["collapse_dist"] = round(time.time() - t0, 4)
+
     # -- distributed facet retag: 10^5-url partial-doc update over the
     # bench index (r3 verdict: operator input must never collect on the
     # driver; this times the join-resolve + sidecar + bucket rewrite +

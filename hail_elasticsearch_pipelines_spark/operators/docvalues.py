@@ -122,11 +122,70 @@ def matched_ids(
             live = live.join(F.broadcast(dead_df), "doc_id", "left_anti")
         return live
     ast, qterms = searcher._query_ast_terms(query, mode.upper())
-    if not qterms:
+    ranges = bq.range_atoms(ast) if ast is not None else []
+    if not qterms and not ranges:
         return spark.createDataFrame([], MATCHED_SCHEMA)
-    rows = searcher._term_rows(qterms).select("segment", "term", "blob")
     get_deletes = searcher._segment_deletes_fn()
     mode_u = mode.upper()
+
+    if ranges:
+        # BOOL query with doc-value range atoms: allowed ids per atom
+        # ride a per-segment cogroup (pure-range queries — bounded
+        # filters of match_all — cogroup against an empty posting side)
+        dl = doclens_df(searcher)
+        dpp, seg_group = _seg_params(searcher.manifest)
+        parts = []
+        for rt in ranges:
+            check_field(searcher, rt.field, dl.columns)
+            parts.append(
+                dl.filter(range_pred(rt)).select(
+                    segment_expr(F.col("doc_id"), dpp, seg_group).alias(
+                        "segment"
+                    ),
+                    "doc_id",
+                    F.lit(rt.key()).alias("rkey"),
+                )
+            )
+        allowed = parts[0]
+        for p in parts[1:]:
+            allowed = allowed.unionByName(p)
+        rkeys = [rt.key() for rt in ranges]
+        rows = (
+            searcher._term_rows(qterms).select("segment", "term", "blob")
+            if qterms
+            else spark.createDataFrame(
+                [], "segment int, term string, blob binary"
+            )
+        )
+
+        def ids_segment_rng(
+            key, left: pd.DataFrame, right: pd.DataFrame
+        ) -> pd.DataFrame:
+            dead = get_deletes(int(key[0]))
+            qdocs = {}
+            if not left.empty:
+                _check_unique_terms(left)
+                qdocs = {
+                    r.term: codecs.decode_postings(bytes(r.blob))[0]
+                    for r in left.itertuples()
+                }
+            empty_ids = np.array([], np.int64)
+            for rk in rkeys:
+                qdocs[rk] = empty_ids
+            for rk, grp in right.groupby("rkey"):
+                qdocs[rk] = np.sort(grp["doc_id"].to_numpy(np.int64))
+            matches = _match_docs(qdocs, qterms, mode_u, ast)
+            if dead is not None and dead.size and matches.size:
+                matches = matches[~np.isin(matches, dead, assume_unique=True)]
+            return pd.DataFrame({"doc_id": matches})
+
+        return (
+            rows.groupBy("segment")
+            .cogroup(allowed.groupBy("segment"))
+            .applyInPandas(ids_segment_rng, MATCHED_SCHEMA)
+        )
+
+    rows = searcher._term_rows(qterms).select("segment", "term", "blob")
 
     def ids_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:

@@ -1023,7 +1023,9 @@ class LocalSearcher:
         return out
 
     def matched_ids(self, query=None, mode: str = "OR") -> np.ndarray:
-        """Sorted live doc ids matching the query; None = match_all."""
+        """Sorted live doc ids matching the query; None = match_all.
+        BOOL queries may contain doc-value range atoms (incl.
+        pure-range queries — bounded filters of match_all)."""
         if query is None:
             ids, _ = self._docvalues("doc_len")
             dead_all = [d for d in self._deletes.values() if d is not None and d.size]
@@ -1031,10 +1033,64 @@ class LocalSearcher:
                 dead = np.unique(np.concatenate(dead_all))
                 ids = ids[~np.isin(ids, dead, assume_unique=True)]
             return ids
+        if mode.upper() == "BOOL":
+            from ..functions import boolquery as bq
+            from .bm25 import analyzed_fields_of
+
+            ast = bq.parse(
+                query, analyzed_fields=set(analyzed_fields_of(self.manifest))
+            )
+            if bq.has_wildcards(ast):
+                ast = bq.expand_wildcards(
+                    ast, self.expand_prefix, self.expand_fuzzy
+                )
+            if bq.range_atoms(ast):
+                return self._matched_ids_ranges(ast)
         parts = [m for m, _dls in self._segment_match_dls(query, mode) or ()]
         if not parts:
             return np.array([], np.int64)
         return np.concatenate(parts)  # segments hold disjoint id ranges
+
+    def _matched_ids_ranges(self, ast) -> np.ndarray:
+        """matched_ids for a BOOL AST with doc-value range atoms:
+        allowed ids resolve once from the cached doc values, sliced
+        per segment and injected into the shared match kernel."""
+        from ..functions import boolquery as bq
+        from .bm25 import _match_docs
+        from .docvalues import range_mask
+
+        qterms = sorted(set(bq.all_terms(ast)))
+        g, p = self.manifest["globals"], self.manifest["params"]
+        dpp, seg_group = int(g["docs_per_part"]), int(p["seg_group"])
+        range_sets = {}
+        for rt in bq.range_atoms(ast):
+            all_ids, vals = self._docvalues(rt.field)
+            ids = all_ids[range_mask(vals, rt)]
+            range_sets[rt.key()] = (ids, (ids // dpp) // seg_group)
+        rows = self._rows_for(qterms) if qterms else {}
+        seg_list = {s for m in rows.values() for s in m}
+        for _ids, segs in range_sets.values():
+            seg_list |= set(np.unique(segs).tolist())
+        out = []
+        for seg in sorted(seg_list):
+            qdocs = {}
+            for t in qterms:
+                if seg in rows.get(t, {}):
+                    d, _tf, _dl = self._decode_cached(
+                        t, seg, rows[t][seg].blob
+                    )
+                    qdocs[t] = d
+            for rk, (ids, segs) in range_sets.items():
+                qdocs[rk] = ids[segs == seg]
+            matches = _match_docs(qdocs, qterms, "BOOL", ast)
+            dead = self._deletes.get(int(seg))
+            if dead is not None and dead.size and matches.size:
+                matches = matches[~np.isin(matches, dead, assume_unique=True)]
+            if matches.size:
+                out.append(matches)
+        if not out:
+            return np.array([], np.int64)
+        return np.concatenate(out)
 
     def _dv_lookup(self, field: str, ids: np.ndarray) -> np.ndarray:
         all_ids, vals = self._docvalues(field)

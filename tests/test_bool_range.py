@@ -147,3 +147,41 @@ def test_range_atoms_respect_deletes(spark, small_pages_df, tmp_path):
     post_l = {d for d, _ in L.search_bool("the AND doc_len:[1 TO 10000]", k=10_000)}
     assert post_d == post_l
     assert not (set(victims) & post_d)
+
+
+def test_matched_ids_with_ranges(searchers):
+    """Doc-value aggregations accept range-filtered BOOL queries —
+    the ES bool-query + aggregations combo."""
+    import pandas as pd
+
+    s, L = searchers
+    Q = "the AND warc_ts:[2025-01-20T00:00:00 TO *]"
+    d = sorted(r.doc_id for r in s.matched_ids(Q, "BOOL").collect())
+    assert d == L.matched_ids(Q, "BOOL").tolist() and d
+    # subset relation vs the unfiltered query
+    full = set(L.matched_ids("the", "BOOL").tolist())
+    assert set(d) < full
+    dh = [(r.bucket, r.doc_count) for r in s.search_value_histogram(Q, "warc_ts", "day", mode="BOOL").collect()]
+    lh = [(pd.Timestamp(b).to_pydatetime(), int(c)) for b, c in L.search_value_histogram(Q, "warc_ts", "day", mode="BOOL")]
+    assert dh == lh and dh
+    ds = [(r.doc_id, r.warc_ts) for r in s.search_sorted(Q, "warc_ts", False, 5, mode="BOOL").collect()]
+    ls = [(i, pd.Timestamp(v).to_pydatetime()) for i, v in L.search_sorted(Q, "warc_ts", False, 5, mode="BOOL")]
+    assert ds == ls and ds
+
+
+def test_pure_range_aggregations(searchers):
+    """A pure-range BOOL query is a bounded filter of match_all for
+    the non-scoring aggregation APIs (scoring still requires positive
+    terms)."""
+    s, L = searchers
+    P = "doc_len:[50 TO 200]"
+    d = sorted(r.doc_id for r in s.matched_ids(P, "BOOL").collect())
+    l = L.matched_ids(P, "BOOL").tolist()
+    assert d == l and d
+    # brute-force from doclens
+    import pandas as pd
+
+    dl = pd.read_parquet(s._doclens_path, columns=["doc_id", "doc_len"])
+    expect = sorted(dl[(dl["doc_len"] >= 50) & (dl["doc_len"] <= 200)]["doc_id"].tolist())
+    assert d == expect
+    assert s.search_cardinality(P, "lang", mode="BOOL").collect()[0].n_values == L.search_cardinality(P, "lang", mode="BOOL")
