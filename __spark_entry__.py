@@ -709,6 +709,17 @@ def _q_filtered_histogram(spark, sf):
     )
 
 
+def _q_tophits_src(spark, sf):
+    """ES terms agg + top_hits sub-agg: top-5 sources by best BM25
+    hit, each with its 3 best hits."""
+    r = _searcher(spark, sf).search_grouped_tophits(
+        OR_TERMS, "source", n_buckets=5, per_bucket=3
+    )
+    return r.select(
+        "value", "rank", "doc_id", _micro(F.col("score")).alias("score_micro")
+    )
+
+
 def _q_collapse_src(spark, sf):
     """ES field collapsing: BM25 top-10 with at most one (best) hit
     per source — one result per site in web search."""
@@ -799,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_range_search": _q_bool_range,
         "filtered_histogram": _q_filtered_histogram,
         "collapse_src": _q_collapse_src,
+        "tophits_src": _q_tophits_src,
         "percentiles_nchars": _q_percentiles_nchars,
         "range_buckets_nchars": _q_range_buckets_nchars,
         "sort_page2": _q_sort_page2,
@@ -1419,6 +1431,26 @@ FROM f GROUP BY 1 ORDER BY 1
 """
 )
 
+_TOPHITS_SQL = (
+    _BM25_CTES
+    + f"""
+, hits AS (
+  SELECT d.source AS value, agg.doc_id, agg.score,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY agg.score DESC, agg.doc_id ASC
+         ) AS rank
+  FROM agg JOIN documents d USING (doc_id)
+), hh AS (SELECT * FROM hits WHERE rank <= 3),
+best AS (
+  SELECT value, max(score) AS best FROM hh GROUP BY value
+  ORDER BY best DESC, value ASC LIMIT 5
+)
+SELECT hh.value, hh.rank, hh.doc_id, {_micro_sql('hh.score')} AS score_micro
+FROM hh JOIN best USING (value)
+ORDER BY best.best DESC, hh.value ASC, hh.rank ASC
+"""
+)
+
 _COLLAPSE_SQL = (
     _BM25_CTES
     + f"""
@@ -1537,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_range_search": _BOOL_RANGE_SQL,
         "filtered_histogram": _FILTERED_HISTOGRAM_SQL,
         "collapse_src": _COLLAPSE_SQL,
+        "tophits_src": _TOPHITS_SQL,
         "percentiles_nchars": _PERCENTILES_SQL,
         "range_buckets_nchars": _RANGE_BUCKETS_SQL,
         "sort_page2": _SORT_PAGE2_SQL,

@@ -2307,6 +2307,18 @@ class IndexSearcher:
 
         return dv.search_collapse(self, query, field, k, mode)
 
+    def search_grouped_tophits(
+        self, query, field: str, n_buckets: int = 5, per_bucket: int = 3,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """ES terms agg + top_hits sub-agg (see
+        docvalues.search_grouped_tophits)."""
+        from . import docvalues as dv
+
+        return dv.search_grouped_tophits(
+            self, query, field, n_buckets, per_bucket, mode
+        )
+
     def search_cardinality(
         self, query, field: str, mode: str = "OR", exact: bool = True,
         rsd: float = 0.05,

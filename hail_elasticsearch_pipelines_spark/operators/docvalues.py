@@ -640,6 +640,121 @@ def search_collapse(
     return best.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(int(k))
 
 
+def search_grouped_tophits(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    n_buckets: int = 5,
+    per_bucket: int = 3,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation
+    (buckets ordered by max_score): the top ``n_buckets`` doc-value
+    buckets ranked by their best BM25 hit, each carrying its top
+    ``per_bucket`` hits — DataFrame(value, rank, doc_id, score)
+    ordered (bucket best desc, value asc, rank asc).
+
+    Same cogroup shape as search_collapse, but each segment task emits
+    its top ``per_bucket`` docs per value, so the shuffle is bounded by
+    per_bucket x n_values x n_segments.  The global half is a
+    per-value row_number window over those bounded partials plus a
+    top-n_buckets selection — never per-doc data."""
+    from pyspark.sql.window import Window
+
+    from .bm25 import _check_unique_terms, _msm_scores, bm25_idf, field_avgdl_map
+
+    mode_u = mode.upper()
+    if mode_u not in ("OR", "AND"):
+        raise ValueError("search_grouped_tophits supports OR/AND term queries")
+    qterms = sorted(set(query))
+    spark = searcher.spark
+    dl = doclens_df(searcher)
+    check_field(searcher, field, dl.columns)
+    out_schema = T.StructType(
+        [
+            T.StructField("value", dl.schema[field].dataType, True),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    result_schema = T.StructType(
+        [
+            out_schema[0],
+            T.StructField("rank", T.IntegerType(), False),
+            out_schema[1],
+            out_schema[2],
+        ]
+    )
+    if not qterms:
+        return spark.createDataFrame([], result_schema)
+    rows = _scoring_rows(searcher, qterms, mode_u)
+    if rows is None:
+        return spark.createDataFrame([], result_schema)
+    dpp, seg_group = _seg_params(searcher.manifest)
+    vals = dl.select(
+        segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
+        "doc_id",
+        F.col(field).alias("value"),
+    )
+    n_docs = searcher.n_docs
+    avgdl = field_avgdl_map(searcher.manifest, qterms)
+    get_deletes = searcher._segment_deletes_fn()
+    msm = len(qterms) if mode_u == "AND" else 1
+    empty = {"value": [], "doc_id": [], "score": []}
+    per_bucket = int(per_bucket)
+
+    def topk_per_value(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(empty)
+        _check_unique_terms(left)
+        dead = get_deletes(int(key[0]))
+        idf = {
+            t: bm25_idf(n_docs, int(d))
+            for t, d in zip(left["term"], left["df_global"])
+        }
+        postings = {
+            r.term: codecs.decode_postings(bytes(r.blob))
+            for r in left.itertuples()
+        }
+        docs, scores = _msm_scores(postings, qterms, idf, avgdl, msm)
+        if dead is not None and dead.size and docs.size:
+            keep = ~np.isin(docs, dead, assume_unique=True)
+            docs, scores = docs[keep], scores[keep]
+        if not docs.size:
+            return pd.DataFrame(empty)
+        rid = right["doc_id"].to_numpy(np.int64)
+        order = np.argsort(rid)
+        v = right["value"].to_numpy()[order][np.searchsorted(rid[order], docs)]
+        pdf = pd.DataFrame({"value": v, "doc_id": docs, "score": scores})
+        pdf = pdf.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return pdf.groupby("value", sort=False).head(per_bucket)
+
+    partials = (
+        rows.groupBy("segment")
+        .cogroup(vals.groupBy("segment"))
+        .applyInPandas(topk_per_value, out_schema)
+    )
+    w_in = Window.partitionBy("value").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    hits = partials.withColumn("rank", F.row_number().over(w_in)).filter(
+        F.col("rank") <= per_bucket
+    )
+    top_vals = (
+        hits.groupBy("value")
+        .agg(F.max("score").alias("best"))
+        .orderBy(F.col("best").desc(), F.col("value").asc())
+        .limit(int(n_buckets))
+    )
+    return (
+        hits.join(F.broadcast(top_vals), "value")
+        .orderBy(F.col("best").desc(), F.col("value").asc(), F.col("rank").asc())
+        .select("value", "rank", "doc_id", "score")
+    )
+
+
 def search_cardinality(
     searcher: "IndexSearcher",
     query,

@@ -1341,6 +1341,81 @@ class LocalSearcher:
             zip(pdf["value"].tolist(), pdf["doc_id"].tolist(), pdf["score"].tolist())
         )
 
+    def search_grouped_tophits(
+        self, query, field: str, n_buckets: int = 5, per_bucket: int = 3,
+        mode: str = "OR",
+    ) -> list[tuple]:
+        """ES terms agg + top_hits sub-agg — serving twin of
+        docvalues.search_grouped_tophits: [(value, rank, doc_id,
+        score)] — top n_buckets values by best hit, each with its top
+        per_bucket hits, ordered (bucket best desc, value asc, rank)."""
+        import pandas as pd
+
+        from .bm25 import _msm_scores
+
+        mode_u = mode.upper()
+        if mode_u not in ("OR", "AND"):
+            raise ValueError(
+                "search_grouped_tophits supports OR/AND term queries"
+            )
+        qterms = sorted(set(query))
+        if not qterms:
+            return []
+        dfs = self.global_dfs(qterms)
+        if not dfs or (mode_u == "AND" and any(t not in dfs for t in qterms)):
+            return []
+        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        avgdl = field_avgdl_map(self.manifest, qterms)
+        msm = len(qterms) if mode_u == "AND" else 1
+        rows = self._rows_for(qterms)
+        acc_d, acc_s = [], []
+        for seg in sorted({s for m in rows.values() for s in m}):
+            postings = {
+                t: self._decode_cached(t, seg, rows[t][seg].blob)
+                for t in qterms
+                if seg in rows.get(t, {})
+            }
+            docs, scores = _msm_scores(postings, qterms, idf, avgdl, msm)
+            if not docs.size:
+                continue
+            dead = self._deletes.get(seg)
+            if dead is not None and dead.size:
+                m = ~np.isin(docs, dead, assume_unique=True)
+                docs, scores = docs[m], scores[m]
+            acc_d.append(docs)
+            acc_s.append(scores)
+        if not acc_d:
+            return []
+        docs = np.concatenate(acc_d)
+        scores = np.concatenate(acc_s)
+        pdf = pd.DataFrame(
+            {
+                "value": self._dv_lookup(field, docs),
+                "doc_id": docs,
+                "score": scores,
+            }
+        ).sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        hits = pdf.groupby("value", sort=False).head(int(per_bucket)).copy()
+        hits["rank"] = hits.groupby("value", sort=False).cumcount() + 1
+        best = (
+            hits.groupby("value", sort=False)["score"]
+            .max()
+            .reset_index(name="best")
+            .sort_values(["best", "value"], ascending=[False, True], kind="mergesort")
+            .head(int(n_buckets))
+        )
+        out = hits.merge(best, on="value").sort_values(
+            ["best", "value", "rank"], ascending=[False, True, True], kind="mergesort"
+        )
+        return list(
+            zip(
+                out["value"].tolist(),
+                out["rank"].tolist(),
+                out["doc_id"].tolist(),
+                out["score"].tolist(),
+            )
+        )
+
     def search_cardinality(self, query, field: str, mode: str = "OR") -> int:
         """Exact distinct doc-value count among matching live docs."""
         ids = self.matched_ids(query, mode)

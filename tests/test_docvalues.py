@@ -342,3 +342,48 @@ def test_histogram_cumulative(searchers):
     ) for b, c in L.search_value_histogram(Q, "warc_ts", "day", cumulative=True)]
     assert cum == loc
     assert cum[-1][1] == len(L.matched_ids(Q))
+
+
+def test_grouped_tophits_parity_and_semantics(searchers):
+    """terms agg + top_hits: top buckets by best hit, each with its
+    per_bucket best hits — parity + brute-force check."""
+    s, L = searchers
+    dist = [(r.value, r.rank, r.doc_id, r.score) for r in s.search_grouped_tophits(Q, "doc_len", 4, 2).collect()]
+    loc = L.search_grouped_tophits(Q, "doc_len", 4, 2)
+    assert dist == loc and dist
+    vals = list(dict.fromkeys(v for v, *_ in dist))
+    assert len(vals) <= 4
+    # per-bucket ranks are 1..per_bucket, scores non-increasing
+    by_val = {}
+    for v, rk, d, sc in dist:
+        by_val.setdefault(v, []).append((rk, d, sc))
+    for v, hits in by_val.items():
+        assert [rk for rk, _d, _sc in hits] == list(range(1, len(hits) + 1))
+        scs = [sc for _rk, _d, sc in hits]
+        assert scs == sorted(scs, reverse=True)
+    # bucket order = best hit desc; buckets' best equals collapse result
+    bests = [hits[0][2] for hits in by_val.values()]
+    assert bests == sorted(bests, reverse=True)
+    collapse = [(v, d, sc) for v, d, sc in L.search_collapse(Q, "doc_len", k=4)]
+    assert [(v, hits[0][1], hits[0][2]) for v, hits in by_val.items()] == collapse
+
+
+def test_range_pushdown_reaches_doclens_scan(searchers):
+    """The BKD-analog claim holds in the physical plan: the range
+    predicate is a DataFilter on the doclens scan and only (doc_id,
+    field) are read."""
+    s, _L = searchers
+    plan = (
+        s.search_range(Q, "doc_len", 50, 200, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    dl_lines = [
+        ln for ln in plan.split("\n")
+        if "FileScan parquet" in ln and "doc_len#" in ln and "doc_id#" in ln
+    ]
+    assert dl_lines, plan
+    assert any(
+        ">= 50" in ln and "<= 200" in ln for ln in dl_lines
+    ), dl_lines
