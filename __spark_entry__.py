@@ -709,6 +709,19 @@ def _q_filtered_histogram(spark, sf):
     )
 
 
+def _q_stats_nchars(spark, sf):
+    """ES stats aggregation on the n_chars doc value over the match
+    set (exact integer aggregates)."""
+    r = _searcher(spark, sf).search_field_stats(OR_TERMS, "n_chars")
+    return r.select(
+        "n_hits",
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        _micro(F.col("avg_v")).alias("avg_micro"),
+    )
+
+
 def _q_tophits_src(spark, sf):
     """ES terms agg + top_hits sub-agg: top-5 sources by best BM25
     hit, each with its 3 best hits."""
@@ -811,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_histogram": _q_filtered_histogram,
         "collapse_src": _q_collapse_src,
         "tophits_src": _q_tophits_src,
+        "stats_nchars": _q_stats_nchars,
         "percentiles_nchars": _q_percentiles_nchars,
         "range_buckets_nchars": _q_range_buckets_nchars,
         "sort_page2": _q_sort_page2,
@@ -1431,6 +1445,19 @@ FROM f GROUP BY 1 ORDER BY 1
 """
 )
 
+_STATS_NCHARS_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+, v AS (SELECT n_chars FROM documents JOIN m USING (doc_id))
+SELECT count(*)::BIGINT AS n_hits,
+       min(n_chars)::BIGINT AS min_v,
+       max(n_chars)::BIGINT AS max_v,
+       sum(n_chars)::BIGINT AS sum_v,
+       {_micro_sql('sum(n_chars) / count(*)')} AS avg_micro
+FROM v
+"""
+)
+
 _TOPHITS_SQL = (
     _BM25_CTES
     + f"""
@@ -1570,6 +1597,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_histogram": _FILTERED_HISTOGRAM_SQL,
         "collapse_src": _COLLAPSE_SQL,
         "tophits_src": _TOPHITS_SQL,
+        "stats_nchars": _STATS_NCHARS_SQL,
         "percentiles_nchars": _PERCENTILES_SQL,
         "range_buckets_nchars": _RANGE_BUCKETS_SQL,
         "sort_page2": _SORT_PAGE2_SQL,

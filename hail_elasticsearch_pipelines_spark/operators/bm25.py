@@ -2319,6 +2319,15 @@ class IndexSearcher:
             self, query, field, n_buckets, per_bucket, mode
         )
 
+    def search_field_stats(
+        self, query, field: str, mode: str = "OR", extended: bool = False
+    ) -> DataFrame:
+        """ES stats / extended_stats on a numeric doc-value field (see
+        docvalues.search_field_stats)."""
+        from . import docvalues as dv
+
+        return dv.search_field_stats(self, query, field, mode, extended)
+
     def search_cardinality(
         self, query, field: str, mode: str = "OR", exact: bool = True,
         rsd: float = 0.05,

@@ -640,6 +640,42 @@ def search_collapse(
     return best.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(int(k))
 
 
+def search_field_stats(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    mode: str = "OR",
+    extended: bool = False,
+) -> DataFrame:
+    """ES ``stats`` aggregation over any numeric doc-value field of
+    the matching live docs — DataFrame(n_hits, min_v, max_v, sum_v,
+    avg_v), one row.  ``extended=True`` adds ES ``extended_stats``
+    moments (variance_pop, std_pop — population, per ES).  Integer
+    fields aggregate exactly (long sums); the existing ``search_stats``
+    covers the postings-resident doc length, this one any stored
+    field."""
+    mv = _matched_values(searcher, query, field, mode)
+    if isinstance(mv.schema[field].dataType, (T.TimestampType, T.DateType)):
+        raise DocValueError(
+            "field stats take a numeric doc-value field — epoch-cast "
+            "timestamp fields upstream"
+        )
+    c = F.col(field)
+    aggs = [
+        F.count("*").alias("n_hits"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.sum(c).alias("sum_v"),
+        F.avg(c).alias("avg_v"),
+    ]
+    if extended:
+        aggs += [
+            F.var_pop(c).alias("variance_pop"),
+            F.stddev_pop(c).alias("std_pop"),
+        ]
+    return mv.agg(*aggs)
+
+
 def search_grouped_tophits(
     searcher: "IndexSearcher",
     query,

@@ -1341,6 +1341,42 @@ class LocalSearcher:
             zip(pdf["value"].tolist(), pdf["doc_id"].tolist(), pdf["score"].tolist())
         )
 
+    def search_field_stats(
+        self, query, field: str, mode: str = "OR", extended: bool = False
+    ) -> dict:
+        """ES stats / extended_stats on a numeric doc-value field —
+        serving twin: {n_hits, min_v, max_v, sum_v, avg_v} (+
+        variance_pop/std_pop when extended)."""
+        from .docvalues import DocValueError
+
+        ids = self.matched_ids(query, mode)
+        if not ids.size:
+            base = {
+                "n_hits": 0, "min_v": None, "max_v": None,
+                "sum_v": None, "avg_v": None,
+            }
+            if extended:
+                base.update({"variance_pop": None, "std_pop": None})
+            return base
+        vals = self._dv_lookup(field, np.sort(ids))
+        if np.issubdtype(vals.dtype, np.datetime64):
+            raise DocValueError(
+                "field stats take a numeric doc-value field — epoch-cast "
+                "timestamp fields upstream"
+            )
+        out = {
+            "n_hits": int(len(vals)),
+            "min_v": vals.min().item(),
+            "max_v": vals.max().item(),
+            "sum_v": vals.sum().item(),
+            "avg_v": float(vals.sum().item() / len(vals)),
+        }
+        if extended:
+            v = vals.astype(np.float64)
+            out["variance_pop"] = float(np.var(v))
+            out["std_pop"] = float(np.std(v))
+        return out
+
     def search_grouped_tophits(
         self, query, field: str, n_buckets: int = 5, per_bucket: int = 3,
         mode: str = "OR",

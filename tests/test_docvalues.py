@@ -387,3 +387,23 @@ def test_range_pushdown_reaches_doclens_scan(searchers):
     assert any(
         ">= 50" in ln and "<= 200" in ln for ln in dl_lines
     ), dl_lines
+
+
+def test_field_stats_parity(searchers):
+    s, L = searchers
+    row = s.search_field_stats(Q, "doc_len", extended=True).collect()[0]
+    loc = L.search_field_stats(Q, "doc_len", extended=True)
+    assert row.n_hits == loc["n_hits"] > 0
+    assert row.min_v == loc["min_v"] and row.max_v == loc["max_v"]
+    assert row.sum_v == loc["sum_v"]
+    assert abs(row.avg_v - loc["avg_v"]) < 1e-12
+    assert abs(row.variance_pop - loc["variance_pop"]) < 1e-6
+    # brute-force over matched values
+    ids = np.sort(L.matched_ids(Q))
+    vals = L._dv_lookup("doc_len", ids)
+    assert loc["sum_v"] == int(vals.sum()) and loc["min_v"] == int(vals.min())
+    with pytest.raises(DocValueError):
+        L.search_field_stats(Q, "warc_ts")
+    # range-filtered bool query works through matched_ids
+    b = L.search_field_stats("the AND doc_len:[50 TO 200]", "doc_len", mode="BOOL")
+    assert b["n_hits"] > 0 and 50 <= b["min_v"] and b["max_v"] <= 200
