@@ -65,6 +65,23 @@ def _seg_params(manifest: dict) -> tuple[int, int]:
     return int(g["docs_per_part"]), int(p["seg_group"])
 
 
+def _value_lookup(
+    right: pd.DataFrame, col: str, docs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(present_mask aligned with ``docs``, values aligned with
+    ``docs[present_mask]``) against a (doc_id, <col>) doclens slice
+    that has already been NULL-filtered — docs whose value is NULL are
+    absent and must drop out of the aggregation (ES missing-field
+    semantics; numpy twin: LocalSearcher._dv_lookup)."""
+    rid = right["doc_id"].to_numpy(np.int64)
+    order = np.argsort(rid)
+    rid = rid[order]
+    idx = np.searchsorted(rid, docs)
+    ok = idx < len(rid)
+    ok[ok] = rid[idx[ok]] == docs[ok]
+    return ok, right[col].to_numpy()[order][idx[ok]]
+
+
 def doclens_df(searcher: "IndexSearcher") -> DataFrame:
     """The pinned snapshot's doclens table (generation-resolved path
     captured at searcher construction)."""
@@ -210,12 +227,81 @@ def _matched_values(
     field: str,
     mode: str,
 ) -> DataFrame:
-    """(doc_id, <field>) for every matching live doc — matched ids
-    joined to the two-column doclens projection.  The join shuffles on
-    the long doc_id key; AQE broadcasts the matched side when the query
-    is selective."""
+    """(doc_id, <field>) for every matching live doc — the shared
+    front half of every doc-value aggregation.
+
+    Fast path (term-list OR/AND and range-free BOOL): ONE cogroup of
+    the query terms' posting rows with the segment's two-column doclens
+    slice; each segment task matches and looks values up locally, so
+    the only shuffles are the two groupBys on the small segment key —
+    no doc_id join stage at all.  match_all and range-atom queries fall
+    back to matched_ids + a doc_id join (their allowed sets already
+    ride their own cogroup).
+
+    Docs with a NULL doc value are dropped (ES aggregations ignore
+    docs missing the field) — the filter keeps the two engines and
+    the serving twins agreeing on n_hits/count semantics."""
+    from ..functions import boolquery as bq
+    from .bm25 import _check_unique_terms, _match_docs
+
     dl = doclens_df(searcher)
     check_field(searcher, field, dl.columns)
+    dl = dl.where(F.col(field).isNotNull())
+    mode_u = mode.upper()
+    if query is not None:
+        ast, qterms = searcher._query_ast_terms(query, mode_u)
+        ranges = bq.range_atoms(ast) if ast is not None else []
+        if qterms and not ranges:
+            dpp, seg_group = _seg_params(searcher.manifest)
+            vals = dl.select(
+                segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
+                "doc_id",
+                field,
+            )
+            rows = searcher._term_rows(qterms).select("segment", "term", "blob")
+            get_deletes = searcher._segment_deletes_fn()
+            schema = T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType(), False),
+                    T.StructField(field, dl.schema[field].dataType, True),
+                ]
+            )
+
+            def vals_segment(
+                key, left: pd.DataFrame, right: pd.DataFrame
+            ) -> pd.DataFrame:
+                # dtype-preserving empty frame (a bare [] column would
+                # come back float64 and fail the Arrow cast for
+                # timestamp doc values)
+                empty_pdf = pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        field: right[field].iloc[:0],
+                    }
+                )
+                if left.empty or right.empty:
+                    return empty_pdf
+                _check_unique_terms(left)
+                dead = get_deletes(int(key[0]))
+                qdocs = {
+                    r.term: codecs.decode_postings(bytes(r.blob))[0]
+                    for r in left.itertuples()
+                }
+                matches = _match_docs(qdocs, qterms, mode_u, ast)
+                if dead is not None and dead.size and matches.size:
+                    matches = matches[
+                        ~np.isin(matches, dead, assume_unique=True)
+                    ]
+                if not matches.size:
+                    return empty_pdf
+                ok, v = _value_lookup(right, field, matches)
+                return pd.DataFrame({"doc_id": matches[ok], field: v})
+
+            return (
+                rows.groupBy("segment")
+                .cogroup(vals.groupBy("segment"))
+                .applyInPandas(vals_segment, schema)
+            )
     return matched_ids(searcher, query, mode).join(
         dl.select("doc_id", field), "doc_id"
     )
@@ -583,7 +669,7 @@ def search_collapse(
     if rows is None:
         return spark.createDataFrame([], out_schema)
     dpp, seg_group = _seg_params(searcher.manifest)
-    vals = dl.select(
+    vals = dl.where(F.col(field).isNotNull()).select(
         segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
         "doc_id",
         F.col(field).alias("value"),
@@ -613,10 +699,8 @@ def search_collapse(
             docs, scores = docs[keep], scores[keep]
         if not docs.size:
             return pd.DataFrame(empty)
-        rid = right["doc_id"].to_numpy(np.int64)
-        order = np.argsort(rid)
-        v = right["value"].to_numpy()[order][np.searchsorted(rid[order], docs)]
-        pdf = pd.DataFrame({"value": v, "doc_id": docs, "score": scores})
+        ok, v = _value_lookup(right, "value", docs)
+        pdf = pd.DataFrame({"value": v, "doc_id": docs[ok], "score": scores[ok]})
         pdf = pdf.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         )
@@ -727,7 +811,7 @@ def search_grouped_tophits(
     if rows is None:
         return spark.createDataFrame([], result_schema)
     dpp, seg_group = _seg_params(searcher.manifest)
-    vals = dl.select(
+    vals = dl.where(F.col(field).isNotNull()).select(
         segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
         "doc_id",
         F.col(field).alias("value"),
@@ -758,10 +842,8 @@ def search_grouped_tophits(
             docs, scores = docs[keep], scores[keep]
         if not docs.size:
             return pd.DataFrame(empty)
-        rid = right["doc_id"].to_numpy(np.int64)
-        order = np.argsort(rid)
-        v = right["value"].to_numpy()[order][np.searchsorted(rid[order], docs)]
-        pdf = pd.DataFrame({"value": v, "doc_id": docs, "score": scores})
+        ok, v = _value_lookup(right, "value", docs)
+        pdf = pd.DataFrame({"value": v, "doc_id": docs[ok], "score": scores[ok]})
         pdf = pdf.sort_values(
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         )

@@ -1010,6 +1010,14 @@ class LocalSearcher:
                 f"(doclens columns: {sorted(n for n in dset.schema.names if n != 'doc_id')})"
             )
         tbl = dset.to_table(columns=["doc_id", field])
+        # docs with a NULL value are absent from the column (ES
+        # missing-field semantics — aggregations/sorts/ranges skip
+        # them); dropping BEFORE to_numpy also keeps integer columns
+        # integer instead of NaN-widened float64
+        import pyarrow.compute as _pc
+
+        if tbl[field].null_count:
+            tbl = tbl.filter(_pc.is_valid(tbl[field]))
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
         vals = tbl[field].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
@@ -1092,10 +1100,18 @@ class LocalSearcher:
             return np.array([], np.int64)
         return np.concatenate(out)
 
-    def _dv_lookup(self, field: str, ids: np.ndarray) -> np.ndarray:
+    def _dv_lookup(
+        self, field: str, ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(present_mask aligned with ``ids``, values aligned with
+        ``ids[present_mask]``) — docs whose field is NULL are absent
+        from the doc-value column (ES missing-field semantics), so
+        callers must drop them from the matched set."""
         all_ids, vals = self._docvalues(field)
         idx = np.searchsorted(all_ids, ids)
-        return vals[idx]
+        ok = idx < len(all_ids)
+        ok[ok] = all_ids[idx[ok]] == ids[ok]
+        return ok, vals[idx[ok]]
 
     def search_sorted(
         self, query, by: str, ascending: bool = False, k: int = 10,
@@ -1107,9 +1123,10 @@ class LocalSearcher:
         import pandas as pd
 
         ids = np.sort(self.matched_ids(query, mode))
+        present, vals = self._dv_lookup(by, ids)
+        ids = ids[present]
         if not ids.size:
             return []
-        vals = self._dv_lookup(by, ids)
         if after is not None:
             av, aid = after
             if np.issubdtype(vals.dtype, np.datetime64):
@@ -1214,9 +1231,9 @@ class LocalSearcher:
         from .docvalues import DocValueError
 
         ids = self.matched_ids(query, mode)
-        if not ids.size:
+        vals = self._dv_lookup(field, np.sort(ids))[1]
+        if not vals.size:
             return []
-        vals = self._dv_lookup(field, np.sort(ids))
         if np.issubdtype(vals.dtype, np.datetime64):
             buckets = self._trunc_time(vals, interval)
         else:
@@ -1242,14 +1259,14 @@ class LocalSearcher:
         if not pcts or any(not 0.0 <= p <= 1.0 for p in pcts):
             raise DocValueError("percents must be fractions in [0, 1]")
         ids = self.matched_ids(query, mode)
-        if not ids.size:
-            return []
-        vals = self._dv_lookup(field, np.sort(ids))
+        vals = self._dv_lookup(field, np.sort(ids))[1]
         if np.issubdtype(vals.dtype, np.datetime64):
             raise DocValueError(
                 "percentiles takes a numeric doc-value field — epoch-cast "
                 "timestamp fields upstream"
             )
+        if not vals.size:
+            return []
         qs = np.quantile(vals.astype(np.float64), pcts, method="linear")
         return sorted(zip(pcts, qs.tolist()))
 
@@ -1266,7 +1283,7 @@ class LocalSearcher:
         rngs = check_range_buckets(ranges)
         ids = self.matched_ids(query, mode)
         vals = (
-            self._dv_lookup(field, np.sort(ids))
+            self._dv_lookup(field, np.sort(ids))[1]
             if ids.size
             else np.array([], np.float64)
         )
@@ -1329,11 +1346,12 @@ class LocalSearcher:
             return []
         docs = np.concatenate(acc_d)
         scores = np.concatenate(acc_s)
+        present, values = self._dv_lookup(field, docs)
         pdf = pd.DataFrame(
             {
-                "value": self._dv_lookup(field, docs),
-                "doc_id": docs,
-                "score": scores,
+                "value": values,
+                "doc_id": docs[present],
+                "score": scores[present],
             }
         ).sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         pdf = pdf.drop_duplicates("value", keep="first").head(int(k))
@@ -1350,7 +1368,13 @@ class LocalSearcher:
         from .docvalues import DocValueError
 
         ids = self.matched_ids(query, mode)
-        if not ids.size:
+        vals = self._dv_lookup(field, np.sort(ids))[1]
+        if np.issubdtype(vals.dtype, np.datetime64):
+            raise DocValueError(
+                "field stats take a numeric doc-value field — epoch-cast "
+                "timestamp fields upstream"
+            )
+        if not vals.size:
             base = {
                 "n_hits": 0, "min_v": None, "max_v": None,
                 "sum_v": None, "avg_v": None,
@@ -1358,12 +1382,6 @@ class LocalSearcher:
             if extended:
                 base.update({"variance_pop": None, "std_pop": None})
             return base
-        vals = self._dv_lookup(field, np.sort(ids))
-        if np.issubdtype(vals.dtype, np.datetime64):
-            raise DocValueError(
-                "field stats take a numeric doc-value field — epoch-cast "
-                "timestamp fields upstream"
-            )
         out = {
             "n_hits": int(len(vals)),
             "min_v": vals.min().item(),
@@ -1424,11 +1442,12 @@ class LocalSearcher:
             return []
         docs = np.concatenate(acc_d)
         scores = np.concatenate(acc_s)
+        present, values = self._dv_lookup(field, docs)
         pdf = pd.DataFrame(
             {
-                "value": self._dv_lookup(field, docs),
-                "doc_id": docs,
-                "score": scores,
+                "value": values,
+                "doc_id": docs[present],
+                "score": scores[present],
             }
         ).sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         hits = pdf.groupby("value", sort=False).head(int(per_bucket)).copy()
@@ -1457,7 +1476,7 @@ class LocalSearcher:
         ids = self.matched_ids(query, mode)
         if not ids.size:
             return 0
-        return int(len(np.unique(self._dv_lookup(field, np.sort(ids)))))
+        return int(len(np.unique(self._dv_lookup(field, np.sort(ids))[1])))
 
     def significant_terms(
         self, query, field: str, size: int = 10, mode: str = "OR"
@@ -1468,8 +1487,8 @@ class LocalSearcher:
         if not fg_ids.size:
             return []
         bg_ids = self.matched_ids(None)
-        fg_v, fg_c = np.unique(self._dv_lookup(field, fg_ids), return_counts=True)
-        bg_v, bg_c = np.unique(self._dv_lookup(field, bg_ids), return_counts=True)
+        fg_v, fg_c = np.unique(self._dv_lookup(field, fg_ids)[1], return_counts=True)
+        bg_v, bg_c = np.unique(self._dv_lookup(field, bg_ids)[1], return_counts=True)
         bg_map = dict(zip(bg_v.tolist(), bg_c.tolist()))
         fg_total, bg_total = int(fg_c.sum()), int(bg_c.sum())
         out = []

@@ -31,6 +31,12 @@ CHECKS = {
     "text_quality": (["ReadSchema"], ["EvalPython"]),
     "pricing_summary": (["PushedFilters", "HashAggregate"], ["EvalPython"]),
     "hourly_events": (["HashAggregate"], ["EvalPython"]),
+    # r5 doc values: the range predicate must reach the doclens scan
+    # (BKD analog — row-group min/max pruning), never a post-scan filter
+    # over a full doclens read; sorts stay TakeOrderedAndProject
+    "range_search": (["(n_chars", ">= 150"], ["SortMergeJoin"]),
+    "sort_recent": (["TakeOrderedAndProject"], ["SortMergeJoin", "Exchange rangepartitioning"]),
+    "date_histogram": (["HashAggregate"], ["SortMergeJoin"]),
 }
 
 

@@ -270,7 +270,7 @@ def test_percentiles_parity(searchers):
     assert dist == loc and len(dist) == 5
     # manual check vs numpy over the matched values
     ids = np.sort(L.matched_ids(Q))
-    vals = L._dv_lookup("doc_len", ids).astype(np.float64)
+    vals = L._dv_lookup("doc_len", ids)[1].astype(np.float64)
     for (p, v) in dist:
         assert v == np.quantile(vals, p, method="linear")
     with pytest.raises(DocValueError):
@@ -400,10 +400,137 @@ def test_field_stats_parity(searchers):
     assert abs(row.variance_pop - loc["variance_pop"]) < 1e-6
     # brute-force over matched values
     ids = np.sort(L.matched_ids(Q))
-    vals = L._dv_lookup("doc_len", ids)
+    vals = L._dv_lookup("doc_len", ids)[1]
     assert loc["sum_v"] == int(vals.sum()) and loc["min_v"] == int(vals.min())
     with pytest.raises(DocValueError):
         L.search_field_stats(Q, "warc_ts")
     # range-filtered bool query works through matched_ids
     b = L.search_field_stats("the AND doc_len:[50 TO 200]", "doc_len", mode="BOOL")
     assert b["n_hits"] > 0 and 50 <= b["min_v"] and b["max_v"] <= 200
+
+
+class TestNullDocValues:
+    """ES missing-field semantics: docs whose doc-value field is NULL
+    are invisible to aggregations, sorts, and range filters on that
+    field — on BOTH the distributed path and the LocalSearcher twin.
+    Reference analog: ES skips docs without the field in aggs/sorts
+    (elasticsearch_utils.py mapping derivation makes fields nullable)."""
+
+    @pytest.fixture(scope="class")
+    def null_index(self, spark, tmp_path_factory):
+        import pyspark.sql.functions as F
+
+        from hail_elasticsearch_pipelines_spark.operators.index_build import (
+            build_index,
+        )
+        from hail_elasticsearch_pipelines_spark.sources.corpus import (
+            gen_pages_pdf,
+        )
+
+        pdf = gen_pages_pdf(np.arange(120))
+        # every 7th doc is missing the stored field
+        pdf["stars"] = [None if i % 7 == 0 else (i * 13) % 50 for i in range(len(pdf))]
+        pdf["stars"] = pdf["stars"].astype("Int64")
+        out = str(tmp_path_factory.mktemp("nulldv") / "idx")
+        pages = spark.createDataFrame(pdf).withColumn(
+            "stars", F.col("stars").cast("long")
+        )
+        build_index(spark, pages, out, docs_per_part=16, seg_group=2, n_term_buckets=8)
+        return out
+
+    @pytest.fixture(scope="class")
+    def null_searchers(self, spark, null_index):
+        return IndexSearcher(spark, null_index), LocalSearcher(null_index)
+
+    @pytest.fixture(scope="class")
+    def null_ids(self, null_searchers):
+        """doc_ids whose `stars` is NULL in the built index (doc_id is
+        reassigned dense-by-url-order at build time, so the source-row
+        position pattern does NOT survive — read it back instead)."""
+        import pyarrow.dataset as pads
+
+        from hail_elasticsearch_pipelines_spark import layout
+
+        _s, L = null_searchers
+        dl_path = layout.table_path(L.index_dir, "doclens", manifest=L.manifest)
+        tbl = pads.dataset(dl_path).to_table(columns=["doc_id", "stars"])
+        ids = {
+            int(i)
+            for i, v in zip(tbl["doc_id"].to_pylist(), tbl["stars"].to_pylist())
+            if v is None
+        }
+        assert ids, "fixture must actually produce NULL stars rows"
+        # non-vacuous: some null-stars doc matches the query used below
+        assert ids & set(L.matched_ids(["the"]).tolist())
+        return ids
+
+    def test_stats_skip_null_docs(self, null_searchers):
+        s, L = null_searchers
+        row = s.search_field_stats(["the"], "stars").collect()[0]
+        loc = L.search_field_stats(["the"], "stars")
+        assert row.n_hits == loc["n_hits"]
+        n_matched = len(L.matched_ids(["the"]))
+        assert 0 < row.n_hits < n_matched  # nulls dropped, not zero-filled
+        assert (row.min_v, row.max_v, row.sum_v) == (
+            loc["min_v"], loc["max_v"], loc["sum_v"],
+        )
+        assert isinstance(loc["sum_v"], int)  # dtype survives the null drop
+
+    def test_sorted_and_collapse_skip_null_docs(self, null_searchers, null_ids):
+        s, L = null_searchers
+        dist = [(r.doc_id, r.stars) for r in s.search_sorted(["the"], "stars", True, 15).collect()]
+        loc = L.search_sorted(["the"], "stars", True, 15)
+        assert dist == loc and len(dist) == 15
+        assert all(v is not None for _i, v in dist)
+        assert all(i not in null_ids for i, _v in dist)
+        c1 = [tuple(r) for r in s.search_collapse(["the"], "stars", k=10).collect()]
+        c2 = L.search_collapse(["the"], "stars", k=10)
+        assert c1 == c2 and all(v is not None for v, _i, _s in c1)
+        g1 = [tuple(r) for r in s.search_grouped_tophits(["the"], "stars", 4, 2).collect()]
+        g2 = L.search_grouped_tophits(["the"], "stars", 4, 2)
+        assert g1 == g2 and all(v is not None for v, _r, _i, _s in g1)
+
+    def test_histogram_cardinality_percentiles_skip_nulls(self, null_searchers):
+        s, L = null_searchers
+        h1 = [(r.bucket, r.doc_count) for r in s.search_value_histogram(["the"], "stars", 10).collect()]
+        h2 = L.search_value_histogram(["the"], "stars", 10)
+        assert h1 == h2
+        assert sum(c for _b, c in h1) == L.search_field_stats(["the"], "stars")["n_hits"]
+        assert s.search_cardinality(["the"], "stars").collect()[0][0] == L.search_cardinality(["the"], "stars")
+        p1 = [r.value for r in s.search_percentiles(["the"], "stars", (0.5,)).collect()]
+        p2 = [v for _p, v in L.search_percentiles(["the"], "stars", (0.5,))]
+        assert len(p1) == len(p2) == 1 and abs(p1[0] - p2[0]) < 1e-9
+
+    def test_range_never_matches_null(self, null_searchers, null_ids):
+        s, L = null_searchers
+        dist = [r.doc_id for r in s.search_range(["the"], "stars", lo=-10**9, k=10_000).collect()]
+        loc = [d for d, _s in L.search_range(["the"], "stars", lo=-10**9, k=10_000)]
+        assert sorted(dist) == sorted(loc)
+        assert not set(dist) & null_ids
+        b1 = sorted(r.doc_id for r in s.matched_ids("the AND stars:[0 TO *]", "BOOL").collect())
+        l1 = L.matched_ids("the AND stars:[0 TO *]", "BOOL")
+        assert b1 == sorted(l1.tolist())
+        assert not set(l1.tolist()) & null_ids
+
+    def test_all_null_field_returns_empty(self, null_searchers, spark, tmp_path_factory):
+        import pyspark.sql.functions as F
+
+        from hail_elasticsearch_pipelines_spark.operators.index_build import (
+            build_index,
+        )
+        from hail_elasticsearch_pipelines_spark.sources.corpus import (
+            gen_pages_pdf,
+        )
+
+        out = str(tmp_path_factory.mktemp("allnull") / "idx")
+        pages = spark.createDataFrame(gen_pages_pdf(np.arange(40))).withColumn(
+            "empty_f", F.lit(None).cast("long")
+        )
+        build_index(spark, pages, out, docs_per_part=16, seg_group=2, n_term_buckets=8)
+        s, L = IndexSearcher(spark, out), LocalSearcher(out)
+        assert s.search_sorted(["the"], "empty_f", k=5).count() == 0
+        assert L.search_sorted(["the"], "empty_f", k=5) == []
+        assert s.search_field_stats(["the"], "empty_f").collect()[0].n_hits == 0
+        assert L.search_field_stats(["the"], "empty_f")["n_hits"] == 0
+        assert L.search_percentiles(["the"], "empty_f") == []
+        assert [tuple(r) for r in s.search_percentiles(["the"], "empty_f").collect()] == []
