@@ -86,6 +86,13 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
         F.lit("en").alias("lang"),
         F.col("source"),
         F.col("n_chars"),
+        # nullable stored field: every 7th doc "lost" its fetch timing —
+        # exercises ES missing-field semantics (missing agg, NULL-skip
+        # in sorts/aggs) end-to-end
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise((F.col("doc_id") * 37) % 500 + 20)
+        .cast("long")
+        .alias("fetch_ms"),
     )
 
 
@@ -108,7 +115,8 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         if (
             m.get("format_version") != INDEX_FORMAT_VERSION
             or params.get("text_fields") != ["title"]
-            or not {"source", "n_chars"} <= set(params.get("stored_fields") or ())
+            or not {"source", "n_chars", "fetch_ms"}
+            <= set(params.get("stored_fields") or ())
         ):
             shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(os.path.join(out, "_INDEX_PUBLISHED")):
@@ -783,6 +791,42 @@ def _q_date_histogram_cum(spark, sf):
     )
 
 
+def _q_decay_recency(spark, sf):
+    """ES function_score gauss decay: BM25 × recency factor around an
+    origin just past the crawl window (score halves every 7 days of
+    age — the standard freshness boost)."""
+    r = _searcher(spark, sf).search_decay(
+        OR_TERMS,
+        "warc_ts",
+        origin="2025-02-18 00:00:00",
+        scale=7 * 86400.0,
+        decay=0.5,
+        fn="gauss",
+        k=20,
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_regexp_search(spark, sf):
+    """ES regexp query: anchored-pattern termdict expansion →
+    scoring_boolean BM25 (matches {scan, slow, small, sort})."""
+    r = _searcher(spark, sf).search_regexp("s(low|mall|can)|.*ort", k=15)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_missing_fetch(spark, sf):
+    """ES missing aggregation: matching docs with no fetch_ms value."""
+    return _searcher(spark, sf).search_missing(OR_TERMS, "fetch_ms")
+
+
+def _q_terms_after_src(spark, sf):
+    """ES composite aggregation (one terms source): source buckets in
+    ascending order, paged strictly after the 'src2' key."""
+    return _searcher(spark, sf).search_value_terms(
+        OR_TERMS, "source", size=8, after="src2"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_count": _q_token_count,
@@ -829,6 +873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_buckets_nchars": _q_range_buckets_nchars,
         "sort_page2": _q_sort_page2,
         "date_histogram_cum": _q_date_histogram_cum,
+        "decay_recency": _q_decay_recency,
+        "regexp_search": _q_regexp_search,
+        "missing_fetch": _q_missing_fetch,
+        "terms_after_src": _q_terms_after_src,
         "suggest_s": _q_suggest_s,
         "mlt_doc0": _q_mlt_doc0,
         "cosine_topk": _q_cosine_topk,
@@ -1359,6 +1407,56 @@ m AS (
 )
 """
 
+# gauss decay twin: same float64 formula as docvalues.decay_factors —
+# sigma² = scale² / (2·ln(1/decay)); d² spelled abs(x)*abs(x) to mirror
+# numpy's |v−o| then d*d op order bit-for-bit
+_DECAY_D = f"abs(dv.ts - epoch(TIMESTAMP '2025-02-18 00:00:00')::DOUBLE)"
+_DECAY_SQL = (
+    _BM25_CTES
+    + f"""
+, dv AS (SELECT doc_id, epoch({_DV_TS})::DOUBLE AS ts FROM documents)
+, dec AS (
+  SELECT agg.doc_id,
+         agg.score * exp(-({_DECAY_D} * {_DECAY_D})
+           / (2.0 * (604800.0 * 604800.0 / (2.0 * ln(2.0))))) AS score
+  FROM agg JOIN dv USING (doc_id)
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM dec ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+)
+
+# regexp query twin: the same anchored pattern selects the scoring
+# terms from the corpus vocabulary (RE2 and the engine's Java/Python
+# regex agree on the safe dialect)
+_REGEXP_SQL = (
+    _BM25_CTES.replace(
+        "WHERE term IN ('fast', 'key', 'table')",
+        "WHERE regexp_matches(term, '^(?:s(low|mall|can)|.*ort)$')",
+    )
+    + f"""
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+)
+
+_MISSING_SQL = (
+    _DV_MATCH_CTE
+    + """
+SELECT count(*)::BIGINT AS missing_count FROM m WHERE doc_id % 7 = 0
+"""
+)
+
+_TERMS_AFTER_SQL = (
+    _DV_MATCH_CTE
+    + """
+SELECT d.source AS value, count(*)::BIGINT AS doc_count
+FROM documents d JOIN m USING (doc_id)
+WHERE d.source > 'src2'
+GROUP BY 1 ORDER BY 1 LIMIT 8
+"""
+)
+
 _SORT_RECENT_SQL = (
     _DV_MATCH_CTE
     + f"""
@@ -1602,6 +1700,10 @@ def oracle_sql() -> dict[str, str]:
         "range_buckets_nchars": _RANGE_BUCKETS_SQL,
         "sort_page2": _SORT_PAGE2_SQL,
         "date_histogram_cum": _DATE_HISTOGRAM_CUM_SQL,
+        "decay_recency": _DECAY_SQL,
+        "regexp_search": _REGEXP_SQL,
+        "missing_fetch": _MISSING_SQL,
+        "terms_after_src": _TERMS_AFTER_SQL,
         "highlight_top3": _BM25_CTES
         + r"""
 , top3 AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id ASC LIMIT 3)

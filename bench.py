@@ -293,6 +293,24 @@ def main():
     searcher.search_collapse(SEL_OR, "doc_len", k=10).collect()
     q["collapse_dist"] = round(time.time() - t0, 4)
 
+    # function_score decay (recency boost: exhaustive rescore × gauss
+    # factor), regexp term expansion, and the composite terms agg
+    _decay_kw = dict(
+        origin="2025-02-18 00:00:00", scale=7 * 86400.0, decay=0.5, fn="gauss"
+    )
+    q["decay_recency_local"] = cold(
+        lambda ls: ls.search_decay(SEL_OR, "warc_ts", k=10, **_decay_kw)
+    )
+    t0 = time.time()
+    searcher.search_decay(SEL_OR, "warc_ts", k=10, **_decay_kw).collect()
+    q["decay_recency_dist"] = round(time.time() - t0, 4)
+    q["regexp_search_local"] = cold(
+        lambda ls: ls.search_regexp("term40[0-4].|the", 10)
+    )
+    q["terms_agg_local"] = cold(
+        lambda ls: ls.search_value_terms(SEL_OR, "doc_len", size=20)
+    )
+
     # -- distributed facet retag: 10^5-url partial-doc update over the
     # bench index (r3 verdict: operator input must never collect on the
     # driver; this times the join-resolve + sidecar + bucket rewrite +

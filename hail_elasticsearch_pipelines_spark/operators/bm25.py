@@ -419,6 +419,10 @@ class FuzzyExpansionError(ExpansionError):
     """Fuzzy (edit-distance) expansion over the cap."""
 
 
+class RegexpExpansionError(ExpansionError):
+    """Regexp expansion over the cap."""
+
+
 def py_levenshtein(a: str, b: str) -> int:
     """Classic unit-cost Levenshtein — the exact algorithm of Spark's
     ``levenshtein`` expression and DuckDB's ``levenshtein`` (no
@@ -455,6 +459,55 @@ def prefix_term_range(prefix: str) -> tuple[str, str]:
             "optional 'field:' prefix"
         )
     return prefix, prefix[:-1] + chr(ord(prefix[-1]) + 1)
+
+
+# the regexp-query charset every engine in play interprets identically
+# (Java java.util.regex via rlike, Python re on the serving twin, RE2
+# via DuckDB regexp_matches in the oracle): literals, char classes,
+# grouping, alternation, and the * + ? quantifiers.  No escapes, no
+# braces, no anchors, no lookaround — ES regexp is likewise its own
+# conservative dialect (and implicitly anchored, as here).
+_REGEXP_SAFE = re.compile(r"^[a-z0-9.*+?()\[\]|\-]+$")
+
+_REGEXP_META = ".*+?()[]|"
+
+
+def check_regexp(pattern: str) -> None:
+    """Reject patterns outside the cross-engine-safe dialect."""
+    if not pattern or not _REGEXP_SAFE.match(pattern):
+        raise ValueError(
+            f"bad regexp {pattern!r}: allowed are lowercase [a-z0-9] "
+            "literals plus . * + ? ( ) [ ] | - (implicitly anchored, "
+            "ES-regexp style)"
+        )
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        raise ValueError(f"bad regexp {pattern!r}: {e}") from None
+
+
+def regexp_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix every match of the (anchored) pattern
+    must start with — feeds the same sorted-termdict range pruning as
+    prefix queries.  A top-level alternation voids the prefix
+    (``ab|cd`` matches need not start with ``ab``); a quantifier
+    following the prefix drops the char it quantifies."""
+    depth = 0
+    for ch in pattern:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return ""
+    out: list[str] = []
+    for i, ch in enumerate(pattern):
+        if ch in _REGEXP_META or ch == "-":
+            if ch in "*+?" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
 
 
 def analyzed_fields_of(manifest: dict) -> tuple[str, ...]:
@@ -1758,6 +1811,67 @@ class IndexSearcher:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         return self.search(terms, mode="OR", k=k)
 
+    def expand_regexp(
+        self,
+        pattern: str,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+        field: "str | None" = None,
+    ) -> list[str]:
+        """Indexed terms fully matching ``pattern`` (implicitly
+        anchored, conservative cross-engine dialect — see
+        check_regexp), sorted — the ES ``regexp`` query's expansion.
+        The reference's ES client matches fields by regex the same way
+        (elasticsearch_client.py:166-177).  The pattern's literal
+        prefix prunes the termdict scan to a sorted range when it has
+        one; the match itself runs JVM-side via ``rlike``.  ``field``
+        scopes the match to an analyzed field's terms.  Over
+        ``max_expansions`` matches raises RegexpExpansionError."""
+        check_regexp(pattern)
+        src = self._termdict if self._termdict is not None else self._postings
+        cand = F.col("term")
+        if field is not None:
+            if not re.fullmatch(r"[a-z0-9]+", field):
+                raise ValueError(f"bad field name {field!r}")
+            body = F.substring_index(cand, ":", -1)
+            cond = cand.startswith(field + ":")
+        else:
+            body = cand
+            cond = ~cand.contains(":") & ~cand.startswith("__")
+        lit = regexp_literal_prefix(pattern)
+        if lit:
+            pfx = f"{field}:{lit}" if field is not None else lit
+            lo, hi = prefix_term_range(pfx)
+            cond &= (cand >= lo) & (cand < hi)
+        cond &= body.rlike("^(?:" + pattern + ")$")
+        rows = (
+            src.filter(cond)
+            .select("term")
+            .distinct()
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        if len(rows) > max_expansions:
+            raise RegexpExpansionError(
+                f"regexp {pattern!r} expands to more than {max_expansions} "
+                "terms; narrow the pattern or raise max_expansions"
+            )
+        return sorted(r["term"] for r in rows)
+
+    def search_regexp(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+        field: "str | None" = None,
+    ) -> DataFrame:
+        """Regexp query: anchored-pattern term expansion → bounded
+        disjunctive BM25 (``rewrite: scoring_boolean`` — each matched
+        term keeps its own idf)."""
+        terms = self.expand_regexp(pattern, max_expansions, field)
+        if not terms:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        return self.search(terms, mode="OR", k=k)
+
     def _facet_terms_of(self, fields: list[str]) -> dict[str, list[str]]:
         """field → its indexed facet tokens, from the term dictionary
         (vocabulary-bounded — never the postings).  Pseudo-field
@@ -2346,6 +2460,37 @@ class IndexSearcher:
         from . import docvalues as dv
 
         return dv.significant_terms(self, query, field, size, mode)
+
+    def search_decay(
+        self, query, field: str, origin, scale: float, decay: float = 0.5,
+        offset: float = 0.0, fn: str = "gauss", mode: str = "OR",
+        k: int = 10,
+    ) -> DataFrame:
+        """ES function_score decay on a doc-value field (see
+        docvalues.search_decay)."""
+        from . import docvalues as dv
+
+        return dv.search_decay(
+            self, query, field, origin, scale, decay, offset, fn, mode, k
+        )
+
+    def search_missing(
+        self, query, field: str, mode: str = "OR"
+    ) -> DataFrame:
+        """ES missing aggregation (see docvalues.search_missing)."""
+        from . import docvalues as dv
+
+        return dv.search_missing(self, query, field, mode)
+
+    def search_value_terms(
+        self, query, field: str, size: int = 10, after=None,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """ES composite aggregation, one terms source with after-key
+        paging (see docvalues.search_value_terms)."""
+        from . import docvalues as dv
+
+        return dv.search_value_terms(self, query, field, size, after, mode)
 
     EXPLAIN_SCHEMA = T.StructType(
         [

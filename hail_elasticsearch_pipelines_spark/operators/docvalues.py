@@ -940,3 +940,219 @@ def significant_terms(
         .orderBy(F.col("lift").desc(), F.col("value").asc())
         .limit(int(size))
     )
+
+
+# ---- function_score decay, missing agg, composite terms agg ----------
+
+DECAY_FNS = ("gauss", "exp", "linear")
+
+
+def check_decay(fn: str, scale: float, decay: float, offset: float) -> None:
+    """Validate ES function_score decay parameters (the same checks ES
+    makes at query-parse time)."""
+    if fn not in DECAY_FNS:
+        raise DocValueError(f"decay fn must be one of {DECAY_FNS}, got {fn!r}")
+    if not scale > 0:
+        raise DocValueError("decay scale must be > 0")
+    if not 0.0 < decay < 1.0:
+        raise DocValueError("decay must be in (0, 1) exclusive")
+    if offset < 0:
+        raise DocValueError("decay offset must be >= 0")
+
+
+def dv_float(vals: np.ndarray) -> np.ndarray:
+    """Doc values as float64 for decay math — timestamps become epoch
+    seconds (ns-exact division keeps sub-second inputs faithful; the
+    oracle's ``epoch(ts)`` matches)."""
+    if np.issubdtype(vals.dtype, np.datetime64):
+        return vals.astype("datetime64[ns]").astype(np.int64) / 1e9
+    return vals.astype(np.float64)
+
+
+def origin_float(origin, is_time: bool) -> float:
+    """Decay origin as float64 — timestamps/strings parse through
+    pandas (naive = UTC, the same convention as numpy datetime64 epoch
+    math and DuckDB ``epoch``)."""
+    if is_time:
+        return float(pd.Timestamp(origin).timestamp())
+    return float(origin)
+
+
+def decay_factors(
+    vals_f: np.ndarray,
+    origin_f: float,
+    scale: float,
+    decay: float,
+    offset: float,
+    fn: str,
+) -> np.ndarray:
+    """ES function_score decay curves over float64 doc values — the
+    multiplicative factor per doc, in [0, 1].  ``decay`` is the factor
+    at distance ``scale`` from ``origin`` (past ``offset``):
+
+      gauss   exp(-d² / 2σ²),          σ² = scale² / (2·ln(1/decay))
+      exp     exp(λ·d),                λ  = ln(decay) / scale
+      linear  max(0, (s − d) / s),     s  = scale / (1 − decay)
+
+    with d = max(0, |v − origin| − offset).  Pure float64 numpy —
+    bit-shared by the distributed tasks, the serving twin, and (via
+    the same formulas in SQL) the DuckDB oracle."""
+    import math
+
+    d = np.maximum(0.0, np.abs(vals_f - origin_f) - offset)
+    if fn == "gauss":
+        sigma2 = scale * scale / (2.0 * math.log(1.0 / decay))
+        return np.exp(-(d * d) / (2.0 * sigma2))
+    if fn == "exp":
+        lam = math.log(decay) / scale
+        return np.exp(lam * d)
+    s = scale / (1.0 - decay)
+    return np.maximum(0.0, (s - d) / s)
+
+
+def search_decay(
+    searcher: "IndexSearcher",
+    query: "list[str]",
+    field: str,
+    origin,
+    scale: float,
+    decay: float = 0.5,
+    offset: float = 0.0,
+    fn: str = "gauss",
+    mode: str = "OR",
+    k: int = 10,
+) -> DataFrame:
+    """ES ``function_score`` with a decay function on a doc-value
+    field: final score = BM25 × decay(|value − origin|) — the standard
+    recency-boost shape (seqr's ES queries sort/boost on exported date
+    fields; mapping derivation hail_scripts/v02/utils/
+    elasticsearch_utils.py:38-77).
+
+    Docs *missing* the field keep factor 1.0 (the documented ES decay
+    behavior), so the NULL-filtered value side never drops a match —
+    it only reweights the present ones.
+
+    Plan: the query terms' posting rows cogroup with the segment's
+    NULL-filtered (doc_id, value) doclens slice; each segment task
+    scores exhaustively (pruned kernels assume score-monotone bounds
+    that a reweight invalidates), multiplies by the decay factor, and
+    emits its top-k — only k rows per segment reach the final global
+    order.  Scores stay float64 end-to-end."""
+    from .bm25 import (
+        RESULT_SCHEMA,
+        _check_unique_terms,
+        _msm_scores,
+        _topk,
+        bm25_idf,
+        field_avgdl_map,
+    )
+
+    check_decay(fn, scale, decay, offset)
+    mode_u = mode.upper()
+    if mode_u not in ("OR", "AND"):
+        raise ValueError("search_decay supports OR/AND term queries")
+    qterms = sorted(set(query))
+    spark = searcher.spark
+    if not qterms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    dl = doclens_df(searcher)
+    check_field(searcher, field, dl.columns)
+    is_time = isinstance(dl.schema[field].dataType, T.TimestampType)
+    origin_f = origin_float(origin, is_time)
+    dpp, seg_group = _seg_params(searcher.manifest)
+    vals = dl.where(F.col(field).isNotNull()).select(
+        segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
+        "doc_id",
+        F.col(field).alias("value"),
+    )
+    rows = _scoring_rows(searcher, qterms, mode_u)
+    if rows is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs = searcher.n_docs
+    avgdl = field_avgdl_map(searcher.manifest, qterms)
+    get_deletes = searcher._segment_deletes_fn()
+    msm = len(qterms) if mode_u == "AND" else 1
+    scale_f, decay_f, offset_f = float(scale), float(decay), float(offset)
+
+    def score_segment(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        _check_unique_terms(left)
+        dead = get_deletes(int(key[0]))
+        idf = {
+            t: bm25_idf(n_docs, int(d))
+            for t, d in zip(left["term"], left["df_global"])
+        }
+        postings = {
+            r.term: codecs.decode_postings(bytes(r.blob))
+            for r in left.itertuples()
+        }
+        docs, scores = _msm_scores(postings, qterms, idf, avgdl, msm)
+        if dead is not None and dead.size and docs.size:
+            keep = ~np.isin(docs, dead, assume_unique=True)
+            docs, scores = docs[keep], scores[keep]
+        if not docs.size:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        factors = np.ones(len(docs), dtype=np.float64)
+        if not right.empty:
+            ok, v = _value_lookup(right, "value", docs)
+            factors[ok] = decay_factors(
+                dv_float(v), origin_f, scale_f, decay_f, offset_f, fn
+            )
+        docs, scores = _topk(docs, scores * factors, k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    partials = (
+        rows.groupBy("segment")
+        .cogroup(vals.groupBy("segment"))
+        .applyInPandas(score_segment, RESULT_SCHEMA)
+    )
+    return partials.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        int(k)
+    )
+
+
+def search_missing(
+    searcher: "IndexSearcher",
+    query: "list[str] | str | None",
+    field: str,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``missing`` aggregation: how many matching live docs have no
+    value for ``field`` — one row DataFrame(missing_count).  The NULL
+    side of the doclens scan is typically tiny, so the doc_id join
+    broadcasts under AQE; accepts every query shape matched_ids does
+    (term lists, BOOL strings with range atoms, None = match_all)."""
+    dl = doclens_df(searcher)
+    check_field(searcher, field, dl.columns)
+    nulls = dl.where(F.col(field).isNull()).select("doc_id")
+    return (
+        matched_ids(searcher, query, mode)
+        .join(nulls, "doc_id")
+        .agg(F.count(F.lit(1)).alias("missing_count"))
+    )
+
+
+def search_value_terms(
+    searcher: "IndexSearcher",
+    query: "list[str] | str | None",
+    field: str,
+    size: int = 10,
+    after=None,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``composite`` aggregation over one terms source: (value,
+    doc_count) buckets in ascending value order, ``size`` per page,
+    resuming strictly after the ``after`` key — the scale-safe way to
+    page through an unbounded-cardinality terms agg (a plain terms agg
+    must materialize every bucket; composite streams them).  Rides the
+    shared _matched_values front half, so term-list queries take the
+    single-cogroup fast path and the after-key predicate prunes before
+    the bucket shuffle."""
+    mv = _matched_values(searcher, query, field, mode)
+    if after is not None:
+        mv = mv.where(F.col(field) > F.lit(after))
+    g = mv.groupBy(F.col(field).alias("value")).agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    return g.orderBy(F.col("value").asc()).limit(int(size))

@@ -654,6 +654,77 @@ class LocalSearcher:
             return []
         return self.search(terms, mode="OR", k=k)
 
+    def expand_regexp(
+        self,
+        pattern: str,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+        field: str | None = None,
+    ) -> list[str]:
+        """Serving twin of IndexSearcher.expand_regexp: literal-prefix
+        range pushdown into the pyarrow termdict scan, anchored
+        ``re.fullmatch`` over the pruned vocabulary (Python re, Java
+        regex, and RE2 agree on the safe dialect check_regexp
+        enforces)."""
+        import re as _re
+
+        from .bm25 import (
+            RegexpExpansionError,
+            check_regexp,
+            prefix_term_range,
+            regexp_literal_prefix,
+        )
+
+        check_regexp(pattern)
+        if field is not None and not _re.fullmatch(r"[a-z0-9]+", field):
+            raise ValueError(f"bad field name {field!r}")
+        src = self._termdict if self._termdict is not None else self._postings
+        lit = regexp_literal_prefix(pattern)
+        flt = None
+        if field is not None:
+            # [field:, field;) — ';' = chr(ord(':')+1) bounds exactly
+            # the field-prefixed terms even when lit is empty
+            lo, hi = (
+                prefix_term_range(f"{field}:{lit}")
+                if lit
+                else (field + ":", field + ";")
+            )
+            flt = (ds.field("term") >= lo) & (ds.field("term") < hi)
+        elif lit:
+            lo, hi = prefix_term_range(lit)
+            flt = (ds.field("term") >= lo) & (ds.field("term") < hi)
+        tbl = src.to_table(filter=flt, columns=["term"])
+        rex = _re.compile(pattern)
+        terms = set()
+        for t in set(tbl["term"].to_pylist()):
+            if field is not None:
+                body = t.split(":", 1)[1]
+            else:
+                if ":" in t or t.startswith("__"):
+                    continue
+                body = t
+            if rex.fullmatch(body):
+                terms.add(t)
+                if len(terms) > max_expansions:
+                    raise RegexpExpansionError(
+                        f"regexp {pattern!r} expands to more than "
+                        f"{max_expansions} terms; narrow the pattern or "
+                        "raise max_expansions"
+                    )
+        return sorted(terms)
+
+    def search_regexp(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+        field: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Regexp query — bit-identical to IndexSearcher.search_regexp."""
+        terms = self.expand_regexp(pattern, max_expansions, field)
+        if not terms:
+            return []
+        return self.search(terms, mode="OR", k=k)
+
     def search_fielded(
         self,
         terms: list[str],
@@ -1499,6 +1570,78 @@ class LocalSearcher:
             out.append((v, int(c), int(bc), (c / fg_total) / (bc / bg_total)))
         out.sort(key=lambda r: (-r[3], r[0]))
         return out[: int(size)]
+
+    def search_decay(
+        self, query, field: str, origin, scale: float, decay: float = 0.5,
+        offset: float = 0.0, fn: str = "gauss", mode: str = "OR",
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """function_score decay — serving twin of
+        docvalues.search_decay, bit-identical (same exhaustive scoring
+        kernel, same float64 decay_factors; docs missing the field
+        keep factor 1.0 per ES)."""
+        from .bm25 import _topk
+        from .docvalues import check_decay, decay_factors, dv_float, origin_float
+
+        check_decay(fn, scale, decay, offset)
+        mode_u = mode.upper()
+        if mode_u not in ("OR", "AND"):
+            raise ValueError("search_decay supports OR/AND term queries")
+        qterms = sorted(set(query))
+        if not qterms:
+            return []
+        full = self.search(qterms, mode=mode_u, k=self.n_docs, algo="exhaustive")
+        if not full:
+            return []
+        docs = np.fromiter((d for d, _ in full), np.int64, len(full))
+        scores = np.fromiter((s for _, s in full), np.float64, len(full))
+        present, vals = self._dv_lookup(field, docs)
+        is_time = np.issubdtype(vals.dtype, np.datetime64)
+        factors = np.ones(len(docs), dtype=np.float64)
+        factors[present] = decay_factors(
+            dv_float(vals),
+            origin_float(origin, is_time),
+            float(scale),
+            float(decay),
+            float(offset),
+            fn,
+        )
+        docs, scores = _topk(docs, scores * factors, k)
+        return list(zip(docs.tolist(), scores.tolist()))
+
+    def search_missing(self, query, field: str, mode: str = "OR") -> int:
+        """ES missing aggregation — serving twin of
+        docvalues.search_missing: matched live docs with no value for
+        ``field``."""
+        ids = self.matched_ids(query, mode)
+        if not ids.size:
+            return 0
+        present, _ = self._dv_lookup(field, np.sort(ids))
+        return int(len(ids) - int(present.sum()))
+
+    def search_value_terms(
+        self, query, field: str, size: int = 10, after=None,
+        mode: str = "OR",
+    ) -> list[tuple]:
+        """ES composite agg (one terms source, after-key paging) —
+        serving twin of docvalues.search_value_terms: [(value,
+        doc_count)] ascending by value, strictly after ``after``."""
+        ids = self.matched_ids(query, mode)
+        if not ids.size:
+            return []
+        vals = self._dv_lookup(field, np.sort(ids))[1]
+        if after is not None and np.issubdtype(vals.dtype, np.datetime64):
+            import pandas as pd
+
+            after = np.datetime64(pd.Timestamp(after))
+        v, c = np.unique(vals, return_counts=True)
+        if after is not None:
+            keep = v > after
+            v, c = v[keep], c[keep]
+        return [
+            (val, int(cnt))
+            for val, cnt in zip(v[: int(size)].tolist(), c[: int(size)].tolist())
+        ]
 
     def more_like_this(
         self,
