@@ -315,6 +315,21 @@ def _q_phrase_search(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_boost_search(spark, sf):
+    """ES query_string clause boosting: fast^3 OR key OR table^0.5 —
+    boosts fold into idf (linear), so pruned paths stay exact."""
+    r = _searcher(spark, sf).search_bool("fast^3 OR key OR table^0.5", k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_phrase_slop(spark, sf):
+    """ES match_phrase with slop=2 (in-order window): 'row … scan'
+    within a 2-position stretch — more matches than the exact phrase,
+    each scored as one pseudo-term with the windowed tf."""
+    r = _searcher(spark, sf).search_phrase(PHRASE, k=20, slop=2)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_mlt_doc0(spark, sf):
     """ES more_like_this (r5): doc 0's text as the `like` input — top
     tf-idf terms (df >= 2 floor, ties term-asc) run as a BM25 OR; the
@@ -850,6 +865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_positions": _q_match_positions,
         "url_canon": _q_url_canon,
         "phrase_search": _q_phrase_search,
+        "phrase_slop": _q_phrase_slop,
+        "boost_search": _q_boost_search,
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
         "fielded_search_and": _q_fielded_search_and,
@@ -1036,15 +1053,25 @@ SELECT doc_id,
 FROM tok
 """
 
-def _phrase_sql(phrase: list[str], k: int) -> str:
-    """BM25 of the exact phrase as one pseudo-term: tf via an
-    adjacency self-join over (token, position)."""
+def _phrase_sql(phrase: list[str], k: int, slop: int = 0) -> str:
+    """BM25 of the phrase as one pseudo-term: tf via an adjacency
+    (slop=0) or in-order-window (slop>0) self-join over (token,
+    position).  With slop, tf counts DISTINCT start positions — the
+    greedy-chain count of the engine kernel (existence of any chain ==
+    greedy success: all constraints are upper bounds on an increasing
+    chain)."""
     joins, conds = [], [f"p0.term = '{phrase[0]}'"]
     for i in range(1, len(phrase)):
-        joins.append(
-            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i}"
-        )
+        if slop == 0:
+            on = f"p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i}"
+        else:
+            on = (
+                f"p{i}.doc_id = p0.doc_id AND p{i}.i > p{i - 1}.i "
+                f"AND p{i}.i <= p0.i + {i} + {slop}"
+            )
+        joins.append(f"JOIN pos p{i} ON {on}")
         conds.append(f"p{i}.term = '{phrase[i]}'")
+    tf_expr = "count(*)" if slop == 0 else "count(DISTINCT p0.i)"
     return f"""
 WITH tok AS (
   SELECT doc_id, {TOK} AS toks FROM documents
@@ -1056,7 +1083,7 @@ pos AS (
                    i -> struct_pack(t := toks[i], i := i))) AS x(u)
 ),
 m AS (
-  SELECT p0.doc_id, count(*)::BIGINT AS tf
+  SELECT p0.doc_id, {tf_expr}::BIGINT AS tf
   FROM pos p0 {' '.join(joins)}
   WHERE {' AND '.join(conds)}
   GROUP BY p0.doc_id
@@ -1831,6 +1858,17 @@ SELECT doc_id, {_micro_sql('score')} AS score_micro
 FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "phrase_search": _phrase_sql(PHRASE, 20),
+        "phrase_slop": _phrase_sql(PHRASE, 20, slop=2),
+        "boost_search": _BM25_CTES.replace(
+            "ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))",
+            "(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "* (CASE tf.term WHEN 'fast' THEN 3.0 WHEN 'table' THEN 0.5 "
+            "ELSE 1.0 END))",
+        )
+        + f"""
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
         "bool_search": f"""
 WITH tok AS (
   SELECT doc_id, {TOK} AS toks FROM documents

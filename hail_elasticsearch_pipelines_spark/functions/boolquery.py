@@ -38,6 +38,7 @@ _TOKEN_RE = re.compile(
     re.IGNORECASE,
 )
 _FUZZY_RE = re.compile(r"^(.+)~([0-9])?$")
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 _RANGE_RE = re.compile(
     r"^([^\s():]+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$", re.IGNORECASE
 )
@@ -55,6 +56,10 @@ class Term:
     # fuzzy terms (`foo~` / `foo~2`) hold the base term; ``fuzzy`` is
     # the max edit distance, expanded by the searcher like wildcards
     fuzzy: int = 0
+    # query-time boost (`foo^2` — ES query_string clause boosting):
+    # multiplies the term's idf at scoring time; bounds scale linearly
+    # so every pruned kernel stays exact.  Scoring atoms only.
+    boost: float = 1.0
 
 
 @dataclass
@@ -148,8 +153,18 @@ def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()
         if t.upper() in ("AND", "OR", "NOT", ")"):
             raise QueryParseError(f"unexpected {t!r} in {query!r}")
         eat()
+        boost = 1.0
+        bm = _BOOST_RE.match(t)
+        if bm and not _RANGE_RE.match(t):
+            t, boost = bm.group(1), float(bm.group(2))
+            if boost <= 0:
+                raise QueryParseError(f"boost must be > 0 in {bm.group(0)!r}")
         rng = _RANGE_RE.match(t)
         if rng:
+            if boost != 1.0:
+                raise QueryParseError(
+                    f"boost on a filter-context range atom: {t!r}^{boost:g}"
+                )
             field, lb, lo, hi, rb = rng.groups()
             lo_v, hi_v = _range_value(lo), _range_value(hi)
             if lo_v is None and hi_v is None:
@@ -185,8 +200,12 @@ def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()
                 raise QueryParseError(f"bad wildcard/fuzzy atom: {t!r}")
             pre = f"{field}:{nb[0]}" if field else nb[0]
             if fuzz:
-                return Term(pre, fuzzy=edits) if edits else Term(pre)
-            return Term(pre, wildcard=True)
+                return (
+                    Term(pre, fuzzy=edits, boost=boost)
+                    if edits
+                    else Term(pre, boost=boost)
+                )
+            return Term(pre, wildcard=True, boost=boost)
         if ":" in t:  # field atom: analyzed-field term OR facet filter
             field, value = t.split(":", 1)
             from ..operators.index_build import facet_token, py_facet_value
@@ -199,14 +218,18 @@ def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()
                         f"not a single indexable term for field "
                         f"{nf[0]!r}: {value!r}"
                     )
-                return Term(f"{nf[0]}:{nv[0]}")
+                return Term(f"{nf[0]}:{nv[0]}", boost=boost)
             if len(nf) != 1 or not py_facet_value(value):
                 raise QueryParseError(f"bad facet atom: {t!r}")
+            if boost != 1.0:
+                raise QueryParseError(
+                    f"boost on a filter-context facet atom: {t!r}^{boost:g}"
+                )
             return Term(facet_token(nf[0], value), filter=True)
         normalized = py_tokenize(t)
         if len(normalized) != 1:
             raise QueryParseError(f"not a single indexable term: {t!r}")
-        return Term(normalized[0])
+        return Term(normalized[0], boost=boost)
 
     def unary():
         if peek() and peek().upper() == "NOT":
@@ -262,8 +285,8 @@ def expand_wildcards(node, expander, fuzzy_expander=None):
         if not terms:
             return Term(NO_MATCH_TERM)
         if len(terms) == 1:
-            return Term(terms[0])
-        return Or([Term(t) for t in sorted(terms)])
+            return Term(terms[0], boost=node.boost)
+        return Or([Term(t, boost=node.boost) for t in sorted(terms)])
     if isinstance(node, Not):
         return Not(expand_wildcards(node.part, expander, fuzzy_expander))
     if isinstance(node, And):
@@ -327,6 +350,28 @@ def positive_terms(node) -> list[str]:
 
     walk(node, False)
     return sorted(out)
+
+
+def term_boosts(node) -> dict[str, float]:
+    """Per-term query boost for the positive scoring terms (only the
+    ones != 1).  A term mentioned with several boosts takes the MAX —
+    our scorer sums once per unique term, so per-clause re-summation
+    (ES's behavior for duplicated clauses) can't apply; max is the
+    deterministic, documented choice."""
+    out: dict[str, float] = {}
+
+    def walk(n, negated: bool):
+        if isinstance(n, Term):
+            if not negated and not n.filter and n.boost != 1.0:
+                out[n.term] = max(out.get(n.term, 0.0), n.boost)
+        elif isinstance(n, Not):
+            walk(n.part, not negated)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p, negated)
+
+    walk(node, False)
+    return out
 
 
 def required_terms(node) -> list[str]:

@@ -613,20 +613,36 @@ def _phrase_match_counts(
     post: dict[str, tuple],
     phrase_t: list[str],
     common: np.ndarray,
+    slop: int = 0,
 ) -> np.ndarray:
-    """Adjacency-chain count (phrase tf) per candidate doc, fully
+    """Windowed-chain count (phrase tf) per candidate doc, fully
     vectorized: ONE ragged gather of candidate position slices and ONE
-    sorted-key membership searchsorted per phrase term — replacing the
+    sorted-key searchsorted per phrase term — replacing the
     per-candidate-doc Python walk, which at a 10^9-doc segment meant
     millions of interpreter iterations for a stopword-ish phrase.
 
-    ``post[t] = (doc_ids, dls, pos, offs)``; membership of
-    (doc, start+i) in term i's positions is tested against the combined
-    key doc_rank*K + position, globally sorted because doc ranks ascend
-    and positions ascend within each doc."""
+    ``slop=0`` is the exact-adjacency phrase.  ``slop>0`` is the ES
+    ``match_phrase`` slop with in-order matching (the span_near
+    in_order=true shape): a start position p₀ of the first term
+    matches when positions p₀ < p₁ < … < p_{n−1} exist with
+    p_i ≤ p₀ + i + slop — total rightward stretch at most ``slop``.
+    Greedy (smallest valid p_i) is optimal for existence: every
+    constraint is an upper bound on a strictly increasing chain, so
+    taking the earliest candidate never hurts later terms.  Starts
+    count independently (two starts may share a continuation).
+
+    ``post[t] = (doc_ids, dls, pos, offs)``; the chain step for term i
+    finds the first position > prev via searchsorted on the combined
+    key doc_rank*K + position (globally sorted: doc ranks ascend,
+    positions ascend within each doc), then admits it iff it is still
+    ≤ doc_rank*K + p₀ + i + slop — K is sized so a spill into the next
+    doc's keys always fails that bound."""
     C = int(common.size)
     if C == 0:
         return np.zeros(0, dtype=np.int64)
+    slop = int(slop)
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     uniq_terms = list(dict.fromkeys(phrase_t))
     rows: dict[str, np.ndarray] = {}
     maxpos = 0
@@ -635,12 +651,13 @@ def _phrase_match_counts(
         p = post[t][2]
         if p.size:
             maxpos = max(maxpos, int(p.max()))
-    K = np.int64(maxpos + len(phrase_t) + 2)
+    K = np.int64(maxpos + len(phrase_t) + slop + 2)
 
     t0 = phrase_t[0]
     starts, s_offs = _ragged_gather(post[t0][2], post[t0][3], rows[t0])
     doc_idx = np.repeat(np.arange(C, dtype=np.int64), np.diff(s_offs))
     starts = starts.astype(np.int64, copy=False)
+    prev = starts
     for i in range(1, len(phrase_t)):
         if starts.size == 0:
             return np.zeros(C, dtype=np.int64)
@@ -650,11 +667,12 @@ def _phrase_match_counts(
             np.repeat(np.arange(C, dtype=np.int64), np.diff(c_offs)) * K
             + cp.astype(np.int64, copy=False)
         )
-        q_keys = doc_idx * K + starts + i
-        loc = np.searchsorted(cp_keys, q_keys)
+        loc = np.searchsorted(cp_keys, doc_idx * K + prev + 1)
         ok = loc < cp_keys.size
-        ok[ok] = cp_keys[loc[ok]] == q_keys[ok]
+        found = cp_keys[loc[ok]]
+        ok[ok] = found <= (doc_idx * K + starts + i + slop)[ok]
         starts, doc_idx = starts[ok], doc_idx[ok]
+        prev = cp_keys[loc[ok]] - doc_idx * K
     return np.bincount(doc_idx, minlength=C).astype(np.int64)
 
 
@@ -1490,6 +1508,7 @@ class IndexSearcher:
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
         ranges = bq.range_atoms(ast)
+        boosts = bq.term_boosts(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
         avgdl = field_avgdl_map(self.manifest, terms)
@@ -1539,7 +1558,7 @@ class IndexSearcher:
                 if not left.empty:
                     _check_unique_terms(left)
                     idf = {
-                        t: bm25_idf(n_docs, int(d))
+                        t: bm25_idf(n_docs, int(d)) * boosts.get(t, 1.0)
                         for t, d in zip(left["term"], left["df_global"])
                     }
                     for r in left.itertuples():
@@ -1574,7 +1593,7 @@ class IndexSearcher:
             _check_unique_terms(pdf)
             dead = get_deletes(pdf["segment"].iloc[0])
             idf = {
-                t: bm25_idf(n_docs, int(d))
+                t: bm25_idf(n_docs, int(d)) * boosts.get(t, 1.0)
                 for t, d in zip(pdf["term"], pdf["df_global"])
             }
             if req:
@@ -2776,10 +2795,15 @@ class IndexSearcher:
             .orderBy(*order_cols)
         )
 
-    def search_phrase(self, phrase: list[str], k: int = 10) -> DataFrame:
-        """Exact-phrase BM25 top-k: docs containing the terms at
-        consecutive positions, scored as one pseudo-term
-        (tf = adjacency count, df = matching docs).
+    def search_phrase(
+        self, phrase: list[str], k: int = 10, slop: int = 0
+    ) -> DataFrame:
+        """Phrase BM25 top-k: docs containing the terms at consecutive
+        positions (``slop=0``), or within an in-order window stretched
+        by at most ``slop`` positions (the ES ``match_phrase`` slop /
+        span_near in_order=true shape — see _phrase_match_counts),
+        scored as one pseudo-term (tf = chain-start count, df =
+        matching docs).
 
         Two jobs by necessity: the phrase's global df isn't known until
         matches are found, so matches (doc_id, tf, dl — tiny relative to
@@ -2790,7 +2814,7 @@ class IndexSearcher:
                 "phrase queries need positional postings, but this index was "
                 "built with with_positions=False — rebuild with positions"
             )
-        matches = self._phrase_matches(phrase)
+        matches = self._phrase_matches(phrase, slop)
         matches.persist()
         try:
             df_count = matches.count()
@@ -2811,10 +2835,11 @@ class IndexSearcher:
         finally:
             matches.unpersist()
 
-    def _phrase_matches(self, phrase: list[str]) -> DataFrame:
-        """DataFrame(doc_id, tf, dl) of exact-adjacency matches."""
+    def _phrase_matches(self, phrase: list[str], slop: int = 0) -> DataFrame:
+        """DataFrame(doc_id, tf, dl) of phrase-chain matches."""
         terms_sorted = sorted(set(phrase))
         phrase_t = list(phrase)
+        slop_i = int(slop)
         get_deletes = self._segment_deletes_fn()
 
         def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2838,7 +2863,7 @@ class IndexSearcher:
                 common = common[~np.isin(common, dead, assume_unique=True)]
             d0, dl0, _, _ = post[phrase_t[0]]
             dl_idx = np.searchsorted(d0, common)
-            tfs = _phrase_match_counts(post, phrase_t, common)
+            tfs = _phrase_match_counts(post, phrase_t, common, slop_i)
             hit = tfs > 0
             return pd.DataFrame(
                 {
@@ -2897,6 +2922,7 @@ class IndexSearcher:
                     (
                         s["query_id"], ast, bq.all_terms(ast),
                         bq.required_terms(ast), pos_terms, int(s.get("k", 10)),
+                        bq.term_boosts(ast),
                     )
                 )
             elif mode == "PHRASE":
@@ -2915,7 +2941,7 @@ class IndexSearcher:
 
         all_terms = sorted(
             {t for _, ts, _, _ in term_specs for t in ts}
-            | {t for _, _, ts, _, _, _ in bool_specs for t in ts}
+            | {t for _, _, ts, _, _, _, _ in bool_specs for t in ts}
         )
         if all_terms:
             # single-job path: global dfs ride in on a broadcast termdict
@@ -2958,10 +2984,17 @@ class IndexSearcher:
                         out_q.extend([qid] * len(docs))
                         out_d.extend(docs.tolist())
                         out_s.extend(scores.tolist())
-                    for qid, ast, q_terms, req, pos_terms, k in compiled_b:
+                    for qid, ast, q_terms, req, pos_terms, k, qb in compiled_b:
+                        # per-query boosted idf view (the shared idf
+                        # dict serves every query in the batch)
+                        q_idf = (
+                            {t: v * qb.get(t, 1.0) for t, v in idf.items()}
+                            if qb
+                            else idf
+                        )
                         if req:
                             docs, scores = _eval_bool_blockmax(
-                                cache, ast, req, pos_terms, idf, avgdl, dead=dead
+                                cache, ast, req, pos_terms, q_idf, avgdl, dead=dead
                             )
                         else:
                             postings = _mask_deleted(
@@ -2974,7 +3007,7 @@ class IndexSearcher:
                             if isinstance(cand, tuple) or cand.size == 0:
                                 continue
                             scores = bq.score_candidates(
-                                cand, postings, pos_terms, idf, avgdl
+                                cand, postings, pos_terms, q_idf, avgdl
                             )
                             docs = cand
                         docs, scores = _topk(docs, scores, k)
@@ -3001,7 +3034,7 @@ class IndexSearcher:
             per_segment = per_segment.unionByName(p)
         k_pairs = (
             [(qid, k) for qid, _, _, k in term_specs]
-            + [(qid, k) for qid, _, _, _, _, k in bool_specs]
+            + [(qid, k) for qid, _, _, _, _, k, _ in bool_specs]
             + [(qid, k) for qid, _, k in phrase_specs]
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

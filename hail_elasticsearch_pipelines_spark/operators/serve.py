@@ -1823,7 +1823,11 @@ class LocalSearcher:
             raise bq.QueryParseError("query has no positive terms")
         avgdl = field_avgdl_map(self.manifest, terms)
         dfs = self.global_dfs(terms)
-        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        boosts = bq.term_boosts(ast)
+        idf = {
+            t: bm25_idf(self.n_docs, d) * boosts.get(t, 1.0)
+            for t, d in dfs.items()
+        }
         range_sets: dict[str, tuple] = {}
         if ranges:
             # doc-value range atoms (filter context): resolve allowed
@@ -1931,9 +1935,12 @@ class LocalSearcher:
         d, s = _topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
         return list(zip(d.tolist(), s.tolist()))
 
-    def search_phrase(self, phrase: list[str], k: int = 10) -> list[tuple[int, float]]:
-        """Exact-phrase BM25 top-k — same semantics/floats as
-        IndexSearcher.search_phrase (tested bit-identical)."""
+    def search_phrase(
+        self, phrase: list[str], k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Phrase BM25 top-k (exact adjacency, or in-order slop
+        window) — same semantics/floats as IndexSearcher.search_phrase
+        (tested bit-identical)."""
         import numpy as np
 
         from .index_build import BM25_B, BM25_K1
@@ -1970,7 +1977,7 @@ class LocalSearcher:
                 common = common[~np.isin(common, dead, assume_unique=True)]
             d0, dl0, _, _ = post[phrase[0]]
             dl_idx = np.searchsorted(d0, common)
-            tfs = _phrase_match_counts(post, list(phrase), common)
+            tfs = _phrase_match_counts(post, list(phrase), common, int(slop))
             hit = tfs > 0
             all_docs.extend(common[hit].tolist())
             all_tf.extend(tfs[hit].tolist())

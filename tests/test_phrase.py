@@ -172,3 +172,114 @@ def test_phrase_match_counts_vs_naive_random():
                 if toks[s : s + len(phrase)] == phrase
             )
             assert got[j] == naive, (trial, doc, phrase, toks)
+
+
+# ---- slop (ES match_phrase slop, in-order window) --------------------
+
+
+def _naive_slop_tf(tokens: list[str], phrase: list[str], slop: int) -> int:
+    """Brute-force greedy-chain start count over one token list."""
+    n = 0
+    for p0, t in enumerate(tokens):
+        if t != phrase[0]:
+            continue
+        prev = p0
+        ok = True
+        for i in range(1, len(phrase)):
+            nxt = next(
+                (
+                    q
+                    for q in range(prev + 1, p0 + i + slop + 1)
+                    if q < len(tokens) and tokens[q] == phrase[i]
+                ),
+                None,
+            )
+            if nxt is None:
+                ok = False
+                break
+            prev = nxt
+        if ok:
+            n += 1
+    return n
+
+
+def test_slop_kernel_vs_bruteforce():
+    """_phrase_match_counts(slop=N) against a per-doc python walk on
+    randomized synthetic position data."""
+    import numpy as np
+
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+        _phrase_match_counts,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "d"]
+    for trial in range(30):
+        docs = [
+            [vocab[j] for j in rng.integers(0, len(vocab), rng.integers(3, 30))]
+            for _ in range(12)
+        ]
+        phrase = [vocab[j] for j in rng.integers(0, len(vocab), rng.integers(2, 4))]
+        slop = int(rng.integers(0, 4))
+        # build post dict in the kernel's shape for docs containing all terms
+        common = np.array(
+            [i for i, d in enumerate(docs) if all(t in d for t in set(phrase))],
+            dtype=np.int64,
+        )
+        post = {}
+        for t in set(phrase):
+            ids, poss, offs = [], [], [0]
+            for i, d in enumerate(docs):
+                ps = [j for j, tok in enumerate(d) if tok == t]
+                if ps:
+                    ids.append(i)
+                    poss.extend(ps)
+                    offs.append(len(poss))
+            post[t] = (
+                np.array(ids, np.int64),
+                None,
+                np.array(poss, np.int64),
+                np.array(offs, np.int64),
+            )
+        if not common.size:
+            continue
+        got = _phrase_match_counts(post, list(phrase), common, slop)
+        want = [_naive_slop_tf(docs[int(i)], list(phrase), slop) for i in common]
+        assert got.tolist() == want, (trial, phrase, slop)
+
+
+def test_slop_zero_is_exact_phrase(spark, small_index):
+    out, _m = small_index
+    s = IndexSearcher(spark, out)
+    exact = [(r.doc_id, r.score) for r in s.search_phrase(["of", "the"], k=10).collect()]
+    slop0 = [(r.doc_id, r.score) for r in s.search_phrase(["of", "the"], k=10, slop=0).collect()]
+    assert exact == slop0
+
+
+def test_slop_parity_and_widening(spark, small_index):
+    from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+    out, _m = small_index
+    s, L = IndexSearcher(spark, out), LocalSearcher(out)
+    ph = ["term0020", "the"]
+    for slop in (1, 3):
+        d = [(r.doc_id, r.score) for r in s.search_phrase(ph, k=50, slop=slop).collect()]
+        loc = L.search_phrase(ph, k=50, slop=slop)
+        assert d == loc
+    # widening slop can only grow the match set
+    n0 = s.search_phrase(ph, k=1000, slop=0).count()
+    n3 = s.search_phrase(ph, k=1000, slop=3).count()
+    assert n3 >= n0 and n3 > 0
+    # in-order only: the window never licenses a reversed phrase the
+    # corpus lacks... verify via the kernel contract instead: reversed
+    # phrase matches are exactly the docs with the reversed chain
+    rev = L.search_phrase(list(reversed(ph)), k=1000, slop=1)
+    fwd = L.search_phrase(ph, k=1000, slop=1)
+    assert {d for d, _ in rev} != {d for d, _ in fwd} or not fwd
+
+
+def test_slop_negative_raises(spark, small_index):
+    out, _m = small_index
+    s = IndexSearcher(spark, out)
+    with pytest.raises(Exception):
+        s.search_phrase(["of", "the"], k=5, slop=-1).collect()
