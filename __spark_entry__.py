@@ -315,6 +315,45 @@ def _q_phrase_search(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_exists_search(spark, sf):
+    """ES `_exists_:field` query_string atom: matches restricted to
+    docs holding a value for the nullable fetch_ms doc-value field
+    (filter context — surviving scores unchanged)."""
+    r = _searcher(spark, sf).search_bool(
+        "(fast OR key OR table) AND _exists_:fetch_ms", k=20
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_bucket_metrics(spark, sf):
+    """ES date_histogram + stats sub-aggregation: per crawl-day match
+    volume with min/sum/avg/max of n_chars."""
+    r = _searcher(spark, sf).search_bucket_metrics(
+        OR_TERMS, "warc_ts", "day", "n_chars"
+    )
+    return r.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        "doc_count",
+        "min_v",
+        "sum_v",
+        _micro(F.col("avg_v")).alias("avg_micro"),
+        "max_v",
+    )
+
+
+def _q_filters_agg(spark, sf):
+    """ES filters aggregation: named boolean filters, one live count
+    each (boolean strings exercise AND/OR/NOT and _exists_)."""
+    r = _searcher(spark, sf).search_filters(
+        {
+            "all_three": "fast AND key AND table",
+            "fast_only": "fast AND NOT (key OR table)",
+            "valued": "(fast OR key OR table) AND _exists_:fetch_ms",
+        }
+    )
+    return r
+
+
 def _q_boost_search(spark, sf):
     """ES query_string clause boosting: fast^3 OR key OR table^0.5 —
     boosts fold into idf (linear), so pruned paths stay exact."""
@@ -867,6 +906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "phrase_slop": _q_phrase_slop,
         "boost_search": _q_boost_search,
+        "exists_search": _q_exists_search,
+        "bucket_metrics_day": _q_bucket_metrics,
+        "filters_agg": _q_filters_agg,
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
         "fielded_search_and": _q_fielded_search_and,
@@ -1484,6 +1526,46 @@ GROUP BY 1 ORDER BY 1 LIMIT 8
 """
 )
 
+_EXISTS_SQL = (
+    _BM25_CTES
+    + f"""
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM agg WHERE doc_id % 7 <> 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+)
+
+_BUCKET_METRICS_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+SELECT epoch(date_trunc('day', {_DV_TS}))::BIGINT AS bucket_epoch,
+       count(*)::BIGINT AS doc_count,
+       min(d.n_chars)::BIGINT AS min_v,
+       sum(d.n_chars)::BIGINT AS sum_v,
+       {_micro_sql('avg(d.n_chars)')} AS avg_micro,
+       max(d.n_chars)::BIGINT AS max_v
+FROM documents d JOIN m USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+)
+
+_FILTERS_AGG_SQL = """
+WITH tok AS (SELECT doc_id, {tok} AS toks FROM documents)
+SELECT * FROM (
+  SELECT 'all_three' AS name, count(*)::BIGINT AS doc_count FROM tok
+  WHERE list_contains(toks, 'fast') AND list_contains(toks, 'key')
+    AND list_contains(toks, 'table')
+  UNION ALL
+  SELECT 'fast_only' AS name, count(*)::BIGINT AS doc_count FROM tok
+  WHERE list_contains(toks, 'fast')
+    AND NOT (list_contains(toks, 'key') OR list_contains(toks, 'table'))
+  UNION ALL
+  SELECT 'valued' AS name, count(*)::BIGINT AS doc_count FROM tok
+  WHERE (list_contains(toks, 'fast') OR list_contains(toks, 'key')
+         OR list_contains(toks, 'table')) AND doc_id % 7 <> 0
+) ORDER BY name
+""".format(tok=TOK)
+
 _SORT_RECENT_SQL = (
     _DV_MATCH_CTE
     + f"""
@@ -1728,6 +1810,9 @@ def oracle_sql() -> dict[str, str]:
         "sort_page2": _SORT_PAGE2_SQL,
         "date_histogram_cum": _DATE_HISTOGRAM_CUM_SQL,
         "decay_recency": _DECAY_SQL,
+        "exists_search": _EXISTS_SQL,
+        "bucket_metrics_day": _BUCKET_METRICS_SQL,
+        "filters_agg": _FILTERS_AGG_SQL,
         "regexp_search": _REGEXP_SQL,
         "missing_fetch": _MISSING_SQL,
         "terms_after_src": _TERMS_AFTER_SQL,

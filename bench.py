@@ -310,6 +310,21 @@ def main():
     q["terms_agg_local"] = cold(
         lambda ls: ls.search_value_terms(SEL_OR, "doc_len", size=20)
     )
+    # exists atom (filter context over the doc-value store), bucket +
+    # metric sub-agg (histogram with per-bucket stats), filters agg
+    q["exists_bool_local"] = cold(
+        lambda ls: ls.search_bool(
+            f"({SEL_OR[0]} OR {SEL_OR[1]}) AND _exists_:doc_len", k=10
+        )
+    )
+    t0 = time.time()
+    searcher.search_bucket_metrics(SEL_OR, "warc_ts", "day", "doc_len").collect()
+    q["bucket_metrics_dist"] = round(time.time() - t0, 4)
+    q["filters_agg_local"] = cold(
+        lambda ls: ls.search_filters(
+            {"a": SEL_OR[0], "b": f"{SEL_OR[1]} AND NOT {SEL_OR[0]}"}
+        )
+    )
 
     # -- distributed facet retag: 10^5-url partial-doc update over the
     # bench index (r3 verdict: operator input must never collect on the

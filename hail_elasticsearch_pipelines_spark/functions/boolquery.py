@@ -159,6 +159,20 @@ def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()
             t, boost = bm.group(1), float(bm.group(2))
             if boost <= 0:
                 raise QueryParseError(f"boost must be > 0 in {bm.group(0)!r}")
+        if t.lower().startswith("_exists_:"):
+            # ES `_exists_:field` — docs holding ANY value for the
+            # doc-value field (filter context; an unbounded RangeTerm
+            # resolves to the NULL-filtered value set on every path)
+            if boost != 1.0:
+                raise QueryParseError(
+                    f"boost on a filter-context _exists_ atom: {t!r}"
+                )
+            fld = t.split(":", 1)[1]
+            # raw field name (doc-value column) — same convention as
+            # the range-atom syntax, which also keeps underscores
+            if not re.fullmatch(r"[a-z0-9_]+", fld):
+                raise QueryParseError(f"bad _exists_ atom: {t!r}")
+            return RangeTerm(fld, None, None)
         rng = _RANGE_RE.match(t)
         if rng:
             if boost != 1.0:

@@ -2312,12 +2312,16 @@ class IndexSearcher:
         from ..functions import boolquery as bq
 
         mode_u = mode.upper()
-        if mode_u == "BOOL":
-            ast = bq.parse(query)  # type: ignore[arg-type]
-            qterms = sorted(set(bq.all_terms(ast)))
-        else:
-            ast = None
-            qterms = sorted(set(query))
+        ast, qterms = self._query_ast_terms(query, mode_u)
+        if ast is not None and bq.range_atoms(ast):
+            # range/_exists_ atoms need the doc-value store — count
+            # through the aggregation front half (same job shape, plus
+            # the per-atom doclens sides)
+            from . import docvalues as dv
+
+            return dv.matched_ids(self, query, mode_u).agg(
+                F.count(F.lit(1)).alias("n_hits")
+            )
         if not qterms:
             return self.spark.createDataFrame(
                 [(0,)], "n_hits long"
@@ -2510,6 +2514,38 @@ class IndexSearcher:
         from . import docvalues as dv
 
         return dv.search_value_terms(self, query, field, size, after, mode)
+
+    def search_bucket_metrics(
+        self, query, bucket_field: str, interval, metric_field: str,
+        mode: str = "OR",
+    ) -> DataFrame:
+        """ES bucket + metric sub-aggregation — date_histogram/histogram
+        with a stats sub-agg (see docvalues.search_bucket_metrics)."""
+        from . import docvalues as dv
+
+        return dv.search_bucket_metrics(
+            self, query, bucket_field, interval, metric_field, mode
+        )
+
+    def search_filters(self, filters: "dict[str, str]") -> DataFrame:
+        """ES ``filters`` aggregation — named boolean filters, each
+        with its live match count; DataFrame(name, doc_count) in name
+        order.  One count job per filter (the filter map is a
+        user-written handful, never data-sized); each job is the
+        cheapest match shape — doc-id streams only."""
+        rows = [
+            (name, int(self.search_count(q, "BOOL").collect()[0][0]))
+            for name, q in sorted(filters.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("name", T.StringType(), False),
+                    T.StructField("doc_count", T.LongType(), False),
+                ]
+            ),
+        )
 
     EXPLAIN_SCHEMA = T.StructType(
         [

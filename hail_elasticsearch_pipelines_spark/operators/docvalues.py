@@ -348,7 +348,9 @@ def range_pred(rt):
     """Spark predicate for a boolquery RangeTerm over its doc-value
     column — pushed into the doclens parquet scan (row-group min/max
     pruning).  String bounds compare against timestamp columns via
-    Spark's implicit ISO-8601 cast."""
+    Spark's implicit ISO-8601 cast.  An unbounded atom (the
+    ``_exists_:field`` query) keeps only docs holding a value —
+    bounded atoms get that for free from NULL comparison semantics."""
     c = F.col(rt.field)
     pred = None
     if rt.lo is not None:
@@ -356,7 +358,7 @@ def range_pred(rt):
     if rt.hi is not None:
         p2 = c <= F.lit(rt.hi) if rt.incl_hi else c < F.lit(rt.hi)
         pred = p2 if pred is None else pred & p2
-    return pred
+    return c.isNotNull() if pred is None else pred
 
 
 def range_mask(vals: np.ndarray, rt) -> np.ndarray:
@@ -1156,3 +1158,51 @@ def search_value_terms(
         F.count(F.lit(1)).alias("doc_count")
     )
     return g.orderBy(F.col("value").asc()).limit(int(size))
+
+
+def search_bucket_metrics(
+    searcher: "IndexSearcher",
+    query: "list[str] | str | None",
+    bucket_field: str,
+    interval,
+    metric_field: str,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES bucket + metric sub-aggregation — the canonical
+    ``date_histogram`` with a ``stats`` sub-agg (per-day crawl volume
+    with per-day size stats, the seqr-dashboard shape): matching live
+    docs bucketed by ``bucket_field`` (calendar unit for timestamps,
+    width for numerics — same rules as search_value_histogram), each
+    bucket carrying doc_count plus min/sum/avg/max of ``metric_field``.
+
+    ES semantics for NULLs: a doc missing the BUCKET field is outside
+    the histogram entirely; a doc missing the METRIC field counts in
+    doc_count but not in the metric (an all-missing bucket reports
+    NULL metrics).
+
+    Plan: matched ids join ONE three-column doclens projection (AQE
+    broadcasts the matched side when selective), then a bucket-keyed
+    aggregation — post-shuffle rows are bounded by bucket cardinality,
+    never corpus size."""
+    dl = doclens_df(searcher)
+    check_field(searcher, bucket_field, dl.columns)
+    check_field(searcher, metric_field, dl.columns)
+    is_time = isinstance(dl.schema[bucket_field].dataType, T.TimestampType)
+    proj = dl.where(F.col(bucket_field).isNotNull()).select(
+        "doc_id",
+        _bucket_expr(F.col(bucket_field), interval, is_time).alias("bucket"),
+        F.col(metric_field).alias("v"),
+    )
+    return (
+        matched_ids(searcher, query, mode)
+        .join(proj, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.min("v").alias("min_v"),
+            F.sum("v").alias("sum_v"),
+            F.avg("v").alias("avg_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("bucket")
+    )

@@ -1643,6 +1643,59 @@ class LocalSearcher:
             for val, cnt in zip(v[: int(size)].tolist(), c[: int(size)].tolist())
         ]
 
+    def search_bucket_metrics(
+        self, query, bucket_field: str, interval, metric_field: str,
+        mode: str = "OR",
+    ) -> list[tuple]:
+        """Bucket + metric sub-agg — serving twin of
+        docvalues.search_bucket_metrics: [(bucket, doc_count, min_v,
+        sum_v, avg_v, max_v)] ascending by bucket.  NULL bucket value
+        drops the doc; NULL metric value counts in doc_count only."""
+        from .docvalues import DocValueError
+
+        ids = np.sort(self.matched_ids(query, mode))
+        bpresent, bvals = self._dv_lookup(bucket_field, ids)
+        ids = ids[bpresent]
+        if not ids.size:
+            return []
+        if np.issubdtype(bvals.dtype, np.datetime64):
+            buckets = self._trunc_time(bvals, interval)
+        else:
+            iv = int(interval)
+            if iv <= 0:
+                raise DocValueError("numeric interval must be a positive int")
+            buckets = (bvals // iv) * iv
+        mpresent, mvals = self._dv_lookup(metric_field, ids)
+        out = []
+        uniq = np.unique(buckets)
+        # .tolist() keeps the bucket representation identical to
+        # search_value_histogram's (datetime for time buckets)
+        for b, bv in zip(uniq, uniq.tolist()):
+            in_b = buckets == b
+            mv = mvals[in_b[mpresent]]
+            if mv.size:
+                out.append(
+                    (
+                        bv, int(in_b.sum()), mv.min().item(),
+                        mv.sum().item(), float(mv.sum()) / len(mv),
+                        mv.max().item(),
+                    )
+                )
+            else:
+                out.append((bv, int(in_b.sum()), None, None, None, None))
+        return out
+
+    def search_filters(
+        self, filters: "dict[str, str]"
+    ) -> list[tuple[str, int]]:
+        """ES ``filters`` aggregation — named boolean filters, each
+        with its live match count; [(name, doc_count)] in name order
+        (serving twin of IndexSearcher.search_filters)."""
+        return [
+            (name, int(len(self.matched_ids(q, "BOOL"))))
+            for name, q in sorted(filters.items())
+        ]
+
     def more_like_this(
         self,
         like_text: str,
