@@ -354,6 +354,16 @@ def _q_filters_agg(spark, sf):
     return r
 
 
+def _q_rescore_phrase(spark, sf):
+    """ES rescore API (score_mode total): the OR query's top-60 window
+    re-ranked by the exact phrase 'row scan' at weight 2."""
+    r = _searcher(spark, sf).search_rescore(
+        OR_TERMS, PHRASE, k=15, window_size=60,
+        query_weight=1.0, rescore_weight=2.0,
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_boost_search(spark, sf):
     """ES query_string clause boosting: fast^3 OR key OR table^0.5 —
     boosts fold into idf (linear), so pruned paths stay exact."""
@@ -909,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_search": _q_exists_search,
         "bucket_metrics_day": _q_bucket_metrics,
         "filters_agg": _q_filters_agg,
+        "rescore_phrase": _q_rescore_phrase,
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
         "fielded_search_and": _q_fielded_search_and,
@@ -1566,6 +1577,38 @@ SELECT * FROM (
 ) ORDER BY name
 """.format(tok=TOK)
 
+
+_RESCORE_SQL = (
+    _BM25_CTES
+    + f"""
+, win AS (
+  SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id ASC LIMIT 60
+), pos AS (
+  SELECT doc_id, u.t AS term, u.i AS i
+  FROM tok, UNNEST(list_transform(range(1, len(toks) + 1),
+                   i -> struct_pack(t := toks[i], i := i))) AS x(u)
+), pm AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS ptf
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+  WHERE p0.term = '{PHRASE[0]}' AND p1.term = '{PHRASE[1]}'
+  GROUP BY p0.doc_id
+), phdf AS (SELECT count(*)::BIGINT AS n FROM pm
+), ph AS (
+  SELECT pm.doc_id,
+         ln(1.0 + (stats.n_docs - phdf.n + 0.5) / (phdf.n + 0.5))
+           * (2.2 * pm.ptf)
+           / (pm.ptf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS ps
+  FROM pm JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN phdf
+), fin AS (
+  SELECT win.doc_id,
+         1.0 * win.score + 2.0 * coalesce(ph.ps, 0.0) AS score
+  FROM win LEFT JOIN ph USING (doc_id)
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM fin ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+)
+
 _SORT_RECENT_SQL = (
     _DV_MATCH_CTE
     + f"""
@@ -1813,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "exists_search": _EXISTS_SQL,
         "bucket_metrics_day": _BUCKET_METRICS_SQL,
         "filters_agg": _FILTERS_AGG_SQL,
+        "rescore_phrase": _RESCORE_SQL,
         "regexp_search": _REGEXP_SQL,
         "missing_fetch": _MISSING_SQL,
         "terms_after_src": _TERMS_AFTER_SQL,

@@ -325,6 +325,10 @@ def main():
             {"a": SEL_OR[0], "b": f"{SEL_OR[1]} AND NOT {SEL_OR[0]}"}
         )
     )
+    # rescore: cheap OR window re-ranked by a stopword phrase
+    q["rescore_local"] = cold(
+        lambda ls: ls.search_rescore(SEL_OR, ["of", "the"], 10, 50)
+    )
 
     # -- distributed facet retag: 10^5-url partial-doc update over the
     # bench index (r3 verdict: operator input must never collect on the

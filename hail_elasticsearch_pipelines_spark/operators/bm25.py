@@ -2923,6 +2923,77 @@ class IndexSearcher:
             ),
         )
 
+    def search_rescore(
+        self,
+        terms: list[str],
+        rescore_phrase: list[str],
+        k: int = 10,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        mode: str = "OR",
+        slop: int = 0,
+    ) -> DataFrame:
+        """ES ``rescore`` API (score_mode: total): run the cheap term
+        query, take its top ``window_size`` hits, and re-rank just that
+        window with a proximity (phrase) query —
+
+            final = query_weight·bm25 + rescore_weight·phrase_score
+
+        where phrase_score uses the phrase's GLOBAL df (Lucene rescore
+        evaluates the rescore query with full index stats, only
+        restricted to the window's docs).  Window docs without the
+        phrase contribute 0 from the rescore side.
+
+        The window (≤ window_size rows) is the only driver-side
+        materialization — the phrase match job and the base query job
+        stay fully distributed; the window rides back in as a broadcast
+        join against the phrase matches."""
+        if window_size < k:
+            raise ValueError("window_size must be >= k")
+        base = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in self.search(terms, mode=mode, k=window_size).collect()
+        ]
+        if not base:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        window = self.spark.createDataFrame(
+            [(d,) for d, _s in base],
+            T.StructType([T.StructField("doc_id", T.LongType(), False)]),
+        )
+        matches = self._phrase_matches(rescore_phrase, slop)
+        matches.persist()
+        try:
+            df_count = matches.count()
+            # phrase stats of the WINDOW docs only — the window side
+            # broadcasts into an inner join, so at most window_size
+            # rows ever reach the driver
+            ph_rows = (
+                matches.join(F.broadcast(window), "doc_id").collect()
+                if df_count
+                else []
+            )
+        finally:
+            matches.unpersist()
+        ph_score: dict[int, float] = {}
+        if ph_rows:
+            idf = bm25_idf(self.n_docs, df_count)
+            for r in ph_rows:
+                tf, dl = float(r["tf"]), float(r["dl"])
+                w = ((BM25_K1 + 1.0) * tf) / (
+                    tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / self.avgdl)
+                )
+                ph_score[int(r["doc_id"])] = idf * w
+        qw, rw = float(query_weight), float(rescore_weight)
+        rescored = sorted(
+            (
+                (d, qw * s + rw * ph_score.get(d, 0.0))
+                for d, s in base
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[: int(k)]
+        return self.spark.createDataFrame(rescored, RESULT_SCHEMA)
+
     def search_many(self, specs: list[dict]) -> DataFrame:
         """Batch query execution (the ES ``msearch`` analog).  Specs are
         dicts with ``query_id``, ``k`` and ONE OF:

@@ -1988,15 +1988,10 @@ class LocalSearcher:
         d, s = _topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
         return list(zip(d.tolist(), s.tolist()))
 
-    def search_phrase(
-        self, phrase: list[str], k: int = 10, slop: int = 0
-    ) -> list[tuple[int, float]]:
-        """Phrase BM25 top-k (exact adjacency, or in-order slop
-        window) — same semantics/floats as IndexSearcher.search_phrase
-        (tested bit-identical)."""
+    def _phrase_match_rows(self, phrase: list[str], slop: int = 0):
+        """(docs, tfs, dls) arrays of every live phrase-chain match —
+        the shared front half of search_phrase and search_rescore."""
         import numpy as np
-
-        from .index_build import BM25_B, BM25_K1
 
         if not self.manifest["params"].get("with_positions", True):
             raise ValueError(
@@ -2035,15 +2030,71 @@ class LocalSearcher:
             all_docs.extend(common[hit].tolist())
             all_tf.extend(tfs[hit].tolist())
             all_dl.extend(dl0[dl_idx[hit]].tolist())
-        if not all_docs:
+        return (
+            np.asarray(all_docs, dtype=np.int64),
+            np.asarray(all_tf, dtype=np.int64),
+            np.asarray(all_dl, dtype=np.int64),
+        )
+
+    def search_phrase(
+        self, phrase: list[str], k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Phrase BM25 top-k (exact adjacency, or in-order slop
+        window) — same semantics/floats as IndexSearcher.search_phrase
+        (tested bit-identical)."""
+        from .index_build import BM25_B, BM25_K1
+
+        docs, all_tf, all_dl = self._phrase_match_rows(phrase, slop)
+        if not docs.size:
             return []
-        idf = bm25_idf(self.n_docs, len(all_docs))
-        tf = np.asarray(all_tf, dtype=np.float64)
-        dl = np.asarray(all_dl, dtype=np.float64)
+        idf = bm25_idf(self.n_docs, len(docs))
+        tf = all_tf.astype(np.float64)
+        dl = all_dl.astype(np.float64)
         w = ((BM25_K1 + 1.0) * tf) / (
             tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / self.avgdl)
         )
         scores = idf * w
-        docs = np.asarray(all_docs, dtype=np.int64)
         d, s = _topk(docs, scores, k)
         return list(zip(d.tolist(), s.tolist()))
+
+    def search_rescore(
+        self,
+        terms: list[str],
+        rescore_phrase: list[str],
+        k: int = 10,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        mode: str = "OR",
+        slop: int = 0,
+    ) -> list[tuple[int, float]]:
+        """ES rescore (score_mode: total) — serving twin of
+        IndexSearcher.search_rescore, bit-identical: same window, same
+        global phrase df, same per-doc float64 combination."""
+        from .index_build import BM25_B, BM25_K1
+
+        if window_size < k:
+            raise ValueError("window_size must be >= k")
+        base = self.search(terms, mode=mode, k=window_size)
+        if not base:
+            return []
+        docs, all_tf, all_dl = self._phrase_match_rows(rescore_phrase, slop)
+        ph_score: dict[int, float] = {}
+        if docs.size:
+            idf = bm25_idf(self.n_docs, len(docs))
+            win = {d for d, _s in base}
+            for d, tf_i, dl_i in zip(
+                docs.tolist(), all_tf.tolist(), all_dl.tolist()
+            ):
+                if d not in win:
+                    continue
+                tf, dl = float(tf_i), float(dl_i)
+                w = ((BM25_K1 + 1.0) * tf) / (
+                    tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / self.avgdl)
+                )
+                ph_score[d] = idf * w
+        qw, rw = float(query_weight), float(rescore_weight)
+        return sorted(
+            ((d, qw * s + rw * ph_score.get(d, 0.0)) for d, s in base),
+            key=lambda t: (-t[1], t[0]),
+        )[: int(k)]

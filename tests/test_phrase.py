@@ -283,3 +283,47 @@ def test_slop_negative_raises(spark, small_index):
     s = IndexSearcher(spark, out)
     with pytest.raises(Exception):
         s.search_phrase(["of", "the"], k=5, slop=-1).collect()
+
+
+# ---- rescore (ES rescore API, score_mode: total) ----------------------
+
+
+def test_rescore_parity_and_semantics(spark, small_index):
+    from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+    out, _m = small_index
+    s = IndexSearcher(spark, out)
+    L = LocalSearcher(out)
+    kw = dict(k=10, window_size=40, query_weight=1.0, rescore_weight=2.0)
+    d = [(r.doc_id, r.score) for r in s.search_rescore(["of", "the"], ["of", "the"], **kw).collect()]
+    loc = L.search_rescore(["of", "the"], ["of", "the"], **kw)
+    assert d == loc and len(d) == 10
+    # rescored scores are >= the pure-base contribution, and docs with
+    # the phrase outrank equal-base docs without it
+    base = dict(L.search(["of", "the"], mode="OR", k=40))
+    ph_docs = {i for i, _ in L.search_phrase(["of", "the"], k=10_000)}
+    for i, sc in d:
+        if i in ph_docs:
+            assert sc > base[i]
+        else:
+            assert sc == base[i]
+    # rescoring never admits docs from outside the window
+    win = set(base)
+    assert all(i in win for i, _ in d)
+
+
+def test_rescore_weights_and_window(spark, small_index):
+    from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+    out, _m = small_index
+    L = LocalSearcher(out)
+    # rescore_weight=0 == plain base ranking truncated to k
+    r0 = L.search_rescore(["of", "the"], ["of", "the"], k=10, window_size=40, rescore_weight=0.0)
+    assert r0 == L.search(["of", "the"], mode="OR", k=10)
+    with pytest.raises(ValueError):
+        L.search_rescore(["the"], ["of", "the"], k=20, window_size=10)
+    # slop threads through to the rescore phrase
+    r_slop = L.search_rescore(["of", "the"], ["of", "the"], k=10, window_size=40, slop=2)
+    assert r_slop  # runs; widened matches can only raise scores
+    base = dict(L.search(["of", "the"], mode="OR", k=40))
+    assert all(sc >= base[i] for i, sc in r_slop)
