@@ -93,6 +93,18 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
         .otherwise((F.col("doc_id") * 37) % 500 + 20)
         .cast("long")
         .alias("fetch_ms"),
+        # multi-valued stored field (ES keyword array — page tags);
+        # every 11th doc is untagged (empty array == missing per ES)
+        F.when(
+            F.col("doc_id") % 11 == 0, F.array().cast("array<string>")
+        )
+        .otherwise(
+            F.array(
+                F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string")),
+                F.concat(F.lit("c"), (F.col("doc_id") % 6).cast("string")),
+            )
+        )
+        .alias("tags"),
     )
 
 
@@ -115,7 +127,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         if (
             m.get("format_version") != INDEX_FORMAT_VERSION
             or params.get("text_fields") != ["title"]
-            or not {"source", "n_chars", "fetch_ms"}
+            or not {"source", "n_chars", "fetch_ms", "tags"}
             <= set(params.get("stored_fields") or ())
         ):
             shutil.rmtree(out, ignore_errors=True)
@@ -352,6 +364,21 @@ def _q_filters_agg(spark, sf):
         }
     )
     return r
+
+
+def _q_tags_terms(spark, sf):
+    """ES terms agg over a multi-valued keyword field: each matching
+    doc counts once per distinct tag it holds; untagged (empty-array)
+    docs are invisible to the aggregation."""
+    return _searcher(spark, sf).search_value_terms(
+        OR_TERMS, "tags", size=20
+    )
+
+
+def _q_tags_missing(spark, sf):
+    """ES missing agg on the multi-valued field: empty array counts as
+    missing (ES semantics)."""
+    return _searcher(spark, sf).search_missing(OR_TERMS, "tags")
 
 
 def _q_rescore_phrase(spark, sf):
@@ -920,6 +947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_metrics_day": _q_bucket_metrics,
         "filters_agg": _q_filters_agg,
         "rescore_phrase": _q_rescore_phrase,
+        "tags_terms": _q_tags_terms,
+        "tags_missing": _q_tags_missing,
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
         "fielded_search_and": _q_fielded_search_and,
@@ -1609,6 +1638,27 @@ FROM fin ORDER BY score DESC, doc_id ASC LIMIT 15
 """
 )
 
+_TAGS_TERMS_SQL = (
+    _DV_MATCH_CTE
+    + """
+, tags AS (
+  SELECT doc_id,
+         ['s' || (doc_id % 4)::VARCHAR, 'c' || (doc_id % 6)::VARCHAR] AS ts
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT u.t AS value, count(*)::BIGINT AS doc_count
+FROM m JOIN tags USING (doc_id), UNNEST(tags.ts) AS u(t)
+GROUP BY 1 ORDER BY 1 LIMIT 20
+"""
+)
+
+_TAGS_MISSING_SQL = (
+    _DV_MATCH_CTE
+    + """
+SELECT count(*)::BIGINT AS missing_count FROM m WHERE doc_id % 11 = 0
+"""
+)
+
 _SORT_RECENT_SQL = (
     _DV_MATCH_CTE
     + f"""
@@ -1857,6 +1907,8 @@ def oracle_sql() -> dict[str, str]:
         "bucket_metrics_day": _BUCKET_METRICS_SQL,
         "filters_agg": _FILTERS_AGG_SQL,
         "rescore_phrase": _RESCORE_SQL,
+        "tags_terms": _TAGS_TERMS_SQL,
+        "tags_missing": _TAGS_MISSING_SQL,
         "regexp_search": _REGEXP_SQL,
         "missing_fetch": _MISSING_SQL,
         "terms_after_src": _TERMS_AFTER_SQL,

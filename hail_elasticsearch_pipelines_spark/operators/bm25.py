@@ -1537,7 +1537,9 @@ class IndexSearcher:
             for rt in ranges:
                 dv.check_field(self, rt.field, dl.columns)
                 parts.append(
-                    dl.filter(dv.range_pred(rt)).select(
+                    dl.filter(
+                        dv.range_pred(rt, dv.is_array_type(dl, rt.field))
+                    ).select(
                         dv.segment_expr(
                             F.col("doc_id"), dpp, seg_group
                         ).alias("segment"),

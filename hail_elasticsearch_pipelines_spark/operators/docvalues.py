@@ -82,6 +82,21 @@ def _value_lookup(
     return ok, right[col].to_numpy()[order][idx[ok]]
 
 
+def _values_lookup(
+    right: pd.DataFrame, cols, docs: np.ndarray
+) -> tuple[np.ndarray, dict]:
+    """Multi-column _value_lookup: ONE searchsorted, every requested
+    column gathered on the same row positions."""
+    rid = right["doc_id"].to_numpy(np.int64)
+    order = np.argsort(rid)
+    rid_s = rid[order]
+    idx = np.searchsorted(rid_s, docs)
+    ok = idx < len(rid_s)
+    ok[ok] = rid_s[idx[ok]] == docs[ok]
+    take = order[idx[ok]]
+    return ok, {c: right[c].to_numpy()[take] for c in cols}
+
+
 def doclens_df(searcher: "IndexSearcher") -> DataFrame:
     """The pinned snapshot's doclens table (generation-resolved path
     captured at searcher construction)."""
@@ -95,6 +110,36 @@ def check_field(searcher: "IndexSearcher", field: str, cols) -> None:
             f"(doclens columns: {sorted(c for c in cols if c != 'doc_id')}); "
             "stored fields and warc_ts (format v6+) are doc values"
         )
+
+
+def is_array_type(dl: DataFrame, field: str) -> bool:
+    """True when the doc-value column is multi-valued (ES fields are
+    inherently multi-valued; ours are arrays when the source column
+    was)."""
+    return isinstance(dl.schema[field].dataType, T.ArrayType)
+
+
+def check_scalar(searcher: "IndexSearcher", field: str, dl: DataFrame) -> None:
+    """check_field + reject multi-valued fields for the operations
+    whose semantics need one value per doc (sorts, ranges, numeric
+    aggs, collapse, decay).  Multi-valued support: terms/composite
+    aggs, cardinality, significant_terms, missing, _exists_."""
+    check_field(searcher, field, dl.columns)
+    if is_array_type(dl, field):
+        raise DocValueError(
+            f"{field!r} is a multi-valued (array) doc-value field — this "
+            "operation takes single-valued fields"
+        )
+
+
+def present_pred(dl: DataFrame, field: str):
+    """'has a value' predicate — ES missing-field semantics: NULL is
+    missing, and for multi-valued fields an empty array is missing
+    too."""
+    c = F.col(field)
+    if is_array_type(dl, field):
+        return c.isNotNull() & (F.size(c) > 0)
+    return c.isNotNull()
 
 
 def _all_dead_ids(searcher: "IndexSearcher") -> np.ndarray:
@@ -155,7 +200,7 @@ def matched_ids(
         for rt in ranges:
             check_field(searcher, rt.field, dl.columns)
             parts.append(
-                dl.filter(range_pred(rt)).select(
+                dl.filter(range_pred(rt, is_array_type(dl, rt.field))).select(
                     segment_expr(F.col("doc_id"), dpp, seg_group).alias(
                         "segment"
                     ),
@@ -246,7 +291,7 @@ def _matched_values(
 
     dl = doclens_df(searcher)
     check_field(searcher, field, dl.columns)
-    dl = dl.where(F.col(field).isNotNull())
+    dl = dl.where(present_pred(dl, field))
     mode_u = mode.upper()
     if query is not None:
         ast, qterms = searcher._query_ast_terms(query, mode_u)
@@ -326,6 +371,7 @@ def search_sorted(
     same sort key: only rows strictly after that cursor in
     (value, doc_id asc) order are returned, so deep pagination stays
     top-k-cheap instead of offset-scan-expensive."""
+    check_scalar(searcher, by, doclens_df(searcher))
     mv = _matched_values(searcher, query, by, mode)
     if after is not None:
         mv = mv.filter(_after_pred(F.col(by), after, ascending))
@@ -344,14 +390,23 @@ def _after_pred(col, after: tuple, ascending: bool):
     return on_value | ((col == F.lit(av)) & (F.col("doc_id") > F.lit(int(aid))))
 
 
-def range_pred(rt):
+def range_pred(rt, is_array: bool = False):
     """Spark predicate for a boolquery RangeTerm over its doc-value
     column — pushed into the doclens parquet scan (row-group min/max
     pruning).  String bounds compare against timestamp columns via
     Spark's implicit ISO-8601 cast.  An unbounded atom (the
     ``_exists_:field`` query) keeps only docs holding a value —
-    bounded atoms get that for free from NULL comparison semantics."""
+    bounded atoms get that for free from NULL comparison semantics.
+    Multi-valued fields support ``_exists_`` only (a bounded range on
+    an array raises)."""
     c = F.col(rt.field)
+    if is_array:
+        if rt.lo is not None or rt.hi is not None:
+            raise DocValueError(
+                f"range atom on multi-valued field {rt.field!r} — only "
+                "_exists_ is supported on array doc values"
+            )
+        return c.isNotNull() & (F.size(c) > 0)
     pred = None
     if rt.lo is not None:
         pred = c >= F.lit(rt.lo) if rt.incl_lo else c > F.lit(rt.lo)
@@ -361,9 +416,16 @@ def range_pred(rt):
     return c.isNotNull() if pred is None else pred
 
 
-def range_mask(vals: np.ndarray, rt) -> np.ndarray:
-    """Numpy twin of range_pred for the serving path."""
+def range_mask(vals: np.ndarray, rt, is_array: bool = False) -> np.ndarray:
+    """Numpy twin of range_pred for the serving path.  The backing
+    _docvalues store already excludes NULLs and empty arrays, so the
+    unbounded (_exists_) atom is the all-true mask."""
     lo, hi = rt.lo, rt.hi
+    if is_array and (lo is not None or hi is not None):
+        raise DocValueError(
+            f"range atom on multi-valued field {rt.field!r} — only "
+            "_exists_ is supported on array doc values"
+        )
     if np.issubdtype(vals.dtype, np.datetime64):
         lo = None if lo is None else np.datetime64(pd.Timestamp(lo))
         hi = None if hi is None else np.datetime64(pd.Timestamp(hi))
@@ -436,7 +498,7 @@ def search_range(
     if not qterms:
         return spark.createDataFrame([], RESULT_SCHEMA)
     dl = doclens_df(searcher)
-    check_field(searcher, field, dl.columns)
+    check_scalar(searcher, field, dl)
     pred = None
     if lo is not None:
         pred = F.col(field) >= F.lit(lo)
@@ -524,6 +586,7 @@ def search_value_histogram(
     total in bucket order.  The window runs over the already-aggregated
     buckets (one row per bucket), so the single-partition window is
     bounded by bucket cardinality, never corpus size."""
+    check_scalar(searcher, field, doclens_df(searcher))
     mv = _matched_values(searcher, query, field, mode)
     is_time = isinstance(mv.schema[field].dataType, (T.TimestampType, T.DateType))
     h = (
@@ -560,6 +623,7 @@ def search_percentiles(
     pcts = [float(p) for p in percents]
     if not pcts or any(not 0.0 <= p <= 1.0 for p in pcts):
         raise DocValueError("percents must be fractions in [0, 1]")
+    check_scalar(searcher, field, doclens_df(searcher))
     mv = _matched_values(searcher, query, field, mode)
     if isinstance(mv.schema[field].dataType, (T.TimestampType, T.DateType)):
         raise DocValueError(
@@ -604,6 +668,7 @@ def search_range_buckets(
     aggregation pass as conditional counts — never one job per
     bucket."""
     rngs = check_range_buckets(ranges)
+    check_scalar(searcher, field, doclens_df(searcher))
     mv = _matched_values(searcher, query, field, mode)
     c = F.col(field)
     aggs = []
@@ -657,7 +722,7 @@ def search_collapse(
     qterms = sorted(set(query))
     spark = searcher.spark
     dl = doclens_df(searcher)
-    check_field(searcher, field, dl.columns)
+    check_scalar(searcher, field, dl)
     out_schema = T.StructType(
         [
             T.StructField("value", dl.schema[field].dataType, True),
@@ -740,6 +805,7 @@ def search_field_stats(
     fields aggregate exactly (long sums); the existing ``search_stats``
     covers the postings-resident doc length, this one any stored
     field."""
+    check_scalar(searcher, field, doclens_df(searcher))
     mv = _matched_values(searcher, query, field, mode)
     if isinstance(mv.schema[field].dataType, (T.TimestampType, T.DateType)):
         raise DocValueError(
@@ -791,7 +857,7 @@ def search_grouped_tophits(
     qterms = sorted(set(query))
     spark = searcher.spark
     dl = doclens_df(searcher)
-    check_field(searcher, field, dl.columns)
+    check_scalar(searcher, field, dl)
     out_schema = T.StructType(
         [
             T.StructField("value", dl.schema[field].dataType, True),
@@ -890,6 +956,8 @@ def search_cardinality(
     exact distinct would shuffle every value; exact mode stays for
     small fields and the correctness oracle."""
     mv = _matched_values(searcher, query, field, mode)
+    if isinstance(mv.schema[field].dataType, T.ArrayType):
+        mv = mv.select(F.explode(F.col(field)).alias(field))
     agg = (
         F.countDistinct(F.col(field))
         if exact
@@ -914,13 +982,17 @@ def significant_terms(
     small aggregations joined on the value: the background side is
     query-independent and cacheable."""
     mv = _matched_values(searcher, query, field, mode)
+    bgv = _matched_values(searcher, None, field, mode)
+    if isinstance(mv.schema[field].dataType, T.ArrayType):
+        expl = lambda df: df.select(
+            F.explode(F.array_distinct(F.col(field))).alias(field)
+        )
+        mv, bgv = expl(mv), expl(bgv)
     fg = mv.groupBy(F.col(field).alias("value")).agg(
         F.count("*").alias("fg_count")
     )
-    bg = (
-        _matched_values(searcher, None, field, mode)
-        .groupBy(F.col(field).alias("value"))
-        .agg(F.count("*").alias("bg_count"))
+    bg = bgv.groupBy(F.col(field).alias("value")).agg(
+        F.count("*").alias("bg_count")
     )
     totals = F.broadcast(
         fg.agg(F.sum("fg_count").alias("fg_total")).crossJoin(
@@ -1058,7 +1130,7 @@ def search_decay(
     if not qterms:
         return spark.createDataFrame([], RESULT_SCHEMA)
     dl = doclens_df(searcher)
-    check_field(searcher, field, dl.columns)
+    check_scalar(searcher, field, dl)
     is_time = isinstance(dl.schema[field].dataType, T.TimestampType)
     origin_f = origin_float(origin, is_time)
     dpp, seg_group = _seg_params(searcher.manifest)
@@ -1127,7 +1199,7 @@ def search_missing(
     (term lists, BOOL strings with range atoms, None = match_all)."""
     dl = doclens_df(searcher)
     check_field(searcher, field, dl.columns)
-    nulls = dl.where(F.col(field).isNull()).select("doc_id")
+    nulls = dl.where(~present_pred(dl, field)).select("doc_id")
     return (
         matched_ids(searcher, query, mode)
         .join(nulls, "doc_id")
@@ -1152,6 +1224,11 @@ def search_value_terms(
     single-cogroup fast path and the after-key predicate prunes before
     the bucket shuffle."""
     mv = _matched_values(searcher, query, field, mode)
+    if isinstance(mv.schema[field].dataType, T.ArrayType):
+        # multi-valued: a doc counts once per DISTINCT value it holds
+        mv = mv.select(
+            F.explode(F.array_distinct(F.col(field))).alias(field)
+        )
     if after is not None:
         mv = mv.where(F.col(field) > F.lit(after))
     g = mv.groupBy(F.col(field).alias("value")).agg(
@@ -1180,19 +1257,135 @@ def search_bucket_metrics(
     doc_count but not in the metric (an all-missing bucket reports
     NULL metrics).
 
-    Plan: matched ids join ONE three-column doclens projection (AQE
-    broadcasts the matched side when selective), then a bucket-keyed
-    aggregation — post-shuffle rows are bounded by bucket cardinality,
-    never corpus size."""
+    Plan: term queries take the single-cogroup fast path with
+    PER-SEGMENT PARTIAL AGGREGATES — each segment task matches docs,
+    buckets them, and emits one (bucket, count, min, sum, max,
+    n_metric) row per bucket it saw, so the only post-cogroup shuffle
+    carries segments × buckets rows, never matched docs.  The final
+    combine is associative (sum/min/sum/max; avg = Σsum/Σn at the
+    end).  match_all and range-atom queries fall back to matched_ids
+    joined to a three-column doclens projection (AQE broadcasts the
+    matched side when selective) — post-shuffle rows still bounded by
+    bucket cardinality.
+
+    Integer metrics aggregate exactly (sums stay integral); float
+    metrics are subject to summation order, as in ES."""
+    from ..functions import boolquery as bq
+    from .bm25 import _check_unique_terms, _match_docs
+
     dl = doclens_df(searcher)
-    check_field(searcher, bucket_field, dl.columns)
-    check_field(searcher, metric_field, dl.columns)
+    check_scalar(searcher, bucket_field, dl)
+    check_scalar(searcher, metric_field, dl)
+    m_dtype = dl.schema[metric_field].dataType
+    if isinstance(m_dtype, T.TimestampType):
+        raise DocValueError(
+            "metric field must be numeric — epoch-cast timestamp fields "
+            "upstream"
+        )
     is_time = isinstance(dl.schema[bucket_field].dataType, T.TimestampType)
+    bucket_col = _bucket_expr(F.col(bucket_field), interval, is_time)
+    integral = m_dtype.simpleString() in ("bigint", "int", "smallint", "tinyint")
+    sum_t = T.LongType() if integral else T.DoubleType()
+
+    mode_u = mode.upper()
+    if query is not None:
+        ast, qterms = searcher._query_ast_terms(query, mode_u)
+        ranges = bq.range_atoms(ast) if ast is not None else []
+        if qterms and not ranges:
+            dpp, seg_group = _seg_params(searcher.manifest)
+            vals = dl.where(F.col(bucket_field).isNotNull()).select(
+                segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
+                "doc_id",
+                bucket_col.alias("bucket"),
+                F.col(metric_field).alias("v"),
+            )
+            rows = searcher._term_rows(qterms).select("segment", "term", "blob")
+            get_deletes = searcher._segment_deletes_fn()
+            partial_schema = T.StructType(
+                [
+                    T.StructField("bucket", vals.schema["bucket"].dataType, True),
+                    T.StructField("doc_count", T.LongType(), False),
+                    T.StructField("min_v", m_dtype, True),
+                    T.StructField("sum_v", sum_t, True),
+                    T.StructField("max_v", m_dtype, True),
+                    T.StructField("n_metric", T.LongType(), False),
+                ]
+            )
+            cols = ["bucket", "doc_count", "min_v", "sum_v", "max_v", "n_metric"]
+
+            def agg_segment(
+                key, left: pd.DataFrame, right: pd.DataFrame
+            ) -> pd.DataFrame:
+                empty_pdf = pd.DataFrame(
+                    {
+                        "bucket": right["bucket"].iloc[:0],
+                        "doc_count": pd.Series([], dtype="int64"),
+                        "min_v": right["v"].iloc[:0],
+                        "sum_v": pd.Series([], dtype="int64" if integral else "float64"),
+                        "max_v": right["v"].iloc[:0],
+                        "n_metric": pd.Series([], dtype="int64"),
+                    }
+                )
+                if left.empty or right.empty:
+                    return empty_pdf
+                _check_unique_terms(left)
+                dead = get_deletes(int(key[0]))
+                qdocs = {
+                    r.term: codecs.decode_postings(bytes(r.blob))[0]
+                    for r in left.itertuples()
+                }
+                matches = _match_docs(qdocs, qterms, mode_u, ast)
+                if dead is not None and dead.size and matches.size:
+                    matches = matches[~np.isin(matches, dead, assume_unique=True)]
+                if not matches.size:
+                    return empty_pdf
+                ok, looked = _values_lookup(right, ("bucket", "v"), matches)
+                if not ok.any():
+                    return empty_pdf
+                bks, mv = looked["bucket"], looked["v"]
+                out = []
+                mask_present = pd.notna(mv)
+                bk_series = pd.Series(bks)
+                for b, grp_idx in bk_series.groupby(bk_series, sort=True).groups.items():
+                    gi = np.asarray(grp_idx)
+                    vals_g = mv[gi][mask_present[gi]]
+                    if len(vals_g):
+                        vv = vals_g.astype("int64" if integral else "float64")
+                        out.append(
+                            (b, len(gi), vv.min(), vv.sum(), vv.max(), len(vv))
+                        )
+                    else:
+                        out.append((b, len(gi), None, None, None, 0))
+                return pd.DataFrame(out, columns=cols)
+
+            partials = (
+                rows.groupBy("segment")
+                .cogroup(vals.groupBy("segment"))
+                .applyInPandas(agg_segment, partial_schema)
+            )
+            return (
+                partials.groupBy("bucket")
+                .agg(
+                    F.sum("doc_count").alias("doc_count"),
+                    F.min("min_v").alias("min_v"),
+                    F.sum("sum_v").alias("sum_v"),
+                    (
+                        F.sum("sum_v")
+                        / F.when(F.sum("n_metric") > 0, F.sum("n_metric"))
+                    ).alias("avg_v"),
+                    F.max("max_v").alias("max_v"),
+                )
+                .select(
+                    "bucket", "doc_count", "min_v", "sum_v", "avg_v", "max_v"
+                )
+                .orderBy("bucket")
+            )
     proj = dl.where(F.col(bucket_field).isNotNull()).select(
         "doc_id",
-        _bucket_expr(F.col(bucket_field), interval, is_time).alias("bucket"),
+        bucket_col.alias("bucket"),
         F.col(metric_field).alias("v"),
     )
+
     return (
         matched_ids(searcher, query, mode)
         .join(proj, "doc_id")

@@ -155,6 +155,7 @@ class LocalSearcher:
         # snapshot; reload() drops it.
         self._doclens_path = table_path(self.index_dir, "doclens", self.manifest)
         self._dv_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._dv_array_fields: set[str] = set()
         self._dv_cache_bytes = 0
         self._dv_cache_cap = 256 * 1024 * 1024
 
@@ -1089,6 +1090,15 @@ class LocalSearcher:
 
         if tbl[field].null_count:
             tbl = tbl.filter(_pc.is_valid(tbl[field]))
+        import pyarrow as _pa
+
+        ftype = tbl.schema.field(field).type
+        if _pa.types.is_list(ftype) or _pa.types.is_large_list(ftype):
+            # multi-valued field: an EMPTY array is missing too (ES
+            # semantics); kept values come back as an object array of
+            # per-doc numpy arrays
+            self._dv_array_fields.add(field)
+            tbl = tbl.filter(_pc.greater(_pc.list_value_length(tbl[field]), 0))
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
         vals = tbl[field].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
@@ -1144,7 +1154,9 @@ class LocalSearcher:
         range_sets = {}
         for rt in bq.range_atoms(ast):
             all_ids, vals = self._docvalues(rt.field)
-            ids = all_ids[range_mask(vals, rt)]
+            ids = all_ids[
+                range_mask(vals, rt, rt.field in self._dv_array_fields)
+            ]
             range_sets[rt.key()] = (ids, (ids // dpp) // seg_group)
         rows = self._rows_for(qterms) if qterms else {}
         seg_list = {s for m in rows.values() for s in m}
@@ -1172,13 +1184,21 @@ class LocalSearcher:
         return np.concatenate(out)
 
     def _dv_lookup(
-        self, field: str, ids: np.ndarray
+        self, field: str, ids: np.ndarray, allow_array: bool = False
     ) -> tuple[np.ndarray, np.ndarray]:
         """(present_mask aligned with ``ids``, values aligned with
-        ``ids[present_mask]``) — docs whose field is NULL are absent
-        from the doc-value column (ES missing-field semantics), so
-        callers must drop them from the matched set."""
+        ``ids[present_mask]``) — docs whose field is NULL (or an empty
+        array) are absent from the doc-value column (ES missing-field
+        semantics), so callers must drop them from the matched set.
+        Scalar-only callers reject multi-valued fields loudly."""
+        from .docvalues import DocValueError
+
         all_ids, vals = self._docvalues(field)
+        if not allow_array and field in self._dv_array_fields:
+            raise DocValueError(
+                f"{field!r} is a multi-valued (array) doc-value field — "
+                "this operation takes single-valued fields"
+            )
         idx = np.searchsorted(all_ids, ids)
         ok = idx < len(all_ids)
         ok[ok] = all_ids[idx[ok]] == ids[ok]
@@ -1547,7 +1567,12 @@ class LocalSearcher:
         ids = self.matched_ids(query, mode)
         if not ids.size:
             return 0
-        return int(len(np.unique(self._dv_lookup(field, np.sort(ids))[1])))
+        vals = self._dv_lookup(field, np.sort(ids), allow_array=True)[1]
+        if field in self._dv_array_fields:
+            if not len(vals):
+                return 0
+            vals = np.concatenate(list(vals))
+        return int(len(np.unique(vals)))
 
     def significant_terms(
         self, query, field: str, size: int = 10, mode: str = "OR"
@@ -1558,8 +1583,19 @@ class LocalSearcher:
         if not fg_ids.size:
             return []
         bg_ids = self.matched_ids(None)
-        fg_v, fg_c = np.unique(self._dv_lookup(field, fg_ids)[1], return_counts=True)
-        bg_v, bg_c = np.unique(self._dv_lookup(field, bg_ids)[1], return_counts=True)
+
+        def _vals(ids):
+            v = self._dv_lookup(field, ids, allow_array=True)[1]
+            if field in self._dv_array_fields:
+                v = (
+                    np.concatenate([np.unique(x) for x in v])
+                    if len(v)
+                    else np.array([], dtype=object)
+                )
+            return v
+
+        fg_v, fg_c = np.unique(_vals(fg_ids), return_counts=True)
+        bg_v, bg_c = np.unique(_vals(bg_ids), return_counts=True)
         bg_map = dict(zip(bg_v.tolist(), bg_c.tolist()))
         fg_total, bg_total = int(fg_c.sum()), int(bg_c.sum())
         out = []
@@ -1616,7 +1652,7 @@ class LocalSearcher:
         ids = self.matched_ids(query, mode)
         if not ids.size:
             return 0
-        present, _ = self._dv_lookup(field, np.sort(ids))
+        present, _ = self._dv_lookup(field, np.sort(ids), allow_array=True)
         return int(len(ids) - int(present.sum()))
 
     def search_value_terms(
@@ -1629,7 +1665,14 @@ class LocalSearcher:
         ids = self.matched_ids(query, mode)
         if not ids.size:
             return []
-        vals = self._dv_lookup(field, np.sort(ids))[1]
+        vals = self._dv_lookup(field, np.sort(ids), allow_array=True)[1]
+        if field in self._dv_array_fields:
+            # multi-valued: one count per distinct value per doc
+            vals = (
+                np.concatenate([np.unique(x) for x in vals])
+                if len(vals)
+                else np.array([], dtype=object)
+            )
         if after is not None and np.issubdtype(vals.dtype, np.datetime64):
             import pandas as pd
 
@@ -1893,7 +1936,9 @@ class LocalSearcher:
             dpp, seg_group = int(g["docs_per_part"]), int(p["seg_group"])
             for rt in ranges:
                 all_ids, vals = self._docvalues(rt.field)
-                ids = all_ids[range_mask(vals, rt)]
+                ids = all_ids[
+                    range_mask(vals, rt, rt.field in self._dv_array_fields)
+                ]
                 range_sets[rt.key()] = (ids, (ids // dpp) // seg_group)
         if req:
             # required conjuncts → same block-skip evaluation as the

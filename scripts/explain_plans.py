@@ -37,6 +37,9 @@ CHECKS = {
     "range_search": (["(n_chars", ">= 150"], ["SortMergeJoin"]),
     "sort_recent": (["TakeOrderedAndProject"], ["SortMergeJoin", "Exchange rangepartitioning"]),
     "date_histogram": (["HashAggregate"], ["SortMergeJoin"]),
+    # bucket+metric sub-agg fast path: per-segment partial aggregates,
+    # ONE cogroup, no doc_id join stage
+    "bucket_metrics_day": (["FlatMapCoGroupsInPandas", "HashAggregate"], ["SortMergeJoin"]),
 }
 
 
