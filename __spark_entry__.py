@@ -366,6 +366,16 @@ def _q_filters_agg(spark, sf):
     return r
 
 
+def _q_dv_eq_search(spark, sf):
+    """ES term query on a doc-value-only field: `source:src3` resolves
+    against the doc-value store (source is stored but not indexed as a
+    facet) — filter context, scores unchanged."""
+    r = _searcher(spark, sf).search_bool(
+        "(fast OR key OR table) AND source:src3", k=20
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_tags_terms(spark, sf):
     """ES terms agg over a multi-valued keyword field: each matching
     doc counts once per distinct tag it holds; untagged (empty-array)
@@ -948,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filters_agg": _q_filters_agg,
         "rescore_phrase": _q_rescore_phrase,
         "tags_terms": _q_tags_terms,
+        "dv_eq_search": _q_dv_eq_search,
         "tags_missing": _q_tags_missing,
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
@@ -1638,6 +1649,16 @@ FROM fin ORDER BY score DESC, doc_id ASC LIMIT 15
 """
 )
 
+_DV_EQ_SQL = (
+    _BM25_CTES
+    + f"""
+SELECT agg.doc_id, {_micro_sql('agg.score')} AS score_micro
+FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+WHERE d.source = 'src3'
+ORDER BY agg.score DESC, agg.doc_id ASC LIMIT 20
+"""
+)
+
 _TAGS_TERMS_SQL = (
     _DV_MATCH_CTE
     + """
@@ -1908,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "filters_agg": _FILTERS_AGG_SQL,
         "rescore_phrase": _RESCORE_SQL,
         "tags_terms": _TAGS_TERMS_SQL,
+        "dv_eq_search": _DV_EQ_SQL,
         "tags_missing": _TAGS_MISSING_SQL,
         "regexp_search": _REGEXP_SQL,
         "missing_fetch": _MISSING_SQL,

@@ -64,20 +64,28 @@ class Term:
 
 @dataclass
 class RangeTerm:
-    """Doc-value range atom ``field:[lo TO hi]`` — the ES query_string
-    range syntax.  `[`/`]` are inclusive, `{`/`}` exclusive (per ES);
-    ``*`` = unbounded (None).  Pure filter context: constrains matches,
-    never contributes to the BM25 score (same contract as facet
-    atoms).  Searchers resolve it against the doc-value store and
-    inject the allowed doc set under ``key()`` before evaluation."""
+    """Doc-value atom resolved against the doc-value store — the ES
+    query_string range syntax ``field:[lo TO hi]`` (`[`/`]` inclusive,
+    `{`/`}` exclusive per ES; ``*`` = unbounded/None), the
+    ``_exists_:field`` atom (both bounds None), or an EQUALITY atom
+    ``field:value`` on a doc-value-only field (``eq`` set — the ES
+    term query on an unindexed doc-valued field; multi-valued fields
+    match when ANY element equals).  Pure filter context: constrains
+    matches, never contributes to the BM25 score (same contract as
+    facet atoms).  Searchers resolve it against the doc-value store
+    and inject the allowed doc set under ``key()`` before
+    evaluation."""
 
     field: str
     lo: object  # None = unbounded
     hi: object
     incl_lo: bool = True
     incl_hi: bool = True
+    eq: object = None  # equality atom; lo/hi are None when set
 
     def key(self) -> str:
+        if self.eq is not None:
+            return f"{self.field}:={self.eq!r}"
         lo = "*" if self.lo is None else self.lo
         hi = "*" if self.hi is None else self.hi
         lb = "[" if self.incl_lo else "{"
@@ -116,15 +124,25 @@ class QueryParseError(ValueError):
     pass
 
 
-def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()):
+def parse(
+    query: str,
+    analyzed_fields: "set[str] | frozenset[str]" = frozenset(),
+    dv_fields: "set[str] | frozenset[str]" = frozenset(),
+):
     """Parse a boolean query string into an AST of Term/And/Or/Not.
 
     ``analyzed_fields``: names of extra ANALYZED text fields of the
     index (manifest params ``text_fields``).  A ``field:value`` atom
     whose field is in this set parses as a SCORING term over the
     field's prefixed postings (``title:foo`` — the ES per-field
-    query-string syntax, elasticsearch_client.py:166-177); any other
-    ``field:value`` atom keeps the facet-filter meaning."""
+    query-string syntax, elasticsearch_client.py:166-177).
+
+    ``dv_fields``: stored non-facet doc-value columns.  A
+    ``field:value`` atom on one of these parses as a doc-value
+    EQUALITY filter (the ES term query on a doc-value-only field —
+    every field stays queryable, indexed fields are just faster).
+
+    Any other ``field:value`` atom keeps the facet-filter meaning."""
     toks = _TOKEN_RE.findall(query)
     pos = 0
 
@@ -220,10 +238,18 @@ def parse(query: str, analyzed_fields: "set[str] | frozenset[str]" = frozenset()
                     else Term(pre, boost=boost)
                 )
             return Term(pre, wildcard=True, boost=boost)
-        if ":" in t:  # field atom: analyzed-field term OR facet filter
+        if ":" in t:  # field atom: analyzed term, dv filter, or facet
             field, value = t.split(":", 1)
             from ..operators.index_build import facet_token, py_facet_value
 
+            if field in dv_fields:
+                if boost != 1.0:
+                    raise QueryParseError(
+                        f"boost on a filter-context doc-value atom: {t!r}"
+                    )
+                if not value:
+                    raise QueryParseError(f"bad doc-value atom: {t!r}")
+                return RangeTerm(field, None, None, eq=_range_value(value))
             nf = py_tokenize(field)
             if len(nf) == 1 and nf[0] in analyzed_fields:
                 nv = py_tokenize(value)

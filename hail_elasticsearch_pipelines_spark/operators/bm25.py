@@ -510,6 +510,20 @@ def regexp_literal_prefix(pattern: str) -> str:
     return "".join(out)
 
 
+def dv_filter_fields_of(manifest: dict) -> frozenset:
+    """Stored, non-facet, non-analyzed field names — the doc-value-only
+    columns a ``field:value`` query atom resolves against (the ES
+    term-query-on-doc-value-field path; facet fields keep their indexed
+    token, analyzed fields their scoring postings)."""
+    params = manifest.get("params", {})
+    analyzed = set(params.get("text_fields") or ())
+    return frozenset(
+        name
+        for name, spec in (params.get("fields") or {}).items()
+        if spec.get("stored") and not spec.get("facet") and name not in analyzed
+    )
+
+
 def analyzed_fields_of(manifest: dict) -> tuple[str, ...]:
     """Extra analyzed text fields of the index (build-time
     ``text_fields`` — the ES multi-field mapping analog,
@@ -1501,7 +1515,11 @@ class IndexSearcher:
         range evaluation never materializes on the driver."""
         from ..functions import boolquery as bq
 
-        ast = bq.parse(query, analyzed_fields=set(analyzed_fields_of(self.manifest)))
+        ast = bq.parse(
+            query,
+            analyzed_fields=set(analyzed_fields_of(self.manifest)),
+            dv_fields=dv_filter_fields_of(self.manifest),
+        )
         if bq.has_wildcards(ast):
             ast = bq.expand_wildcards(ast, self.expand_prefix, self.expand_fuzzy)
         terms = bq.all_terms(ast)
@@ -2029,6 +2047,7 @@ class IndexSearcher:
             ast = bq.parse(
                 query,
                 analyzed_fields=set(analyzed_fields_of(self.manifest)),
+                dv_fields=dv_filter_fields_of(self.manifest),
             )
             if bq.has_wildcards(ast):
                 ast = bq.expand_wildcards(
@@ -3021,7 +3040,11 @@ class IndexSearcher:
                     (s["query_id"], sorted(set(s["terms"])), mode, int(s.get("k", 10)))
                 )
             elif mode == "BOOL":
-                ast = bq.parse(s["query"])
+                ast = bq.parse(
+                    s["query"],
+                    analyzed_fields=set(analyzed_fields_of(self.manifest)),
+                    dv_fields=dv_filter_fields_of(self.manifest),
+                )
                 pos_terms = bq.positive_terms(ast)
                 if not pos_terms:
                     raise bq.QueryParseError(

@@ -400,13 +400,18 @@ def range_pred(rt, is_array: bool = False):
     Multi-valued fields support ``_exists_`` only (a bounded range on
     an array raises)."""
     c = F.col(rt.field)
+    eq = getattr(rt, "eq", None)
     if is_array:
         if rt.lo is not None or rt.hi is not None:
             raise DocValueError(
                 f"range atom on multi-valued field {rt.field!r} — only "
-                "_exists_ is supported on array doc values"
+                "_exists_ and equality are supported on array doc values"
             )
+        if eq is not None:
+            return F.array_contains(c, F.lit(eq))
         return c.isNotNull() & (F.size(c) > 0)
+    if eq is not None:
+        return c == F.lit(eq)
     pred = None
     if rt.lo is not None:
         pred = c >= F.lit(rt.lo) if rt.incl_lo else c > F.lit(rt.lo)
@@ -421,11 +426,21 @@ def range_mask(vals: np.ndarray, rt, is_array: bool = False) -> np.ndarray:
     _docvalues store already excludes NULLs and empty arrays, so the
     unbounded (_exists_) atom is the all-true mask."""
     lo, hi = rt.lo, rt.hi
+    eq = getattr(rt, "eq", None)
     if is_array and (lo is not None or hi is not None):
         raise DocValueError(
             f"range atom on multi-valued field {rt.field!r} — only "
-            "_exists_ is supported on array doc values"
+            "_exists_ and equality are supported on array doc values"
         )
+    if eq is not None:
+        if is_array:
+            # object array of per-doc value arrays — membership per doc
+            return np.fromiter(
+                (eq in x for x in vals), dtype=bool, count=len(vals)
+            )
+        if np.issubdtype(vals.dtype, np.datetime64):
+            eq = np.datetime64(pd.Timestamp(eq))
+        return vals == eq
     if np.issubdtype(vals.dtype, np.datetime64):
         lo = None if lo is None else np.datetime64(pd.Timestamp(lo))
         hi = None if hi is None else np.datetime64(pd.Timestamp(hi))

@@ -36,6 +36,7 @@ from .bm25 import (
     _score_union_maxscore,
     _topk,
     analyzed_fields_of,
+    dv_filter_fields_of,
     expand_fielded_terms,
     field_avgdl_map,
     load_deletes,
@@ -1003,7 +1004,9 @@ class LocalSearcher:
         mode_u = mode.upper()
         if mode_u == "BOOL":
             ast = bq.parse(
-                query, analyzed_fields=set(analyzed_fields_of(self.manifest))
+                query,
+            analyzed_fields=set(analyzed_fields_of(self.manifest)),
+            dv_fields=dv_filter_fields_of(self.manifest),
             )
             if bq.has_wildcards(ast):
                 ast = bq.expand_wildcards(
@@ -1127,7 +1130,9 @@ class LocalSearcher:
             from .bm25 import analyzed_fields_of
 
             ast = bq.parse(
-                query, analyzed_fields=set(analyzed_fields_of(self.manifest))
+                query,
+            analyzed_fields=set(analyzed_fields_of(self.manifest)),
+            dv_fields=dv_filter_fields_of(self.manifest),
             )
             if bq.has_wildcards(ast):
                 ast = bq.expand_wildcards(
@@ -1905,7 +1910,9 @@ class LocalSearcher:
         from ..functions import boolquery as bq
 
         ast = bq.parse(
-            query, analyzed_fields=set(analyzed_fields_of(self.manifest))
+            query,
+            analyzed_fields=set(analyzed_fields_of(self.manifest)),
+            dv_fields=dv_filter_fields_of(self.manifest),
         )
         if bq.has_wildcards(ast):
             ast = bq.expand_wildcards(

@@ -124,3 +124,77 @@ class TestFiltersAgg:
         # counts agree with search_count / matched_ids
         for name, q in filters.items():
             assert dict(d)[name] == len(L.matched_ids(q, "BOOL"))
+
+
+class TestDvEquality:
+    """field:value atoms on doc-value-only (stored, non-facet) fields —
+    the ES term query on an unindexed doc-valued field.  Facet and
+    analyzed fields keep their existing atom meanings."""
+
+    def test_numeric_equality(self, searchers):
+        s, L = searchers
+        q = "the AND stars:25"
+        d = [(r.doc_id, r.score) for r in s.search_bool(q, k=500).collect()]
+        loc = L.search_bool(q, k=500)
+        assert d == loc and d
+        ids, vals = L._docvalues("stars")
+        want = set(ids[vals == 25].tolist()) & {
+            i for i, _ in L.search_bool("the", k=10_000)
+        }
+        assert {i for i, _ in d} == want
+        # filter context: surviving scores unchanged
+        base = dict(L.search(["the"], mode="OR", k=10_000))
+        assert all(sc == base[i] for i, sc in d)
+
+    def test_not_and_aggs_path(self, searchers):
+        s, L = searchers
+        q = "the AND NOT stars:25"
+        a = sorted(r.doc_id for r in s.matched_ids(q, "BOOL").collect())
+        b = sorted(L.matched_ids(q, "BOOL").tolist())
+        assert a == b
+        ids, vals = L._docvalues("stars")
+        eq_ids = set(ids[vals == 25].tolist())
+        assert not set(a) & eq_ids
+        # composes with aggregations
+        st = s.search_field_stats(q, "stars", mode="BOOL").collect()[0]
+        assert st.n_hits == L.search_field_stats(q, "stars", mode="BOOL")["n_hits"]
+
+    def test_facet_field_keeps_indexed_token(self, spark, nullable_index):
+        # 'lang' is facet+stored: must still resolve via the indexed
+        # facet token, NOT the doc-value store
+        from hail_elasticsearch_pipelines_spark.functions import boolquery as bq
+        from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+            dv_filter_fields_of,
+        )
+
+        s = IndexSearcher(spark, nullable_index)
+        dvf = dv_filter_fields_of(s.manifest)
+        assert "lang" not in dvf and "stars" in dvf
+        ast = bq.parse("the AND lang:en", dv_fields=dvf)
+        assert not bq.range_atoms(ast)  # facet atom, not a dv atom
+
+    def test_array_equality(self, spark, tmp_path_factory):
+        import pyspark.sql.functions as F
+
+        from hail_elasticsearch_pipelines_spark.operators.index_build import (
+            build_index,
+        )
+        from hail_elasticsearch_pipelines_spark.sources.corpus import (
+            gen_pages_pdf,
+        )
+
+        out = str(tmp_path_factory.mktemp("dveq_arr") / "idx")
+        h = F.crc32(F.col("url"))
+        pages = spark.createDataFrame(gen_pages_pdf(np.arange(100))).withColumn(
+            "tags",
+            F.when(h % 5 == 0, F.array().cast("array<string>")).otherwise(
+                F.array(F.concat(F.lit("t"), (h % 4).cast("string")))
+            ),
+        )
+        build_index(spark, pages, out, docs_per_part=16, seg_group=2, n_term_buckets=8)
+        s, L = IndexSearcher(spark, out), LocalSearcher(out)
+        d = sorted(r.doc_id for r in s.matched_ids("the AND tags:t2", "BOOL").collect())
+        loc = sorted(L.matched_ids("the AND tags:t2", "BOOL").tolist())
+        assert d == loc and d
+        _p, vals = L._dv_lookup("tags", np.array(d, np.int64), allow_array=True)
+        assert all("t2" in x.tolist() for x in vals)
