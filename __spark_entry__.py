@@ -366,6 +366,18 @@ def _q_filters_agg(spark, sf):
     return r
 
 
+def _q_sig_text(spark, sf):
+    """ES significant_text: terms over-represented in the re-analyzed
+    text of the top-50 hits vs the whole corpus, by frequency lift."""
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    r = _searcher(spark, sf).significant_text(
+        docs, OR_TERMS, size=10, sample_size=50, min_doc_count=3
+    )
+    return r.select(
+        "term", "fg_count", "bg_count", _micro(F.col("lift")).alias("lift_micro")
+    )
+
+
 def _q_dv_eq_search(spark, sf):
     """ES term query on a doc-value-only field: `source:src3` resolves
     against the doc-value store (source is stored but not indexed as a
@@ -959,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_phrase": _q_rescore_phrase,
         "tags_terms": _q_tags_terms,
         "dv_eq_search": _q_dv_eq_search,
+        "sig_text": _q_sig_text,
         "tags_missing": _q_tags_missing,
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
@@ -1649,6 +1662,32 @@ FROM fin ORDER BY score DESC, doc_id ASC LIMIT 15
 """
 )
 
+_SIG_TEXT_SQL = (
+    _BM25_CTES
+    + f"""
+, win AS (SELECT doc_id FROM agg ORDER BY score DESC, doc_id ASC LIMIT 50)
+, wn AS (SELECT count(*)::BIGINT AS n FROM win)
+, fg AS (
+  SELECT u.term, count(*)::BIGINT AS fg_count
+  FROM win w JOIN tok t USING (doc_id),
+       UNNEST(list_distinct(t.toks)) AS u(term)
+  GROUP BY u.term HAVING count(*) >= 3
+)
+, bg AS (
+  SELECT term, count(*)::BIGINT AS bg_count
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok)
+  GROUP BY term
+)
+SELECT fg.term, fg.fg_count, bg.bg_count,
+       {_micro_sql('(fg.fg_count / (SELECT n FROM wn)::DOUBLE) / (bg.bg_count / (SELECT count(*)::DOUBLE FROM documents))')} AS lift_micro
+FROM fg JOIN bg USING (term)
+ORDER BY (fg.fg_count / (SELECT n FROM wn)::DOUBLE)
+         / (bg.bg_count / (SELECT count(*)::DOUBLE FROM documents)) DESC,
+         fg.term ASC
+LIMIT 10
+"""
+)
+
 _DV_EQ_SQL = (
     _BM25_CTES
     + f"""
@@ -1930,6 +1969,7 @@ def oracle_sql() -> dict[str, str]:
         "rescore_phrase": _RESCORE_SQL,
         "tags_terms": _TAGS_TERMS_SQL,
         "dv_eq_search": _DV_EQ_SQL,
+        "sig_text": _SIG_TEXT_SQL,
         "tags_missing": _TAGS_MISSING_SQL,
         "regexp_search": _REGEXP_SQL,
         "missing_fetch": _MISSING_SQL,

@@ -2800,6 +2800,88 @@ class IndexSearcher:
             .orderBy("doc_id")
         )
 
+    def significant_text(
+        self,
+        docs: DataFrame,
+        query,
+        size: int = 10,
+        sample_size: int = 200,
+        mode: str = "OR",
+        min_doc_count: int = 3,
+    ) -> DataFrame:
+        """ES ``significant_text``: free-text terms over-represented in
+        a SAMPLE of top hits vs the whole index — the trending-terms
+        aggregation.  ES re-analyzes the ``_source`` of sampled docs
+        under a sampler agg; same shape here: the top-``sample_size``
+        hits' texts re-tokenize (bounded work — never the corpus), fg =
+        docs-containing counts in the sample (distinct per doc), bg =
+        the termdict's global df, lift = (fg/sample_n)/(df/n_docs) (the
+        same percentage heuristic as significant_terms).
+
+        ``docs`` is the doc store / corpus table with (doc_id, text);
+        ``query`` is a term list (with ``mode``) or a boolean string.
+        DataFrame(term, fg_count, bg_count, lift) by (lift desc, term
+        asc); ``min_doc_count`` is the ES noise floor.  Query terms
+        themselves naturally rank high (they are in every sampled doc)
+        — callers skip them, as in ES."""
+        from ..functions.tokenize import tokenize_col
+
+        if isinstance(query, str):
+            hits = self.search_bool(query, k=sample_size)
+        else:
+            hits = self.search(sorted(set(query)), mode=mode, k=sample_size)
+        ids = [int(r["doc_id"]) for r in hits.collect()]
+        out_schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("fg_count", T.LongType(), False),
+                T.StructField("bg_count", T.LongType(), False),
+                T.StructField("lift", T.DoubleType(), False),
+            ]
+        )
+        if not ids:
+            return self.spark.createDataFrame([], out_schema)
+        sample_n = len(ids)
+        fg = (
+            docs.filter(F.col("doc_id").isin(ids))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(tokenize_col(F.col("text")))
+                ).alias("term"),
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("fg_count"))
+            .where(F.col("fg_count") >= int(min_doc_count))
+        )
+        if self._termdict is not None:
+            joined = self._termdict.select("term", "df").join(
+                F.broadcast(fg), "term"
+            )
+        else:  # legacy index without a termdict: sample vocab is bounded
+            fg_rows = {r["term"]: int(r["fg_count"]) for r in fg.collect()}
+            dfs = self.global_dfs(sorted(fg_rows))
+            rows = [
+                (t, c, dfs[t]) for t, c in fg_rows.items() if t in dfs
+            ]
+            joined = self.spark.createDataFrame(
+                rows, "term string, fg_count long, df long"
+            )
+        n_docs = self.n_docs
+        return (
+            joined.select(
+                "term",
+                "fg_count",
+                F.col("df").alias("bg_count"),
+                (
+                    (F.col("fg_count") / F.lit(float(sample_n)))
+                    / (F.col("df") / F.lit(float(n_docs)))
+                ).alias("lift"),
+            )
+            .orderBy(F.col("lift").desc(), F.col("term").asc())
+            .limit(int(size))
+        )
+
     def with_source(
         self, results: DataFrame, max_collect: int = 10_000
     ) -> DataFrame:

@@ -1744,6 +1744,46 @@ class LocalSearcher:
             for name, q in sorted(filters.items())
         ]
 
+    def significant_text(
+        self,
+        texts: "dict[int, str]",
+        query,
+        size: int = 10,
+        sample_size: int = 200,
+        mode: str = "OR",
+        min_doc_count: int = 3,
+    ) -> list[tuple]:
+        """significant_text — serving twin of
+        IndexSearcher.significant_text over caller-provided doc texts
+        (same contract as LocalSearcher.highlight): [(term, fg_count,
+        bg_count, lift)] by (lift desc, term asc)."""
+        from collections import Counter
+
+        from ..functions.tokenize import py_tokenize
+
+        if isinstance(query, str):
+            hits = self.search_bool(query, k=sample_size)
+        else:
+            hits = self.search(sorted(set(query)), mode=mode, k=sample_size)
+        if not hits:
+            return []
+        ids = [d for d, _s in hits]
+        sample_n = len(ids)
+        fg: Counter = Counter()
+        for d in ids:
+            fg.update(set(py_tokenize(texts[d])))
+        kept = {t: c for t, c in fg.items() if c >= int(min_doc_count)}
+        if not kept:
+            return []
+        dfs = self.global_dfs(sorted(kept))
+        out = [
+            (t, c, dfs[t], (c / sample_n) / (dfs[t] / self.n_docs))
+            for t, c in kept.items()
+            if t in dfs
+        ]
+        out.sort(key=lambda r: (-r[3], r[0]))
+        return out[: int(size)]
+
     def more_like_this(
         self,
         like_text: str,

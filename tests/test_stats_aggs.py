@@ -172,3 +172,49 @@ def test_min_should_match(spark, small_index, small_oracle):
     )
     with pytest.raises(ValueError, match="OR"):
         ls.search(terms, "AND", 5, min_should_match=2)
+
+
+def test_significant_text_parity(spark, small_index, small_pages_pdf):
+    """ES significant_text: sampled-hit text re-analysis vs global df,
+    distributed == serving, lift math verified brute-force."""
+    from hail_elasticsearch_pipelines_spark.functions.extract import (
+        py_extract_text,
+    )
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+    from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+    index_dir, _m = small_index
+    # doc_id -> text, same dedupe + dense url-order ids as the build
+    pdf = small_pages_pdf.sort_values("warc_ts").drop_duplicates("url", keep="last")
+    pdf = pdf.sort_values("url").reset_index(drop=True)
+    texts = {
+        i: (r["text"] if r["text"] is not None else py_extract_text(r["html"]))
+        for i, r in pdf.iterrows()
+    }
+    s, L = IndexSearcher(spark, index_dir), LocalSearcher(index_dir)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    d = [tuple(r) for r in s.significant_text(docs, ["term0042", "the"], size=8, sample_size=25).collect()]
+    loc = L.significant_text(texts, ["term0042", "the"], size=8, sample_size=25)
+    assert d == loc and len(d) == 8
+    # lift math: fg over the sample, bg from the corpus
+    from collections import Counter
+
+    from hail_elasticsearch_pipelines_spark.functions.tokenize import py_tokenize
+
+    ids = [i for i, _sc in L.search(["term0042", "the"], mode="OR", k=25)]
+    fg = Counter()
+    for i in ids:
+        fg.update(set(py_tokenize(texts[i])))
+    bg = Counter()
+    for t in texts.values():
+        bg.update(set(py_tokenize(t)))
+    for term, fg_c, bg_c, lift in d:
+        assert fg_c == fg[term] and bg_c == bg[term] and fg_c >= 3
+        assert lift == (fg_c / len(ids)) / (bg_c / len(texts))
+    lifts = [r[3] for r in d]
+    assert lifts == sorted(lifts, reverse=True)
+    # BOOL query shape works too
+    b = L.significant_text(texts, "term0042 OR the", size=5, sample_size=25)
+    assert b == loc[:5]
