@@ -486,28 +486,53 @@ def check_regexp(pattern: str) -> None:
         raise ValueError(f"bad regexp {pattern!r}: {e}") from None
 
 
-def regexp_literal_prefix(pattern: str) -> str:
-    """Longest literal prefix every match of the (anchored) pattern
-    must start with — feeds the same sorted-termdict range pruning as
-    prefix queries.  A top-level alternation voids the prefix
-    (``ab|cd`` matches need not start with ``ab``); a quantifier
-    following the prefix drops the char it quantifies."""
-    depth = 0
-    for ch in pattern:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth = max(0, depth - 1)
-        elif ch == "|" and depth == 0:
-            return ""
+def _branch_literal_prefix(branch: str) -> str:
+    """Longest literal prefix of one alternation-free pattern branch —
+    a quantifier following the prefix drops the char it quantifies."""
     out: list[str] = []
-    for i, ch in enumerate(pattern):
+    for ch in branch:
         if ch in _REGEXP_META or ch == "-":
             if ch in "*+?" and out:
                 out.pop()
             break
         out.append(ch)
     return "".join(out)
+
+
+def regexp_prefixes(pattern: str) -> list[str]:
+    """Literal prefixes of the pattern's TOP-LEVEL alternation branches
+    — every match of the (anchored) pattern must start with one of
+    them, so the termdict scan prunes to the UNION of their sorted
+    ranges (``term40[0-4].|the`` → two range scans instead of a full
+    vocabulary scan).  Empty list = some branch has no literal prefix
+    (full scan)."""
+    branches, depth, cur = [], 0, []
+    for ch in pattern:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        if ch == "|" and depth == 0:
+            branches.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    branches.append("".join(cur))
+    out = []
+    for b in branches:
+        lit = _branch_literal_prefix(b)
+        if not lit:
+            return []
+        out.append(lit)
+    return out
+
+
+def regexp_literal_prefix(pattern: str) -> str:
+    """Single literal prefix every match must start with ("" when the
+    top-level alternation splits the range — see regexp_prefixes for
+    the union-of-ranges form)."""
+    ps = regexp_prefixes(pattern)
+    return ps[0] if len(ps) == 1 else ""
 
 
 def dv_filter_fields_of(manifest: dict) -> frozenset:
@@ -1876,11 +1901,15 @@ class IndexSearcher:
         else:
             body = cand
             cond = ~cand.contains(":") & ~cand.startswith("__")
-        lit = regexp_literal_prefix(pattern)
-        if lit:
-            pfx = f"{field}:{lit}" if field is not None else lit
-            lo, hi = prefix_term_range(pfx)
-            cond &= (cand >= lo) & (cand < hi)
+        prefixes = regexp_prefixes(pattern)
+        if prefixes:
+            rng = None
+            for lit in prefixes:
+                pfx = f"{field}:{lit}" if field is not None else lit
+                lo, hi = prefix_term_range(pfx)
+                r = (cand >= lo) & (cand < hi)
+                rng = r if rng is None else (rng | r)
+            cond &= rng
         cond &= body.rlike("^(?:" + pattern + ")$")
         rows = (
             src.filter(cond)

@@ -673,26 +673,27 @@ class LocalSearcher:
             RegexpExpansionError,
             check_regexp,
             prefix_term_range,
-            regexp_literal_prefix,
+            regexp_prefixes,
         )
 
         check_regexp(pattern)
         if field is not None and not _re.fullmatch(r"[a-z0-9]+", field):
             raise ValueError(f"bad field name {field!r}")
         src = self._termdict if self._termdict is not None else self._postings
-        lit = regexp_literal_prefix(pattern)
+        prefixes = regexp_prefixes(pattern)
         flt = None
-        if field is not None:
+        if prefixes:
+            # union of the branch prefix ranges — never a full
+            # vocabulary scan when every alternation branch is anchored
+            for lit in prefixes:
+                pfx = f"{field}:{lit}" if field is not None else lit
+                lo, hi = prefix_term_range(pfx)
+                r = (ds.field("term") >= lo) & (ds.field("term") < hi)
+                flt = r if flt is None else (flt | r)
+        elif field is not None:
             # [field:, field;) — ';' = chr(ord(':')+1) bounds exactly
-            # the field-prefixed terms even when lit is empty
-            lo, hi = (
-                prefix_term_range(f"{field}:{lit}")
-                if lit
-                else (field + ":", field + ";")
-            )
-            flt = (ds.field("term") >= lo) & (ds.field("term") < hi)
-        elif lit:
-            lo, hi = prefix_term_range(lit)
+            # the field-prefixed terms even with no literal prefix
+            lo, hi = field + ":", field + ";"
             flt = (ds.field("term") >= lo) & (ds.field("term") < hi)
         tbl = src.to_table(filter=flt, columns=["term"])
         rex = _re.compile(pattern)

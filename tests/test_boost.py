@@ -42,8 +42,8 @@ def test_boost_scales_contributions(searchers):
     base = {d: sc for d, sc in L.search_bool("term0020 OR term0025", k=500)}
     boosted = {d: sc for d, sc in L.search_bool("term0020^2 OR term0025", k=500)}
     assert set(base) == set(boosted)
-    only20 = set(L.search_bool("term0020 AND NOT term0025", k=500) and
-                 [d for d, _ in L.search_bool("term0020 AND NOT term0025", k=500)])
+    only20 = {d for d, _ in L.search_bool("term0020 AND NOT term0025", k=500)}
+    assert only20  # non-vacuous
     for d in only20:
         # docs holding only the boosted term score exactly 2x
         assert boosted[d] == 2.0 * base[d]
