@@ -1622,3 +1622,121 @@ def _compact_index_locked(spark: SparkSession, index_dir: str, factor: int = 2) 
     layout.flip_tables(manifest, flips)
     _save_manifest(index_dir, manifest)
     return manifest
+
+
+def delete_by_query(
+    spark: SparkSession, index_dir: str, query, mode: str = "BOOL"
+) -> dict:
+    """ES ``_delete_by_query``: tombstone every live doc matching the
+    query — term list (with mode OR/AND) or boolean string (incl.
+    range, ``_exists_``, and doc-value equality atoms).  Runs under the
+    single-writer maintenance lock; see _delete_by_query_locked."""
+    with _maintenance_lock(index_dir):
+        _repair_if_needed(spark, index_dir)
+        return _delete_by_query_locked(spark, index_dir, query, mode)
+
+
+def _delete_by_query_locked(
+    spark: SparkSession, index_dir: str, query, mode: str
+) -> dict:
+    """Query-time delete, exactly the upsert kill path without the
+    replacement half: matched live ids stage as per-segment tombstone
+    sidecars and publish at a fresh deletes epoch (MVCC — searchers
+    pinned at the older epoch keep serving the docs until reload).
+    Postings/doclens rows stay on disk until compaction strips them —
+    the ES semantics (deleted docs leave _count immediately, leave
+    df only at merge; elasticsearch_client.py route/forcemerge
+    lifecycle).  Globals (n_docs/total_tokens/avgdl, field_stats)
+    subtract the killed docs immediately, the same convention as
+    upsert's replacements.  ``query=None`` is rejected — wiping an
+    index must be an explicit rebuild, not a match_all delete."""
+    from ..functions.tokenize import token_count_col
+    from ..operators import docvalues as dv
+    from ..operators.bm25 import IndexSearcher
+
+    if query is None:
+        raise ValueError(
+            "delete_by_query needs a query — deleting every doc must be "
+            "an explicit rebuild, not a match_all delete"
+        )
+    manifest = _load_manifest(index_dir)
+    layout.gc_stale_dirs(index_dir, manifest)
+    g = manifest["globals"]
+    params = manifest["params"]
+    dpp = int(g["docs_per_part"])
+    seg_group = int(params["seg_group"])
+    text_fields = tuple(params.get("text_fields") or ())
+    searcher = IndexSearcher(spark, index_dir)
+    matched = dv.matched_ids(searcher, query, mode)  # live ids only
+    doclens_path = layout.table_path(index_dir, "doclens", manifest)
+    deletes_path = layout.table_path(index_dir, "deletes", manifest)
+    dl = spark.read.parquet(doclens_path)
+    kill_tf = [f for f in text_fields if f in dl.columns]
+    to_kill = dl.join(matched, "doc_id", "left_semi").select(
+        "doc_id", "doc_len", *kill_tf
+    )
+    to_kill.persist()
+    new_epoch = int(manifest.get("deletes_epoch", 0)) + 1
+    try:
+        krow = to_kill.agg(
+            F.count("*").alias("n"),
+            F.sum("doc_len").alias("tok"),
+            *[
+                F.sum(
+                    F.greatest(token_count_col(F.col(f)), F.lit(0))
+                ).alias(f"__ft_{f}")
+                for f in kill_tf
+            ],
+        ).collect()[0]
+        n_killed = int(krow["n"])
+        killed_tokens = int(krow["tok"] or 0)
+        killed_field_tokens = {f: int(krow[f"__ft_{f}"] or 0) for f in kill_tf}
+        if not n_killed:
+            return manifest
+        # staging keyed by the TARGET epoch: a crashed attempt retried
+        # before the manifest save reuses (and overwrites) the same dir
+        staging = os.path.join(index_dir, "stages", f"deletes_dbq_{new_epoch}")
+        (
+            to_kill.select(
+                "doc_id",
+                _segment_col(F.col("doc_id"), dpp, seg_group).alias("segment"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("segment")
+            .parquet(staging)
+        )
+    finally:
+        to_kill.unpersist()
+    _publish_tombstones(staging, deletes_path, id_base=0, epoch=new_epoch)
+    manifest["deletes_epoch"] = new_epoch
+    g["n_docs"] -= n_killed
+    g["total_tokens"] -= killed_tokens
+    g["avgdl"] = g["total_tokens"] / g["n_docs"] if g["n_docs"] else 0.0
+    if killed_field_tokens:
+        fs = g.get("field_stats") or {}
+        for f, c in killed_field_tokens.items():
+            if f in fs:
+                fs[f] = {"total_tokens": int(fs[f]["total_tokens"]) - c}
+        g["field_stats"] = fs
+    manifest["globals"] = g
+    postings_path = layout.table_path(index_dir, "postings", manifest)
+    n_tombstones = (
+        int(spark.read.parquet(deletes_path).count())
+        if os.path.isdir(deletes_path)
+        else 0
+    )
+    manifest["metrics"] = {
+        "docs_indexed": g["n_docs"],
+        "n_tombstones": n_tombstones,
+        **_postings_metrics(spark.read.parquet(postings_path)),
+    }
+    manifest.setdefault("extensions", []).append(
+        {
+            "mode": "delete_by_query",
+            "query": str(query),
+            "docs_tombstoned": n_killed,
+        }
+    )
+    _save_manifest(index_dir, manifest)
+    return manifest

@@ -1,0 +1,120 @@
+"""delete_by_query (ES `_delete_by_query`): query-resolved tombstones
+through the standard MVCC delete machinery.
+
+Reference analog: ES document lifecycle driven through the client
+(hail_scripts/shared/elasticsearch_client.py create/route/forcemerge);
+the delete-then-merge semantics are Lucene's."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+    compact_index,
+    delete_by_query,
+)
+
+
+@pytest.fixture()
+def fresh_index(spark, tmp_path):
+    from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+    from hail_elasticsearch_pipelines_spark.sources.corpus import gen_pages_pdf
+
+    pdf = gen_pages_pdf(np.arange(200))
+    out = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(pdf), out,
+        docs_per_part=16, seg_group=2, n_term_buckets=8,
+    )
+    return out, pdf
+
+
+def test_delete_by_term_query(spark, fresh_index):
+    out, _pdf = fresh_index
+    pre = LocalSearcher(out)
+    victims = set(pre.matched_ids(["term0042"]).tolist())
+    assert victims
+    pre_hits = pre.search(["the"], mode="OR", k=500)
+    m = delete_by_query(spark, out, ["term0042"], mode="OR")
+    assert m["extensions"][-1]["docs_tombstoned"] == len(victims)
+    # pinned searcher (older epoch) still serves the docs — MVCC
+    assert pre.search(["the"], mode="OR", k=500) == pre_hits
+    # fresh searchers see them gone, both engines
+    s, L = IndexSearcher(spark, out), LocalSearcher(out)
+    for ids in (
+        {r.doc_id for r in s.matched_ids(["term0042"], "OR").collect()},
+        set(L.matched_ids(["term0042"]).tolist()),
+        {i for i, _sc in L.search(["the"], mode="OR", k=500)},
+        {r.doc_id for r in s.search(["the"], "OR", 500).collect()},
+    ):
+        assert not ids & victims
+    # counts and globals dropped
+    assert L.search_count(["term0042"]) == 0
+    assert m["globals"]["n_docs"] == pre.n_docs - len(victims)
+    # idempotent: nothing live matches anymore
+    m2 = delete_by_query(spark, out, ["term0042"], mode="OR")
+    assert m2["extensions"][-1]["mode"] != "delete_by_query" or \
+        m2["extensions"][-1]["docs_tombstoned"] == len(victims)  # unchanged
+
+
+def test_delete_by_bool_range_query(spark, fresh_index):
+    out, _pdf = fresh_index
+    pre = LocalSearcher(out)
+    victims = set(pre.matched_ids("the AND doc_len:[200 TO *]", "BOOL").tolist())
+    assert victims
+    delete_by_query(spark, out, "the AND doc_len:[200 TO *]")
+    L = LocalSearcher(out)
+    assert not set(L.matched_ids(None).tolist()) & victims
+    # doc-value aggregations exclude the dead docs too
+    st = L.search_field_stats("the", "doc_len", mode="BOOL")
+    assert st["n_hits"] == 0 or st["max_v"] < 200 or not (
+        set(L.matched_ids("the", "BOOL").tolist()) & victims
+    )
+
+
+def test_delete_none_raises(spark, fresh_index):
+    out, _pdf = fresh_index
+    with pytest.raises(ValueError, match="explicit rebuild"):
+        delete_by_query(spark, out, None)
+
+
+def test_compact_after_delete_equals_fresh_rebuild(spark, fresh_index, tmp_path):
+    """After compaction strips the tombstoned postings, every surviving
+    url scores bit-identically to an index built from only the
+    surviving pages (df/avgdl/n_docs all converge to the rebuild's)."""
+    from hail_elasticsearch_pipelines_spark import layout
+    from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+
+    out, pdf = fresh_index
+    pre = LocalSearcher(out)
+    victims = set(pre.matched_ids(["term0042"]).tolist())
+    delete_by_query(spark, out, ["term0042"], mode="OR")
+    compact_index(spark, out, factor=1)
+    L = LocalSearcher(out)
+    # rebuild from the surviving pages only
+    m = layout.load_manifest(out)
+    dl = spark.read.parquet(layout.table_path(out, "doclens", m))
+    live_urls = {r["url"] for r in dl.select("url", "doc_id").collect()
+                 if r["doc_id"] not in victims}
+    surv = pdf[pdf["url"].isin(live_urls)]
+    out2 = str(tmp_path / "rebuilt")
+    build_index(
+        spark, spark.createDataFrame(surv), out2,
+        docs_per_part=16, seg_group=2, n_term_buckets=8,
+    )
+    R = LocalSearcher(out2)
+    assert L.n_docs == R.n_docs and L.avgdl == R.avgdl
+    # per-url score parity (doc ids differ; urls are the stable key)
+    def by_url(searcher, index_dir):
+        mm = layout.load_manifest(index_dir)
+        dd = spark.read.parquet(layout.table_path(index_dir, "doclens", mm))
+        id2url = {r["doc_id"]: r["url"] for r in dd.select("doc_id", "url").collect()}
+        return {
+            id2url[d]: sc
+            for d, sc in searcher.search(["the", "of"], mode="OR", k=10_000)
+        }
+    a, b = by_url(L, out), by_url(R, out2)
+    assert a == b and a
