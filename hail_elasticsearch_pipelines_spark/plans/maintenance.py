@@ -1740,3 +1740,40 @@ def _delete_by_query_locked(
     )
     _save_manifest(index_dir, manifest)
     return manifest
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    query,
+    field: str,
+    new_value: str,
+    mode: str = "BOOL",
+) -> dict:
+    """ES ``_update_by_query`` with a set-field script: retag facet
+    ``field`` to ``new_value`` on every live doc matching ``query``
+    (term list with mode OR/AND, or a boolean string incl. range/
+    ``_exists_``/doc-value atoms) — the query-driven form of
+    update_facet_field (the reference's partial-doc update path).
+
+    The match set resolves against the current snapshot and feeds the
+    update keyed by URL, so the whole pipeline stays distributed (no
+    driver-side id lists).  Like ES with ``conflicts=proceed``, a doc
+    re-crawled between resolution and rewrite is retagged under its
+    url — url is the stable document identity here."""
+    from ..operators import docvalues as dv
+    from ..operators.bm25 import IndexSearcher
+
+    if query is None:
+        raise ValueError(
+            "update_by_query needs a query — retagging every doc should "
+            "go through update_facet_field with a full url list"
+        )
+    searcher = IndexSearcher(spark, index_dir)
+    doclens = spark.read.parquet(searcher._doclens_path)
+    updates = (
+        dv.matched_ids(searcher, query, mode)
+        .join(doclens.select("doc_id", "url"), "doc_id")
+        .select("url", F.lit(new_value).alias("new_value"))
+    )
+    return update_facet_field(spark, index_dir, field, updates)

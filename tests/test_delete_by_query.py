@@ -118,3 +118,28 @@ def test_compact_after_delete_equals_fresh_rebuild(spark, fresh_index, tmp_path)
         }
     a, b = by_url(L, out), by_url(R, out2)
     assert a == b and a
+
+
+def test_update_by_query(spark, fresh_index):
+    """ES _update_by_query (set-field script): facet retag driven by a
+    query; scores unchanged, facet filters see the new value."""
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+        update_by_query,
+    )
+
+    out, _pdf = fresh_index
+    pre = LocalSearcher(out)
+    victims = set(pre.matched_ids("the AND doc_len:[250 TO *]", "BOOL").tolist())
+    assert victims
+    before = pre.search(["the"], mode="OR", k=500)
+    m = update_by_query(
+        spark, out, "the AND doc_len:[250 TO *]", "lang", "xx"
+    )
+    assert m["generation"] >= 1 or m  # manifest returned
+    L = LocalSearcher(out)
+    got = set(L.matched_ids("lang:xx AND the", "BOOL").tolist())
+    assert got == victims
+    # pure filter retag: BM25 scores unchanged
+    assert L.search(["the"], mode="OR", k=500) == before
+    with pytest.raises(ValueError, match="update_facet_field"):
+        update_by_query(spark, out, None, "lang", "xx")
