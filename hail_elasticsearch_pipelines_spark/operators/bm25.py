@@ -3144,6 +3144,7 @@ class IndexSearcher:
 
         n_docs, avgdl = self.n_docs, self.avgdl
         term_specs, bool_specs, phrase_specs = [], [], []
+        ranged_specs = []  # BOOL queries with range/_exists_/dv atoms
         for s in specs:
             mode = s.get("mode", "OR").upper()
             if mode in ("OR", "AND"):
@@ -3161,6 +3162,15 @@ class IndexSearcher:
                     raise bq.QueryParseError(
                         f"query {s['query_id']} has no positive terms"
                     )
+                if bq.range_atoms(ast):
+                    # doc-value atoms need the per-atom doclens cogroup
+                    # — route through search_bool (one extra job per
+                    # such query; the shared block cache can't see doc
+                    # values), results identical to a lone search_bool
+                    ranged_specs.append(
+                        (s["query_id"], s["query"], int(s.get("k", 10)))
+                    )
+                    continue
                 bool_specs.append(
                     (
                         s["query_id"], ast, bq.all_terms(ast),
@@ -3270,6 +3280,13 @@ class IndexSearcher:
         if phrase_specs:
             parts.append(self._phrase_scores_many(phrase_specs))
 
+        for qid, q, k in ranged_specs:
+            parts.append(
+                self.search_bool(q, k=k)
+                .withColumn("query_id", F.lit(qid))
+                .select("query_id", "doc_id", "score")
+            )
+
         if not parts:
             return self.spark.createDataFrame([], MULTI_RESULT_SCHEMA)
         per_segment = parts[0]
@@ -3279,6 +3296,7 @@ class IndexSearcher:
             [(qid, k) for qid, _, _, k in term_specs]
             + [(qid, k) for qid, _, _, _, _, k, _ in bool_specs]
             + [(qid, k) for qid, _, k in phrase_specs]
+            + [(qid, k) for qid, _, k in ranged_specs]
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         k_map = F.create_map(

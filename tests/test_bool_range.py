@@ -185,3 +185,28 @@ def test_pure_range_aggregations(searchers):
     expect = sorted(dl[(dl["doc_len"] >= 50) & (dl["doc_len"] <= 200)]["doc_id"].tolist())
     assert d == expect
     assert s.search_cardinality(P, "lang", mode="BOOL").collect()[0].n_values == L.search_cardinality(P, "lang", mode="BOOL")
+
+
+def test_msearch_with_range_and_dv_atoms(spark, searchers):
+    """search_many accepts BOOL specs with range/_exists_ atoms (routed
+    through the doc-value cogroup path) — results identical to lone
+    search_bool calls and to the serving twin."""
+    s, L = searchers
+    specs = [
+        {"query_id": "plain", "mode": "BOOL", "query": "the AND term0020", "k": 10},
+        {"query_id": "rng", "mode": "BOOL", "query": "the AND doc_len:[50 TO 300]", "k": 10},
+        {"query_id": "ex", "mode": "BOOL", "query": "the AND _exists_:doc_len", "k": 10},
+        {"query_id": "ph", "mode": "PHRASE", "phrase": ["of", "the"], "k": 10},
+    ]
+    rows = s.search_many(specs).collect()
+    got: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    loc = L.search_many(specs)
+    assert set(got) == {"plain", "rng", "ex", "ph"}
+    for qid in got:
+        assert got[qid] == loc[qid], qid
+    assert got["rng"] == [
+        (r.doc_id, r.score)
+        for r in s.search_bool("the AND doc_len:[50 TO 300]", k=10).collect()
+    ]
