@@ -2577,24 +2577,86 @@ class IndexSearcher:
             self, query, bucket_field, interval, metric_field, mode
         )
 
+    FILTERS_SCHEMA = T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("doc_count", T.LongType(), False),
+        ]
+    )
+
     def search_filters(self, filters: "dict[str, str]") -> DataFrame:
         """ES ``filters`` aggregation — named boolean filters, each
         with its live match count; DataFrame(name, doc_count) in name
-        order.  One count job per filter (the filter map is a
-        user-written handful, never data-sized); each job is the
-        cheapest match shape — doc-id streams only."""
-        rows = [
-            (name, int(self.search_count(q, "BOOL").collect()[0][0]))
-            for name, q in sorted(filters.items())
-        ]
+        order.  All range-free filters share ONE counting job (each
+        segment task decodes the union of their terms' doc-id streams
+        once and evaluates every filter against it — the ES
+        one-pass-per-shard shape); filters with range/_exists_/dv
+        atoms fall back to one doc-value-cogroup count job each."""
+        from ..functions import boolquery as bq
+
+        af = set(analyzed_fields_of(self.manifest))
+        dvf = dv_filter_fields_of(self.manifest)
+        compiled, ranged = [], []
+        for name, q in sorted(filters.items()):
+            ast = bq.parse(q, analyzed_fields=af, dv_fields=dvf)
+            if bq.has_wildcards(ast):
+                ast = bq.expand_wildcards(
+                    ast, self.expand_prefix, self.expand_fuzzy
+                )
+            if bq.range_atoms(ast):
+                ranged.append((name, q))
+            else:
+                compiled.append((name, ast, bq.all_terms(ast)))
+        out_rows: list[tuple[str, int]] = []
+        if compiled:
+            all_terms = sorted({t for _n, _a, ts in compiled for t in ts})
+            rows = self._term_rows(all_terms).select("segment", "term", "blob")
+            get_deletes = self._segment_deletes_fn()
+            shared = [(n, a) for n, a, _ts in compiled]
+
+            def count_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+                if pdf.empty:
+                    return pd.DataFrame({"name": [], "n": []})
+                _check_unique_terms(pdf)
+                dead = get_deletes(pdf["segment"].iloc[0])
+                qdocs = {
+                    r.term: codecs.decode_postings(bytes(r.blob))[0]
+                    for r in pdf.itertuples()
+                }
+                names, ns = [], []
+                for name, ast in shared:
+                    cand = bq.eval_docs(ast, qdocs)
+                    if isinstance(cand, tuple):
+                        n = 0
+                    else:
+                        if dead is not None and dead.size and cand.size:
+                            cand = cand[
+                                ~np.isin(cand, dead, assume_unique=True)
+                            ]
+                        n = int(cand.size)
+                    names.append(name)
+                    ns.append(n)
+                return pd.DataFrame({"name": names, "n": ns})
+
+            agg = (
+                rows.groupBy("segment")
+                .applyInPandas(count_segment, "name string, n long")
+                .groupBy("name")
+                .agg(F.sum("n").alias("doc_count"))
+            )
+            out_rows = [
+                (r["name"], int(r["doc_count"])) for r in agg.collect()
+            ]
+            got = {n for n, _c in out_rows}
+            out_rows += [
+                (name, 0) for name, _a, _ts in compiled if name not in got
+            ]
+        for name, q in ranged:
+            out_rows.append(
+                (name, int(self.search_count(q, "BOOL").collect()[0][0]))
+            )
         return self.spark.createDataFrame(
-            rows,
-            T.StructType(
-                [
-                    T.StructField("name", T.StringType(), False),
-                    T.StructField("doc_count", T.LongType(), False),
-                ]
-            ),
+            sorted(out_rows), IndexSearcher.FILTERS_SCHEMA
         )
 
     EXPLAIN_SCHEMA = T.StructType(
