@@ -132,3 +132,79 @@ def test_msm_scores_matches_bruteforce(doc_lists, msm):
     )
     for dd, s in zip(docs.tolist(), scores.tolist()):
         assert s == sum(idf[t] * w for t in sorted(per_doc[dd]))
+
+
+# ---- regexp literal-prefix pruning soundness --------------------------
+# An UNSOUND prefix would silently drop matching terms from regexp
+# expansions (wrong results, no error) — so the property is load-bearing:
+# every string the anchored pattern matches must start with one of
+# regexp_prefixes(pattern) whenever that list is non-empty.
+
+_lit = st.text(alphabet="abc01", min_size=1, max_size=4)
+
+
+@st.composite
+def _safe_pattern(draw, depth=0):
+    parts = []
+    for _ in range(draw(st.integers(1, 3))):
+        kind = draw(st.integers(0, 5 if depth < 2 else 3))
+        if kind == 0:
+            parts.append(draw(_lit))
+        elif kind == 1:
+            parts.append(".")
+        elif kind == 2:
+            parts.append("[" + draw(st.text(alphabet="abc01", min_size=1, max_size=3)) + "]")
+        elif kind == 3:
+            parts.append(draw(_lit) + draw(st.sampled_from(["*", "+", "?"])))
+        elif kind == 4:
+            parts.append("(" + draw(_safe_pattern(depth + 1)) + ")")
+        else:
+            parts.append(
+                "(" + draw(_safe_pattern(depth + 1)) + "|" + draw(_safe_pattern(depth + 1)) + ")"
+            )
+    pat = "".join(parts)
+    if depth == 0 and draw(st.booleans()):
+        pat = pat + "|" + draw(_safe_pattern(1))
+    return pat
+
+
+@settings(max_examples=300, deadline=None)
+@given(_safe_pattern(), st.text(alphabet="abc01", min_size=0, max_size=10))
+def test_regexp_prefixes_sound(pattern, term):
+    import re
+
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+        check_regexp,
+        regexp_prefixes,
+    )
+
+    try:
+        check_regexp(pattern)
+    except ValueError:
+        return  # outside the supported dialect — expansion rejects it
+    prefixes = regexp_prefixes(pattern)
+    if not prefixes:
+        return  # full scan: trivially sound
+    if re.fullmatch(pattern, term):
+        assert any(term.startswith(p) for p in prefixes), (pattern, term, prefixes)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data(), _safe_pattern())
+def test_regexp_prefixes_sound_on_matching_terms(data, pattern):
+    """Non-vacuous variant: terms DRAWN FROM the pattern itself (every
+    drawn term matches by construction) must start with a prefix."""
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+        check_regexp,
+        regexp_prefixes,
+    )
+
+    try:
+        check_regexp(pattern)
+    except ValueError:
+        return
+    prefixes = regexp_prefixes(pattern)
+    if not prefixes:
+        return
+    term = data.draw(st.from_regex(pattern, fullmatch=True))
+    assert any(term.startswith(p) for p in prefixes), (pattern, term, prefixes)
