@@ -2891,6 +2891,60 @@ class IndexSearcher:
             .orderBy("doc_id")
         )
 
+    def index_stats(self) -> dict:
+        """ES ``_stats``/``_cat/indices`` analog: the pinned snapshot's
+        health/size facts, straight from the manifest (no jobs) —
+        docs, tokens, avgdl, tombstones, postings metrics, generation,
+        deletes epoch, and the field roles."""
+        m = self.manifest
+        return {
+            "n_docs": int(m["globals"]["n_docs"]),
+            "total_tokens": int(m["globals"]["total_tokens"]),
+            "avgdl": float(m["globals"]["avgdl"]),
+            "generation": int(m.get("generation", 0)),
+            "deletes_epoch": int(m.get("deletes_epoch", 0)),
+            "format_version": m.get("format_version"),
+            # fresh builds don't record n_tombstones; normalize so the
+            # API shape is stable across build/maintenance provenance
+            "metrics": {"n_tombstones": 0, **m.get("metrics", {})},
+            "fields": dict(m.get("params", {}).get("fields", {})),
+            "text_fields": list(m.get("params", {}).get("text_fields") or ()),
+            "n_extensions": len(m.get("extensions", [])),
+        }
+
+    def segment_stats(self) -> DataFrame:
+        """ES ``_cat/segments`` analog: per-segment size facts from ONE
+        postings metadata scan (term/df/n_bytes columns only — blobs
+        never read): DataFrame(segment, n_terms, postings, bytes,
+        tombstones), segment asc.  The tombstone counts come from the
+        pinned epoch's sidecars (driver-side, bounded — the deleted-
+        docs-bitmap analog)."""
+        from . import docvalues as dv
+
+        post = self._postings.select("segment", "df", "n_bytes")
+        agg = (
+            post.groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("df").alias("postings"),
+                F.sum("n_bytes").alias("bytes"),
+            )
+        )
+        dead = load_deletes(
+            self.index_dir, epoch=self._deletes_epoch, manifest=self.manifest
+        )
+        tomb = [(int(s), int(len(ids))) for s, ids in sorted((dead or {}).items())]
+        if tomb:
+            tomb_df = self.spark.createDataFrame(
+                tomb, "segment int, tombstones long"
+            )
+            agg = agg.join(F.broadcast(tomb_df), "segment", "left").withColumn(
+                "tombstones", F.coalesce(F.col("tombstones"), F.lit(0))
+            )
+        else:
+            agg = agg.withColumn("tombstones", F.lit(0).cast("long"))
+        return agg.orderBy("segment")
+
     def significant_text(
         self,
         docs: DataFrame,

@@ -143,3 +143,23 @@ def test_update_by_query(spark, fresh_index):
     assert L.search(["the"], mode="OR", k=500) == before
     with pytest.raises(ValueError, match="update_facet_field"):
         update_by_query(spark, out, None, "lang", "xx")
+
+
+def test_index_and_segment_stats(spark, fresh_index):
+    """_stats/_cat analogs: manifest facts + per-segment metadata scan;
+    tombstones appear per segment after a delete."""
+    out, _pdf = fresh_index
+    s = IndexSearcher(spark, out)
+    st = s.index_stats()
+    assert st["n_docs"] == s.n_docs and st["avgdl"] == s.avgdl
+    assert st["metrics"]["n_tombstones"] == 0
+    seg = {r.segment: r for r in s.segment_stats().collect()}
+    assert sum(r.n_terms for r in seg.values()) == s._postings.count()
+    assert all(r.tombstones == 0 for r in seg.values())
+    delete_by_query(spark, out, ["term0042"], mode="OR")
+    s2 = IndexSearcher(spark, out)
+    seg2 = {r.segment: r for r in s2.segment_stats().collect()}
+    assert sum(r.tombstones for r in seg2.values()) == \
+        s2.index_stats()["metrics"]["n_tombstones"] > 0
+    # pinned old searcher still reports its epoch's (empty) tombstones
+    assert all(r.tombstones == 0 for r in s.segment_stats().collect())
