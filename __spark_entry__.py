@@ -920,6 +920,22 @@ def _q_decay_recency(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_decay_filtered(spark, sf):
+    """function_score decay over a BOOLEAN query — filtered recency
+    boost: gauss-decayed BM25 restricted to an n_chars range atom."""
+    r = _searcher(spark, sf).search_decay(
+        "(fast OR key OR table) AND n_chars:[150 TO 400]",
+        "warc_ts",
+        origin="2025-02-18 00:00:00",
+        scale=7 * 86400.0,
+        decay=0.5,
+        fn="gauss",
+        mode="BOOL",
+        k=20,
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_regexp_search(spark, sf):
     """ES regexp query: anchored-pattern termdict expansion →
     scoring_boolean BM25 (matches {scan, slow, small, sort})."""
@@ -997,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_page2": _q_sort_page2,
         "date_histogram_cum": _q_date_histogram_cum,
         "decay_recency": _q_decay_recency,
+        "decay_filtered": _q_decay_filtered,
         "regexp_search": _q_regexp_search,
         "missing_fetch": _q_missing_fetch,
         "terms_after_src": _q_terms_after_src,
@@ -1559,6 +1576,22 @@ FROM dec ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 )
 
+_DECAY_FILTERED_SQL = (
+    _BM25_CTES
+    + f"""
+, dv AS (SELECT doc_id, epoch({_DV_TS})::DOUBLE AS ts FROM documents)
+, dec AS (
+  SELECT agg.doc_id,
+         agg.score * exp(-({_DECAY_D} * {_DECAY_D})
+           / (2.0 * (604800.0 * 604800.0 / (2.0 * ln(2.0))))) AS score
+  FROM agg JOIN dv USING (doc_id) JOIN documents d ON d.doc_id = agg.doc_id
+  WHERE d.n_chars BETWEEN 150 AND 400
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM dec ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+)
+
 # regexp query twin: the same anchored pattern selects the scoring
 # terms from the corpus vocabulary (RE2 and the engine's Java/Python
 # regex agree on the safe dialect)
@@ -1963,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_page2": _SORT_PAGE2_SQL,
         "date_histogram_cum": _DATE_HISTOGRAM_CUM_SQL,
         "decay_recency": _DECAY_SQL,
+        "decay_filtered": _DECAY_FILTERED_SQL,
         "exists_search": _EXISTS_SQL,
         "bucket_metrics_day": _BUCKET_METRICS_SQL,
         "filters_agg": _FILTERS_AGG_SQL,

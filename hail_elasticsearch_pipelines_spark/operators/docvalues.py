@@ -1138,8 +1138,12 @@ def search_decay(
 
     check_decay(fn, scale, decay, offset)
     mode_u = mode.upper()
+    if mode_u == "BOOL":
+        return _search_decay_bool(
+            searcher, query, field, origin, scale, decay, offset, fn, k
+        )
     if mode_u not in ("OR", "AND"):
-        raise ValueError("search_decay supports OR/AND term queries")
+        raise ValueError("search_decay supports OR/AND term queries or BOOL")
     qterms = sorted(set(query))
     spark = searcher.spark
     if not qterms:
@@ -1413,4 +1417,134 @@ def search_bucket_metrics(
             F.max("v").alias("max_v"),
         )
         .orderBy("bucket")
+    )
+
+
+def _search_decay_bool(
+    searcher: "IndexSearcher",
+    query: str,
+    field: str,
+    origin,
+    scale: float,
+    decay: float,
+    offset: float,
+    fn: str,
+    k: int,
+) -> DataFrame:
+    """function_score decay over a BOOLEAN query (filtered recency
+    boost — "recent docs matching the filter", the canonical crawl
+    query).  One cogroup carries BOTH the range atoms' allowed ids and
+    the decay field's values (tagged ``__decay__`` rows in the same
+    frame), so each segment task evaluates the boolean filter, scores
+    the candidates exhaustively, reweights, and emits its top-k — the
+    same one-shuffle shape as the term-list path."""
+    from ..functions import boolquery as bq
+    from .bm25 import (
+        RESULT_SCHEMA,
+        _check_unique_terms,
+        _mask_deleted,
+        _topk,
+        analyzed_fields_of,
+        bm25_idf,
+        dv_filter_fields_of,
+        field_avgdl_map,
+    )
+
+    spark = searcher.spark
+    ast = bq.parse(
+        query,
+        analyzed_fields=set(analyzed_fields_of(searcher.manifest)),
+        dv_fields=dv_filter_fields_of(searcher.manifest),
+    )
+    if bq.has_wildcards(ast):
+        ast = bq.expand_wildcards(
+            ast, searcher.expand_prefix, searcher.expand_fuzzy
+        )
+    terms = bq.all_terms(ast)
+    pos_terms = bq.positive_terms(ast)
+    if not pos_terms:
+        raise bq.QueryParseError("query has no positive terms")
+    ranges = bq.range_atoms(ast)
+    boosts = bq.term_boosts(ast)
+    dl = doclens_df(searcher)
+    check_scalar(searcher, field, dl)
+    is_time = isinstance(dl.schema[field].dataType, T.TimestampType)
+    origin_f = origin_float(origin, is_time)
+    dpp, seg_group = _seg_params(searcher.manifest)
+    seg = segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment")
+    v_type = dl.schema[field].dataType
+    DECAY_KEY = "__decay__"
+    parts = [
+        dl.where(F.col(field).isNotNull()).select(
+            seg,
+            "doc_id",
+            F.lit(DECAY_KEY).alias("rkey"),
+            F.col(field).alias("value"),
+        )
+    ]
+    for rt in ranges:
+        check_field(searcher, rt.field, dl.columns)
+        parts.append(
+            dl.filter(range_pred(rt, is_array_type(dl, rt.field))).select(
+                seg,
+                "doc_id",
+                F.lit(rt.key()).alias("rkey"),
+                F.lit(None).cast(v_type).alias("value"),
+            )
+        )
+    allowed = parts[0]
+    for p in parts[1:]:
+        allowed = allowed.unionByName(p)
+    rkeys = [rt.key() for rt in ranges]
+    rows = _scoring_rows(searcher, terms, "OR")
+    if rows is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs = searcher.n_docs
+    avgdl = field_avgdl_map(searcher.manifest, terms)
+    get_deletes = searcher._segment_deletes_fn()
+    scale_f, decay_f, offset_f = float(scale), float(decay), float(offset)
+
+    def score_segment(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []})
+        dead = get_deletes(int(key[0]))
+        postings, idf = {}, {}
+        if not left.empty:
+            _check_unique_terms(left)
+            idf = {
+                t: bm25_idf(n_docs, int(d)) * boosts.get(t, 1.0)
+                for t, d in zip(left["term"], left["df_global"])
+            }
+            for r in left.itertuples():
+                postings[r.term] = codecs.decode_postings(bytes(r.blob))
+        postings = _mask_deleted(postings, dead)
+        doc_sets = {t: p[0] for t, p in postings.items()}
+        empty_ids = np.array([], np.int64)
+        for rk in rkeys:
+            doc_sets[rk] = empty_ids
+        dv_rows = right[right["rkey"] == DECAY_KEY]
+        for rk, grp in right[right["rkey"] != DECAY_KEY].groupby("rkey"):
+            ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+            if dead is not None and dead.size and ids.size:
+                ids = ids[~np.isin(ids, dead, assume_unique=True)]
+            doc_sets[rk] = ids
+        cand = bq.eval_docs(ast, doc_sets)
+        if isinstance(cand, tuple) or cand.size == 0:
+            return empty
+        scores = bq.score_candidates(cand, postings, pos_terms, idf, avgdl)
+        factors = np.ones(len(cand), dtype=np.float64)
+        if not dv_rows.empty:
+            ok, v = _value_lookup(dv_rows, "value", cand)
+            factors[ok] = decay_factors(
+                dv_float(v), origin_f, scale_f, decay_f, offset_f, fn
+            )
+        d, s = _topk(cand, scores * factors, k)
+        return pd.DataFrame({"doc_id": d, "score": s})
+
+    partials = (
+        rows.groupBy("segment")
+        .cogroup(allowed.groupBy("segment"))
+        .applyInPandas(score_segment, RESULT_SCHEMA)
+    )
+    return partials.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        int(k)
     )

@@ -1627,12 +1627,20 @@ class LocalSearcher:
 
         check_decay(fn, scale, decay, offset)
         mode_u = mode.upper()
-        if mode_u not in ("OR", "AND"):
-            raise ValueError("search_decay supports OR/AND term queries")
-        qterms = sorted(set(query))
-        if not qterms:
-            return []
-        full = self.search(qterms, mode=mode_u, k=self.n_docs, algo="exhaustive")
+        if mode_u == "BOOL":
+            # boolean filter + decay ("recent docs matching the
+            # filter"); k=n_docs keeps every path exact — the floor
+            # never rises, so nothing prunes
+            full = self.search_bool(query, k=self.n_docs)
+        elif mode_u in ("OR", "AND"):
+            qterms = sorted(set(query))
+            if not qterms:
+                return []
+            full = self.search(
+                qterms, mode=mode_u, k=self.n_docs, algo="exhaustive"
+            )
+        else:
+            raise ValueError("search_decay supports OR/AND term queries or BOOL")
         if not full:
             return []
         docs = np.fromiter((d for d, _ in full), np.int64, len(full))

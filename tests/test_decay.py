@@ -183,3 +183,25 @@ def test_missing_and_value_terms_parity(spark, tmp_path_factory):
     ids = np.sort(L.matched_ids(["the"]))
     v, c = np.unique(L._dv_lookup("grp", ids)[1], return_counts=True)
     assert allp == list(zip(v.tolist(), [int(x) for x in c]))
+
+
+def test_bool_decay_parity(spark, small_index):
+    """Decay over a boolean query (range filter + boost + facet all
+    composing) — the filtered-recency-boost shape."""
+    out, _m = small_index
+    s = IndexSearcher(spark, out)
+    L = LocalSearcher(out)
+    kw = dict(origin="2025-01-20 00:00:00", scale=2 * 86400.0, k=12, mode="BOOL")
+    for q in (
+        "the AND doc_len:[50 TO 400]",
+        "term0020^2 OR term0025",
+        "the AND NOT term0030 AND _exists_:doc_len",
+    ):
+        d = [(r.doc_id, r.score) for r in s.search_decay(q, "warc_ts", **kw).collect()]
+        loc = L.search_decay(q, "warc_ts", **kw)
+        assert d == loc and d, q
+    # factor semantics: decayed <= raw bool score, equal iff factor 1
+    q = "the AND doc_len:[50 TO 400]"
+    raw = dict(L.search_bool(q, k=10_000))
+    for i, sc in L.search_decay(q, "warc_ts", **kw):
+        assert sc <= raw[i] + 1e-12
