@@ -3253,7 +3253,10 @@ class IndexSearcher:
         one scoring job (each segment's block cache decodes every blob
         at most once across all queries); phrase queries add two (one
         match job for ALL phrases — phrase df isn't known until matches
-        exist — plus the count).  Returns DataFrame(query_id, rank,
+        exist — plus the count); BOOL queries containing range/
+        ``_exists_``/doc-value atoms add one job each (they route
+        through search_bool's doc-value cogroup — the shared block
+        cache can't see doc values).  Returns DataFrame(query_id, rank,
         doc_id, score), rank 1..k by (score desc, doc_id asc), results
         bit-identical per query to search/search_bool/search_phrase."""
         from ..functions import boolquery as bq
