@@ -413,6 +413,16 @@ def _q_rescore_phrase(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_bool_phrase(spark, sf):
+    """Quoted-phrase atom in the boolean query language (ES
+    query_string match_phrase clause, filter context): OR terms
+    restricted to docs containing the exact phrase 'row scan'."""
+    r = _searcher(spark, sf).search_bool(
+        '(fast OR key OR table) AND "row scan"', k=20
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_boost_search(spark, sf):
     """ES query_string clause boosting: fast^3 OR key OR table^0.5 —
     boosts fold into idf (linear), so pruned paths stay exact."""
@@ -981,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "phrase_slop": _q_phrase_slop,
         "boost_search": _q_boost_search,
+        "bool_phrase_search": _q_bool_phrase,
         "exists_search": _q_exists_search,
         "bucket_metrics_day": _q_bucket_metrics,
         "filters_agg": _q_filters_agg,
@@ -1721,6 +1732,24 @@ LIMIT 10
 """
 )
 
+_BOOL_PHRASE_SQL = (
+    _BM25_CTES
+    + f"""
+, pos AS (
+  SELECT doc_id, u.t AS term, u.i AS i
+  FROM tok, UNNEST(list_transform(range(1, len(toks) + 1),
+                   i -> struct_pack(t := toks[i], i := i))) AS x(u)
+), pm AS (
+  SELECT DISTINCT p0.doc_id
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+  WHERE p0.term = '{PHRASE[0]}' AND p1.term = '{PHRASE[1]}'
+)
+SELECT agg.doc_id, {_micro_sql('agg.score')} AS score_micro
+FROM agg JOIN pm USING (doc_id)
+ORDER BY agg.score DESC, agg.doc_id ASC LIMIT 20
+"""
+)
+
 _DV_EQ_SQL = (
     _BM25_CTES
     + f"""
@@ -2136,6 +2165,7 @@ FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "phrase_search": _phrase_sql(PHRASE, 20),
         "phrase_slop": _phrase_sql(PHRASE, 20, slop=2),
+        "bool_phrase_search": _BOOL_PHRASE_SQL,
         "boost_search": _BM25_CTES.replace(
             "ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))",
             "(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "

@@ -33,10 +33,12 @@ from .tokenize import py_tokenize
 
 _TOKEN_RE = re.compile(
     r"\(|\)|\bAND\b|\bOR\b|\bNOT\b"
+    r'|"[^"]*"(?:~[0-9])?'  # quoted phrase atom: "big table"~2
     r"|[^\s():]+:[\[{][^\[\]{}]*[\]}]"  # range atom: field:[lo TO hi]
     r"|[^\s()]+",
     re.IGNORECASE,
 )
+_PHRASE_ATOM_RE = re.compile(r'^"([^"]*)"(?:~([0-9]))?$')
 _FUZZY_RE = re.compile(r"^(.+)~([0-9])?$")
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 _RANGE_RE = re.compile(
@@ -91,6 +93,45 @@ class RangeTerm:
         lb = "[" if self.incl_lo else "{"
         rb = "]" if self.incl_hi else "}"
         return f"{self.field}:{lb}{lo} TO {hi}{rb}"
+
+
+@dataclass(frozen=True)
+class PhraseTerm:
+    """Quoted phrase atom ``"big table"`` (optional slop suffix
+    ``"big table"~2``) — the ES query_string match_phrase clause, here
+    in FILTER context: it constrains matches to docs containing the
+    (in-order, slop-windowed) phrase but contributes no score — the
+    phrase's tokens are not in the scoring set unless they also appear
+    unquoted.  Searchers resolve it against positional postings and
+    inject the matching doc set under ``key()`` before evaluation,
+    exactly like range atoms ride the doc-value store."""
+
+    tokens: tuple
+    slop: int = 0
+
+    def key(self) -> str:
+        return '"' + " ".join(self.tokens) + f'"~{self.slop}'
+
+
+def phrase_atoms(node) -> list:
+    """Unique PhraseTerm atoms of the AST, first-appearance order
+    (deduped by key()) — the positional sets a searcher must resolve
+    before evaluation."""
+    out, seen = [], set()
+
+    def walk(n):
+        if isinstance(n, PhraseTerm):
+            if n.key() not in seen:
+                seen.add(n.key())
+                out.append(n)
+        elif isinstance(n, Not):
+            walk(n.part)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p)
+
+    walk(node)
+    return out
 
 
 def _range_value(tok: str):
@@ -171,6 +212,16 @@ def parse(
         if t.upper() in ("AND", "OR", "NOT", ")"):
             raise QueryParseError(f"unexpected {t!r} in {query!r}")
         eat()
+        ph = _PHRASE_ATOM_RE.match(t)
+        if ph:
+            toks = tuple(py_tokenize(ph.group(1)))
+            if not toks:
+                raise QueryParseError(f"empty phrase atom: {t!r}")
+            if len(toks) == 1:
+                # single-token phrase degrades to the plain term (it
+                # scores, as in ES)
+                return Term(toks[0])
+            return PhraseTerm(toks, int(ph.group(2) or 0))
         boost = 1.0
         bm = _BOOST_RE.match(t)
         if bm and not _RANGE_RE.match(t):
@@ -309,7 +360,7 @@ def expand_wildcards(node, expander, fuzzy_expander=None):
     (``fuzzy_expander(term, max_edits) -> list[str]``).  An empty
     expansion becomes the reserved NO_MATCH_TERM (matches nothing,
     scores nothing) — ES semantics for both."""
-    if isinstance(node, RangeTerm):
+    if isinstance(node, (RangeTerm, PhraseTerm)):
         return node
     if isinstance(node, Term):
         if node.wildcard:
@@ -363,7 +414,7 @@ def range_atoms(node) -> list:
 
 def has_wildcards(node) -> bool:
     """True when any atom needs termdict expansion (wildcard OR fuzzy)."""
-    if isinstance(node, RangeTerm):
+    if isinstance(node, (RangeTerm, PhraseTerm)):
         return False
     if isinstance(node, Term):
         return node.wildcard or bool(node.fuzzy)
@@ -377,7 +428,7 @@ def positive_terms(node) -> list[str]:
     out: set[str] = set()
 
     def walk(n, negated: bool):
-        if isinstance(n, RangeTerm):
+        if isinstance(n, (RangeTerm, PhraseTerm)):
             pass  # filter context: never scores
         elif isinstance(n, Term):
             if not negated and not n.filter:
@@ -428,7 +479,9 @@ def required_terms(node) -> list[str]:
         elif isinstance(n, And):
             for p in n.parts:
                 walk(p)
-        # Or / Not / RangeTerm subtrees contribute no required terms
+        # Or / Not / RangeTerm / PhraseTerm contribute no required terms
+        # (phrase tokens are resolved positionally, not via the shared
+        # decoded-term doc sets the block-skip seed path reads)
 
     walk(node)
     return sorted(out)
@@ -438,8 +491,8 @@ def all_terms(node) -> list[str]:
     out: set[str] = set()
 
     def walk(n):
-        if isinstance(n, RangeTerm):
-            pass  # resolved against doc values, not the termdict
+        if isinstance(n, (RangeTerm, PhraseTerm)):
+            pass  # resolved against doc values / positions, not termdict
         elif isinstance(n, Term):
             out.add(n.term)
         elif isinstance(n, Not):
@@ -460,15 +513,15 @@ def eval_docs(node, doc_sets: dict[str, np.ndarray]):
     set (absent term → empty).  Negations propagate as (NEG, docs)
     markers and must be absorbed by an AND with a positive side."""
     empty = np.array([], dtype=np.int64)
-    if isinstance(node, RangeTerm):
+    if isinstance(node, (RangeTerm, PhraseTerm)):
         if node.key() not in doc_sets:
             # callers that support ranges always inject a (possibly
             # empty) set per atom; absence means an API that can't
             # resolve doc values — fail loud, never silently empty
             raise QueryParseError(
-                f"range atom {node.key()!r} not resolved against the "
-                "doc-value store — this API does not support range "
-                "atoms (use search_bool)"
+                f"atom {node.key()!r} not resolved (doc-value range or "
+                "quoted phrase) — this API does not support such atoms "
+                "(use search_bool)"
             )
         return doc_sets[node.key()]
     if isinstance(node, Term):

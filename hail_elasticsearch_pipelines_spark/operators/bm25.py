@@ -1551,6 +1551,7 @@ class IndexSearcher:
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
         ranges = bq.range_atoms(ast)
+        phrases = bq.phrase_atoms(ast)
         boosts = bq.term_boosts(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
@@ -1568,14 +1569,15 @@ class IndexSearcher:
                 )[F.col("term")],
             )
 
-        if ranges:
-            # range filters evaluate on the doc-set path (block-skip
-            # can't see doc-value sets); allowed ids ride a per-segment
-            # cogroup, tagged by atom key
+        if ranges or phrases:
+            # range/phrase filters evaluate on the doc-set path
+            # (block-skip can't see doc-value sets or positions);
+            # allowed ids ride a per-segment cogroup, tagged by atom key
             from . import docvalues as dv
 
             dl = dv.doclens_df(self)
             dpp, seg_group = dv._seg_params(self.manifest)
+            seg_of = dv.segment_expr(F.col("doc_id"), dpp, seg_group)
             parts = []
             for rt in ranges:
                 dv.check_field(self, rt.field, dl.columns)
@@ -1583,17 +1585,23 @@ class IndexSearcher:
                     dl.filter(
                         dv.range_pred(rt, dv.is_array_type(dl, rt.field))
                     ).select(
-                        dv.segment_expr(
-                            F.col("doc_id"), dpp, seg_group
-                        ).alias("segment"),
+                        seg_of.alias("segment"),
                         "doc_id",
                         F.lit(rt.key()).alias("rkey"),
+                    )
+                )
+            for pt in phrases:
+                parts.append(
+                    self._phrase_matches(list(pt.tokens), pt.slop).select(
+                        seg_of.alias("segment"),
+                        "doc_id",
+                        F.lit(pt.key()).alias("rkey"),
                     )
                 )
             allowed = parts[0]
             for p in parts[1:]:
                 allowed = allowed.unionByName(p)
-            rkeys = [rt.key() for rt in ranges]
+            rkeys = [rt.key() for rt in ranges] + [pt.key() for pt in phrases]
 
             def score_segment_rng(
                 key, left: pd.DataFrame, right: pd.DataFrame
@@ -2363,10 +2371,10 @@ class IndexSearcher:
 
         mode_u = mode.upper()
         ast, qterms = self._query_ast_terms(query, mode_u)
-        if ast is not None and bq.range_atoms(ast):
-            # range/_exists_ atoms need the doc-value store — count
-            # through the aggregation front half (same job shape, plus
-            # the per-atom doclens sides)
+        if ast is not None and (bq.range_atoms(ast) or bq.phrase_atoms(ast)):
+            # range/_exists_/phrase atoms need the doc-value store or
+            # positions — count through the aggregation front half
+            # (same job shape, plus the per-atom sides)
             from . import docvalues as dv
 
             return dv.matched_ids(self, query, mode_u).agg(
@@ -2603,7 +2611,7 @@ class IndexSearcher:
                 ast = bq.expand_wildcards(
                     ast, self.expand_prefix, self.expand_fuzzy
                 )
-            if bq.range_atoms(ast):
+            if bq.range_atoms(ast) or bq.phrase_atoms(ast):
                 ranged.append((name, q))
             else:
                 compiled.append((name, ast, bq.all_terms(ast)))
@@ -3281,11 +3289,12 @@ class IndexSearcher:
                     raise bq.QueryParseError(
                         f"query {s['query_id']} has no positive terms"
                     )
-                if bq.range_atoms(ast):
-                    # doc-value atoms need the per-atom doclens cogroup
+                if bq.range_atoms(ast) or bq.phrase_atoms(ast):
+                    # doc-value/phrase atoms need the per-atom cogroup
                     # — route through search_bool (one extra job per
                     # such query; the shared block cache can't see doc
-                    # values), results identical to a lone search_bool
+                    # values or positions), results identical to a lone
+                    # search_bool
                     ranged_specs.append(
                         (s["query_id"], s["query"], int(s.get("k", 10)))
                     )

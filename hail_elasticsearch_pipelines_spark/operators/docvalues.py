@@ -185,33 +185,42 @@ def matched_ids(
         return live
     ast, qterms = searcher._query_ast_terms(query, mode.upper())
     ranges = bq.range_atoms(ast) if ast is not None else []
-    if not qterms and not ranges:
+    phrases = bq.phrase_atoms(ast) if ast is not None else []
+    if not qterms and not ranges and not phrases:
         return spark.createDataFrame([], MATCHED_SCHEMA)
     get_deletes = searcher._segment_deletes_fn()
     mode_u = mode.upper()
 
-    if ranges:
-        # BOOL query with doc-value range atoms: allowed ids per atom
-        # ride a per-segment cogroup (pure-range queries — bounded
-        # filters of match_all — cogroup against an empty posting side)
+    if ranges or phrases:
+        # BOOL query with doc-value range / quoted-phrase atoms:
+        # allowed ids per atom ride a per-segment cogroup (pure-atom
+        # queries — bounded filters of match_all — cogroup against an
+        # empty posting side)
         dl = doclens_df(searcher)
         dpp, seg_group = _seg_params(searcher.manifest)
+        seg_of = segment_expr(F.col("doc_id"), dpp, seg_group)
         parts = []
         for rt in ranges:
             check_field(searcher, rt.field, dl.columns)
             parts.append(
                 dl.filter(range_pred(rt, is_array_type(dl, rt.field))).select(
-                    segment_expr(F.col("doc_id"), dpp, seg_group).alias(
-                        "segment"
-                    ),
+                    seg_of.alias("segment"),
                     "doc_id",
                     F.lit(rt.key()).alias("rkey"),
+                )
+            )
+        for pt in phrases:
+            parts.append(
+                searcher._phrase_matches(list(pt.tokens), pt.slop).select(
+                    seg_of.alias("segment"),
+                    "doc_id",
+                    F.lit(pt.key()).alias("rkey"),
                 )
             )
         allowed = parts[0]
         for p in parts[1:]:
             allowed = allowed.unionByName(p)
-        rkeys = [rt.key() for rt in ranges]
+        rkeys = [rt.key() for rt in ranges] + [pt.key() for pt in phrases]
         rows = (
             searcher._term_rows(qterms).select("segment", "term", "blob")
             if qterms
@@ -296,7 +305,8 @@ def _matched_values(
     if query is not None:
         ast, qterms = searcher._query_ast_terms(query, mode_u)
         ranges = bq.range_atoms(ast) if ast is not None else []
-        if qterms and not ranges:
+        phrases = bq.phrase_atoms(ast) if ast is not None else []
+        if qterms and not ranges and not phrases:
             dpp, seg_group = _seg_params(searcher.manifest)
             vals = dl.select(
                 segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
@@ -1310,7 +1320,8 @@ def search_bucket_metrics(
     if query is not None:
         ast, qterms = searcher._query_ast_terms(query, mode_u)
         ranges = bq.range_atoms(ast) if ast is not None else []
-        if qterms and not ranges:
+        phrases = bq.phrase_atoms(ast) if ast is not None else []
+        if qterms and not ranges and not phrases:
             dpp, seg_group = _seg_params(searcher.manifest)
             vals = dl.where(F.col(bucket_field).isNotNull()).select(
                 segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),

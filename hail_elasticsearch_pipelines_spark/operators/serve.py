@@ -956,7 +956,19 @@ class LocalSearcher:
 
         mode_u = mode.upper()
         if mode_u == "BOOL":
-            ast = bq.parse(query)  # type: ignore[arg-type]
+            ast = bq.parse(
+                query,  # type: ignore[arg-type]
+                analyzed_fields=set(analyzed_fields_of(self.manifest)),
+                dv_fields=dv_filter_fields_of(self.manifest),
+            )
+            if bq.has_wildcards(ast):
+                ast = bq.expand_wildcards(
+                    ast, self.expand_prefix, self.expand_fuzzy
+                )
+            if bq.range_atoms(ast) or bq.phrase_atoms(ast):
+                # doc-value / positional atoms resolve on the
+                # aggregation front half
+                return int(len(self.matched_ids(query, "BOOL")))
             qterms = sorted(set(bq.all_terms(ast)))
         else:
             ast = None
@@ -1139,7 +1151,7 @@ class LocalSearcher:
                 ast = bq.expand_wildcards(
                     ast, self.expand_prefix, self.expand_fuzzy
                 )
-            if bq.range_atoms(ast):
+            if bq.range_atoms(ast) or bq.phrase_atoms(ast):
                 return self._matched_ids_ranges(ast)
         parts = [m for m, _dls in self._segment_match_dls(query, mode) or ()]
         if not parts:
@@ -1164,6 +1176,9 @@ class LocalSearcher:
                 range_mask(vals, rt, rt.field in self._dv_array_fields)
             ]
             range_sets[rt.key()] = (ids, (ids // dpp) // seg_group)
+        for pt in bq.phrase_atoms(ast):
+            ids = np.sort(self._phrase_match_rows(list(pt.tokens), pt.slop)[0])
+            range_sets[pt.key()] = (ids, (ids // dpp) // seg_group)
         rows = self._rows_for(qterms) if qterms else {}
         seg_list = {s for m in rows.values() for s in m}
         for _ids, segs in range_sets.values():
@@ -1971,6 +1986,7 @@ class LocalSearcher:
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
         ranges = bq.range_atoms(ast)
+        phrases = bq.phrase_atoms(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
         avgdl = field_avgdl_map(self.manifest, terms)
@@ -1981,10 +1997,11 @@ class LocalSearcher:
             for t, d in dfs.items()
         }
         range_sets: dict[str, tuple] = {}
-        if ranges:
-            # doc-value range atoms (filter context): resolve allowed
-            # ids once from the cached doc values, sliced per segment
-            # below; forces the doc-set evaluation path
+        if ranges or phrases:
+            # doc-value range / quoted-phrase atoms (filter context):
+            # resolve allowed ids once (cached doc values / positional
+            # chain matches), sliced per segment below; forces the
+            # doc-set evaluation path
             from .docvalues import range_mask
 
             req = []
@@ -1996,6 +2013,11 @@ class LocalSearcher:
                     range_mask(vals, rt, rt.field in self._dv_array_fields)
                 ]
                 range_sets[rt.key()] = (ids, (ids // dpp) // seg_group)
+            for pt in phrases:
+                ids = np.sort(
+                    self._phrase_match_rows(list(pt.tokens), pt.slop)[0]
+                )
+                range_sets[pt.key()] = (ids, (ids // dpp) // seg_group)
         if req:
             # required conjuncts → same block-skip evaluation as the
             # distributed searcher, seeded from the decoded-postings

@@ -1777,3 +1777,21 @@ def update_by_query(
         .select("url", F.lit(new_value).alias("new_value"))
     )
     return update_facet_field(spark, index_dir, field, updates)
+
+
+def expire_documents(
+    spark: SparkSession, index_dir: str, field: str, older_than
+) -> dict:
+    """ES ILM delete-phase analog for a document-level index: tombstone
+    every live doc whose doc-value ``field`` (typically the crawl
+    timestamp) is strictly older than ``older_than`` — a pure-range
+    delete_by_query (the range predicate pushes into the doclens scan;
+    parquet min/max stats skip whole row groups of fresh docs).  Run
+    compact_index afterwards to reclaim the space, exactly like ILM's
+    delete → forcemerge sequence."""
+    bound = str(older_than)
+    if " " in bound:  # timestamp literals: query syntax takes ISO-8601
+        bound = bound.replace(" ", "T")
+    return delete_by_query(
+        spark, index_dir, f"{field}:[* TO {bound}}}", mode="BOOL"
+    )

@@ -163,3 +163,31 @@ def test_index_and_segment_stats(spark, fresh_index):
         s2.index_stats()["metrics"]["n_tombstones"] > 0
     # pinned old searcher still reports its epoch's (empty) tombstones
     assert all(r.tombstones == 0 for r in s.segment_stats().collect())
+
+
+def test_expire_documents(spark, fresh_index):
+    """ILM delete-phase analog: docs with warc_ts older than the cutoff
+    vanish; the rest keep serving."""
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+        expire_documents,
+    )
+
+    out, _pdf = fresh_index
+    pre = LocalSearcher(out)
+    cutoff = "2025-01-15 00:00:00"
+    old_ids = set(
+        pre.matched_ids(f"the AND warc_ts:[* TO 2025-01-15T00:00:00}}", "BOOL").tolist()
+    ) | set(
+        pre.matched_ids("warc_ts:[* TO 2025-01-15T00:00:00} AND _exists_:warc_ts", "BOOL").tolist()
+    )
+    import numpy as np
+
+    ids, vals = pre._docvalues("warc_ts")
+    import pandas as pd
+
+    expect = set(ids[vals < np.datetime64(pd.Timestamp(cutoff))].tolist())
+    m = expire_documents(spark, out, "warc_ts", cutoff)
+    assert m["extensions"][-1]["docs_tombstoned"] == len(expect) > 0
+    L = LocalSearcher(out)
+    assert not set(L.matched_ids(None).tolist()) & expect
+    assert L.n_docs == pre.n_docs - len(expect)
