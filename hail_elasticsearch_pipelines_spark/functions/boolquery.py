@@ -33,12 +33,12 @@ from .tokenize import py_tokenize
 
 _TOKEN_RE = re.compile(
     r"\(|\)|\bAND\b|\bOR\b|\bNOT\b"
-    r'|"[^"]*"(?:~[0-9])?'  # quoted phrase atom: "big table"~2
+    r'|"[^"]*"(?:~[0-9]+)?'  # quoted phrase atom: "big table"~2
     r"|[^\s():]+:[\[{][^\[\]{}]*[\]}]"  # range atom: field:[lo TO hi]
     r"|[^\s()]+",
     re.IGNORECASE,
 )
-_PHRASE_ATOM_RE = re.compile(r'^"([^"]*)"(?:~([0-9]))?$')
+_PHRASE_ATOM_RE = re.compile(r'^"([^"]*)"(?:~([0-9]+))?$')
 _FUZZY_RE = re.compile(r"^(.+)~([0-9])?$")
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 _RANGE_RE = re.compile(
