@@ -413,6 +413,25 @@ def _q_rescore_phrase(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_percolate(spark, sf):
+    """ES percolator (reverse search): three stored queries — boolean,
+    quoted phrase, range+term — matched against every incoming doc in
+    one narrow mapInPandas pass."""
+    from hail_elasticsearch_pipelines_spark.operators.percolate import (
+        percolate,
+    )
+
+    docs = _read(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    return percolate(
+        docs,
+        {
+            "pa": "fast AND key",
+            "pb": '"row scan"',
+            "pc": "n_chars:[300 TO *] AND table",
+        },
+    )
+
+
 def _q_bool_phrase(spark, sf):
     """Quoted-phrase atom in the boolean query language (ES
     query_string match_phrase clause, filter context): OR terms
@@ -992,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop": _q_phrase_slop,
         "boost_search": _q_boost_search,
         "bool_phrase_search": _q_bool_phrase,
+        "percolate_hits": _q_percolate,
         "exists_search": _q_exists_search,
         "bucket_metrics_day": _q_bucket_metrics,
         "filters_agg": _q_filters_agg,
@@ -1732,6 +1752,27 @@ LIMIT 10
 """
 )
 
+_PERCOLATE_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, u.t AS term, u.i AS i
+  FROM tok, UNNEST(list_transform(range(1, len(toks) + 1),
+                   i -> struct_pack(t := toks[i], i := i))) AS x(u)
+)
+SELECT * FROM (
+  SELECT doc_id, 'pa' AS query_id FROM tok
+  WHERE list_contains(toks, 'fast') AND list_contains(toks, 'key')
+  UNION ALL
+  SELECT DISTINCT p0.doc_id, 'pb' AS query_id
+  FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+  WHERE p0.term = '{PHRASE[0]}' AND p1.term = '{PHRASE[1]}'
+  UNION ALL
+  SELECT t.doc_id, 'pc' AS query_id
+  FROM tok t JOIN documents d USING (doc_id)
+  WHERE d.n_chars >= 300 AND list_contains(t.toks, 'table')
+) ORDER BY doc_id, query_id
+"""
+
 _BOOL_PHRASE_SQL = (
     _BM25_CTES
     + f"""
@@ -2166,6 +2207,7 @@ FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
         "phrase_search": _phrase_sql(PHRASE, 20),
         "phrase_slop": _phrase_sql(PHRASE, 20, slop=2),
         "bool_phrase_search": _BOOL_PHRASE_SQL,
+        "percolate_hits": _PERCOLATE_SQL,
         "boost_search": _BM25_CTES.replace(
             "ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))",
             "(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "

@@ -580,3 +580,106 @@ def score_candidates(
             w = bm25_tf_weight(tf[idx_c[hit]], dl[idx_c[hit]], _adl(avgdl, t))
             scores[hit] += idf[t] * w
     return scores
+
+
+def _phrase_in_tokens(tokens: list, phrase: tuple, slop: int) -> bool:
+    """In-order windowed phrase containment over one doc's token list —
+    the same greedy-chain semantics as the positional index kernel
+    (operators/bm25._phrase_match_counts), boolean-only."""
+    n = len(phrase)
+    for p0, t in enumerate(tokens):
+        if t != phrase[0]:
+            continue
+        prev = p0
+        ok = True
+        for i in range(1, n):
+            nxt = next(
+                (
+                    q
+                    for q in range(prev + 1, min(p0 + i + slop + 1, len(tokens)))
+                    if tokens[q] == phrase[i]
+                ),
+                None,
+            )
+            if nxt is None:
+                ok = False
+                break
+            prev = nxt
+        if ok:
+            return True
+    return False
+
+
+def eval_doc(node, tokens: list, fields: dict) -> bool:
+    """Evaluate the AST against ONE document — the ES percolator's
+    match test.  ``tokens``: the doc's analyzed body tokens (in order,
+    for phrase atoms); ``fields``: metadata column → value (strings,
+    numbers, timestamps, lists; analyzed extra text fields appear as
+    their raw strings and are tokenized on demand).
+
+    Queries meant for percolation should parse with ``dv_fields`` set
+    to the metadata columns, so ``field:value`` atoms carry the field
+    name explicitly (RangeTerm.eq) instead of a baked facet token.
+    Pure negation is fine here (per-doc boolean, no unbounded set)."""
+    from .tokenize import py_tokenize
+
+    if isinstance(node, RangeTerm):
+        v = fields.get(node.field)
+        if v is None or (isinstance(v, (list, tuple)) and not len(v)):
+            return False
+        vals = list(v) if isinstance(v, (list, tuple)) else [v]
+
+        def _norm(b, x):
+            # query-string bounds on date fields arrive as ISO strings;
+            # normalize against datetime-like document values
+            if isinstance(b, str) and hasattr(x, "year"):
+                import pandas as pd
+
+                return pd.Timestamp(b)
+            return b
+
+        if node.eq is not None:
+            return any(x == _norm(node.eq, x) for x in vals)
+        if node.lo is None and node.hi is None:  # _exists_
+            return True
+
+        def _cmp(x):
+            lo, hi = _norm(node.lo, x), _norm(node.hi, x)
+            if lo is not None:
+                if x < lo or (x == lo and not node.incl_lo):
+                    return False
+            if hi is not None:
+                if x > hi or (x == hi and not node.incl_hi):
+                    return False
+            return True
+
+        return any(_cmp(x) for x in vals)
+    if isinstance(node, PhraseTerm):
+        return _phrase_in_tokens(tokens, node.tokens, node.slop)
+    if isinstance(node, Term):
+        field, body = (
+            node.term.split(":", 1) if ":" in node.term else (None, node.term)
+        )
+        cand = (
+            py_tokenize(str(fields.get(field) or ""))
+            if field is not None
+            else tokens
+        )
+        if node.wildcard:
+            return any(t.startswith(body) for t in cand)
+        if node.fuzzy:
+            from ..operators.bm25 import py_levenshtein
+
+            e = node.fuzzy
+            return any(
+                abs(len(t) - len(body)) <= e and py_levenshtein(t, body) <= e
+                for t in set(cand)
+            )
+        return body in cand
+    if isinstance(node, Not):
+        return not eval_doc(node.part, tokens, fields)
+    if isinstance(node, And):
+        return all(eval_doc(p, tokens, fields) for p in node.parts)
+    if isinstance(node, Or):
+        return any(eval_doc(p, tokens, fields) for p in node.parts)
+    raise QueryParseError(f"unknown node {node!r}")
