@@ -329,6 +329,25 @@ def main():
     q["rescore_local"] = cold(
         lambda ls: ls.search_rescore(SEL_OR, ["of", "the"], 10, 50)
     )
+    # percolator throughput: 4 stored queries (term/phrase/fuzzy/facet
+    # shapes) against the whole 200k-page corpus, one mapInPandas pass
+    from hail_elasticsearch_pipelines_spark.operators.percolate import percolate
+
+    perc_docs = pages.where(F.col("text").isNotNull()).select(
+        F.monotonically_increasing_id().alias("doc_id"), "text", "lang"
+    )
+    t0 = time.time()
+    n_perc = percolate(
+        perc_docs,
+        {
+            "w1": "term4000 OR term4001",
+            "w2": '"of the"',
+            "w3": "lang:en AND term400*",
+            "w4": "the AND NOT of",
+        },
+    ).count()
+    q["percolate_200k"] = round(time.time() - t0, 3)
+    q["percolate_200k_hits"] = int(n_perc)
 
     # -- distributed facet retag: 10^5-url partial-doc update over the
     # bench index (r3 verdict: operator input must never collect on the
