@@ -413,6 +413,14 @@ def _q_rescore_phrase(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_adjacency(spark, sf):
+    """ES adjacency_matrix aggregation: named filters + every
+    non-empty pairwise intersection count."""
+    return _searcher(spark, sf).search_adjacency(
+        {"f": "fast", "k": "key", "t": "table AND NOT dup"}
+    )
+
+
 def _q_percolate(spark, sf):
     """ES percolator (reverse search): three stored queries — boolean,
     quoted phrase, range+term — matched against every incoming doc in
@@ -1012,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boost_search": _q_boost_search,
         "bool_phrase_search": _q_bool_phrase,
         "percolate_hits": _q_percolate,
+        "adjacency_matrix": _q_adjacency,
         "exists_search": _q_exists_search,
         "bucket_metrics_day": _q_bucket_metrics,
         "filters_agg": _q_filters_agg,
@@ -1752,6 +1761,26 @@ LIMIT 10
 """
 )
 
+_ADJACENCY_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         list_contains(toks, 'fast') AS f,
+         list_contains(toks, 'key') AS k,
+         (list_contains(toks, 'table') AND NOT list_contains(toks, 'dup')) AS t
+  FROM tok
+)
+SELECT * FROM (
+  SELECT 'f' AS key, count(*) FILTER (f)::BIGINT AS doc_count FROM m
+  UNION ALL SELECT 'f&k', count(*) FILTER (f AND k)::BIGINT FROM m
+  UNION ALL SELECT 'f&t', count(*) FILTER (f AND t)::BIGINT FROM m
+  UNION ALL SELECT 'k', count(*) FILTER (k)::BIGINT FROM m
+  UNION ALL SELECT 'k&t', count(*) FILTER (k AND t)::BIGINT FROM m
+  UNION ALL SELECT 't', count(*) FILTER (t)::BIGINT FROM m
+) WHERE doc_count > 0 OR key NOT LIKE '%&%'
+ORDER BY key
+"""
+
 _PERCOLATE_SQL = f"""
 WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
 pos AS (
@@ -2208,6 +2237,7 @@ FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
         "phrase_slop": _phrase_sql(PHRASE, 20, slop=2),
         "bool_phrase_search": _BOOL_PHRASE_SQL,
         "percolate_hits": _PERCOLATE_SQL,
+        "adjacency_matrix": _ADJACENCY_SQL,
         "boost_search": _BM25_CTES.replace(
             "ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))",
             "(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "

@@ -3179,6 +3179,88 @@ class IndexSearcher:
             ),
         )
 
+    def search_adjacency(self, filters: "dict[str, str]") -> DataFrame:
+        """ES ``adjacency_matrix`` aggregation: live match counts for
+        every named filter AND every pairwise intersection — the
+        co-occurrence matrix behind "which watches fire together".
+        One counting job: each segment task evaluates all filters
+        against one decoded-term union and emits singles + non-empty
+        pair counts (keys ``a`` and ``a&b``, names sorted — the ES key
+        convention); empty pairs are omitted, as in ES.  Filters with
+        range/_exists_/dv/phrase atoms are rejected (use
+        search_filters for those shapes)."""
+        from itertools import combinations
+
+        from ..functions import boolquery as bq
+
+        af = set(analyzed_fields_of(self.manifest))
+        dvf = dv_filter_fields_of(self.manifest)
+        compiled = []
+        for name, q in sorted(filters.items()):
+            if "&" in name:
+                raise ValueError(f"filter name {name!r} may not contain '&'")
+            ast = bq.parse(q, analyzed_fields=af, dv_fields=dvf)
+            if bq.has_wildcards(ast):
+                ast = bq.expand_wildcards(
+                    ast, self.expand_prefix, self.expand_fuzzy
+                )
+            if bq.range_atoms(ast) or bq.phrase_atoms(ast):
+                raise ValueError(
+                    f"adjacency filter {name!r} uses doc-value/phrase atoms "
+                    "— not supported here (use search_filters)"
+                )
+            compiled.append((name, ast, bq.all_terms(ast)))
+        all_terms = sorted({t for _n, _a, ts in compiled for t in ts})
+        rows = self._term_rows(all_terms).select("segment", "term", "blob")
+        get_deletes = self._segment_deletes_fn()
+
+        def count_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pd.DataFrame({"key": [], "n": []})
+            _check_unique_terms(pdf)
+            dead = get_deletes(pdf["segment"].iloc[0])
+            qdocs = {
+                r.term: codecs.decode_postings(bytes(r.blob))[0]
+                for r in pdf.itertuples()
+            }
+            sets = {}
+            for name, ast, _ts in compiled:
+                cand = bq.eval_docs(ast, qdocs)
+                if isinstance(cand, tuple):
+                    cand = np.array([], np.int64)
+                elif dead is not None and dead.size and cand.size:
+                    cand = cand[~np.isin(cand, dead, assume_unique=True)]
+                sets[name] = cand
+            keys, ns = [], []
+            for name, ids in sets.items():
+                keys.append(name)
+                ns.append(int(ids.size))
+            for a, b in combinations(sorted(sets), 2):
+                inter = np.intersect1d(sets[a], sets[b], assume_unique=True)
+                if inter.size:
+                    keys.append(f"{a}&{b}")
+                    ns.append(int(inter.size))
+            return pd.DataFrame({"key": keys, "n": ns})
+
+        agg = (
+            rows.groupBy("segment")
+            .applyInPandas(count_segment, "key string, n long")
+            .groupBy("key")
+            .agg(F.sum("n").alias("doc_count"))
+        )
+        out = [(r["key"], int(r["doc_count"])) for r in agg.collect()]
+        got = {k for k, _n in out}
+        out += [(name, 0) for name, _a, _t in compiled if name not in got]
+        return self.spark.createDataFrame(
+            sorted(out),
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType(), False),
+                    T.StructField("doc_count", T.LongType(), False),
+                ]
+            ),
+        )
+
     def search_rescore(
         self,
         terms: list[str],

@@ -1808,6 +1808,26 @@ class LocalSearcher:
         out.sort(key=lambda r: (-r[3], r[0]))
         return out[: int(size)]
 
+    def search_adjacency(self, filters: "dict[str, str]") -> list[tuple]:
+        """adjacency_matrix — serving twin of
+        IndexSearcher.search_adjacency: [(key, doc_count)] sorted, keys
+        ``a`` and ``a&b`` (names sorted), empty pairs omitted."""
+        from itertools import combinations
+
+        sets = {
+            name: set(self.matched_ids(q, "BOOL").tolist())
+            for name, q in sorted(filters.items())
+        }
+        for name in sets:
+            if "&" in name:
+                raise ValueError(f"filter name {name!r} may not contain '&'")
+        out = [(n, len(ids)) for n, ids in sets.items()]
+        for a, b in combinations(sorted(sets), 2):
+            inter = sets[a] & sets[b]
+            if inter:
+                out.append((f"{a}&{b}", len(inter)))
+        return sorted(out)
+
     def more_like_this(
         self,
         like_text: str,

@@ -198,3 +198,27 @@ class TestDvEquality:
         assert d == loc and d
         _p, vals = L._dv_lookup("tags", np.array(d, np.int64), allow_array=True)
         assert all("t2" in x.tolist() for x in vals)
+
+
+class TestAdjacencyMatrix:
+    def test_parity_and_math(self, searchers):
+        s, L = searchers
+        filters = {"a": "the", "b": "of AND the", "c": "term0020"}
+        d = [(r.key, r.doc_count) for r in s.search_adjacency(filters).collect()]
+        loc = L.search_adjacency(filters)
+        assert d == loc and d
+        m = dict(d)
+        # pair counts are true intersections of the singles
+        sa = set(L.matched_ids("the", "BOOL").tolist())
+        sb = set(L.matched_ids("of AND the", "BOOL").tolist())
+        sc = set(L.matched_ids("term0020", "BOOL").tolist())
+        assert m["a"] == len(sa) and m["b"] == len(sb) and m["c"] == len(sc)
+        assert m["a&b"] == len(sa & sb) == m["b"]  # b subset of a
+        if sa & sc:
+            assert m["a&c"] == len(sa & sc)
+        # empty pairs omitted, ES-style
+        assert all(cnt > 0 or "&" not in k for k, cnt in d)
+        with pytest.raises(ValueError, match="may not contain"):
+            s.search_adjacency({"x&y": "the"})
+        with pytest.raises(ValueError, match="doc-value/phrase"):
+            s.search_adjacency({"r": "the AND stars:[1 TO 2]"})
