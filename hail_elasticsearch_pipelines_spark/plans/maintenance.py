@@ -322,6 +322,14 @@ def _reconcile_orphan_batch(
     )
     base, info = infos[0]  # at most one stale marker can exist (repair
     # runs under the lock before every op writes its own)
+    if info.get("mode") == "delete_by_query":
+        # pure-tombstone op: no postings/doclens appends happened, so
+        # there is no batch to reconcile.  The caller (repair_index)
+        # still advances deletes_epoch to the max on-disk file epoch
+        # and recomputes globals from the live doclens view, which is
+        # exactly the state a crash between _publish_tombstones and
+        # _save_manifest leaves inconsistent (ADVICE r5, medium).
+        return None
     doclens_path = layout.table_path(index_dir, "doclens", manifest)
     actual = int(
         spark.read.parquet(doclens_path)
@@ -1708,6 +1716,29 @@ def _delete_by_query_locked(
         )
     finally:
         to_kill.unpersist()
+    # intent marker (ADVICE r5, medium): a crash between the tombstone
+    # publish below and the manifest save leaves e<new_epoch>- sidecars
+    # the manifest never recorded, with globals never subtracted.  The
+    # marker makes the next maintenance op run repair_index first, which
+    # advances deletes_epoch to the max on-disk file epoch and recomputes
+    # globals/field_stats from the live doclens view — the same guarantee
+    # the upsert kill path has.  mode=delete_by_query tells
+    # _reconcile_orphan_batch there is no postings/doclens batch behind it.
+    import json as _json
+
+    os.makedirs(os.path.join(index_dir, "stages"), exist_ok=True)
+    intent = os.path.join(index_dir, "stages", "_EXTEND_INTENT_0")
+    with open(intent, "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "mode": "delete_by_query",
+                    "id_base": 0,
+                    "n_docs": 0,
+                    "epoch": new_epoch,
+                }
+            )
+        )
     _publish_tombstones(staging, deletes_path, id_base=0, epoch=new_epoch)
     manifest["deletes_epoch"] = new_epoch
     g["n_docs"] -= n_killed
@@ -1739,6 +1770,8 @@ def _delete_by_query_locked(
         }
     )
     _save_manifest(index_dir, manifest)
+    with contextlib.suppress(OSError):
+        os.unlink(intent)
     return manifest
 
 

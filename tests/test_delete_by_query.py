@@ -120,6 +120,66 @@ def test_compact_after_delete_equals_fresh_rebuild(spark, fresh_index, tmp_path)
     assert a == b and a
 
 
+def test_crash_after_dbq_publish_repairs_epoch_and_globals(
+    spark, fresh_index, monkeypatch, tmp_path
+):
+    """ADVICE r5 (medium): delete_by_query crashing between the
+    tombstone publish and the manifest save leaves e1- sidecars the
+    manifest never recorded and globals never subtracted.  The intent
+    marker must route the next maintenance op through repair, which
+    advances deletes_epoch AND recomputes globals — then compaction
+    strips the docs and everything equals a fresh rebuild of the
+    survivors."""
+    from hail_elasticsearch_pipelines_spark import layout
+    from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
+    from hail_elasticsearch_pipelines_spark.plans import maintenance as mt
+
+    out, pdf = fresh_index
+    pre = LocalSearcher(out)
+    victims = set(pre.matched_ids(["term0042"]).tolist())
+    assert victims
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash pre-manifest-save")
+
+    monkeypatch.setattr(mt, "_save_manifest", crash)
+    with pytest.raises(RuntimeError, match="pre-manifest"):
+        mt.delete_by_query(spark, out, ["term0042"], mode="OR")
+    monkeypatch.undo()
+
+    # crash state: sidecars on disk at e1, manifest still at epoch 0,
+    # globals unsubtracted, intent marker present
+    stale = layout.load_manifest(out)
+    assert int(stale.get("deletes_epoch", 0)) == 0
+    assert stale["globals"]["n_docs"] == pre.n_docs
+    assert mt._intent_markers(out)
+
+    # next maintenance op repairs first, then compacts
+    m = mt.compact_index(spark, out, factor=1)
+    assert not mt._intent_markers(out)
+    assert m["globals"]["n_docs"] == pre.n_docs - len(victims)
+
+    # the deleted docs are really gone and scores match a fresh rebuild
+    L = LocalSearcher(out)
+    assert not L.matched_ids(["term0042"]).size
+    live_urls = {
+        r["url"]
+        for r in spark.read.parquet(layout.table_path(out, "doclens"))
+        .select("url")
+        .collect()
+    }
+    surv = pdf[pdf["url"].isin(live_urls)]
+    out2 = str(tmp_path / "rebuilt_after_crash")
+    build_index(
+        spark, spark.createDataFrame(surv), out2,
+        docs_per_part=16, seg_group=2, n_term_buckets=8,
+    )
+    R = LocalSearcher(out2)
+    assert L.n_docs == R.n_docs and L.avgdl == R.avgdl
+    assert sorted(sc for _d, sc in L.search(["the"], mode="OR", k=10_000)) == \
+        sorted(sc for _d, sc in R.search(["the"], mode="OR", k=10_000))
+
+
 def test_update_by_query(spark, fresh_index):
     """ES _update_by_query (set-field script): facet retag driven by a
     query; scores unchanged, facet filters see the new value."""
