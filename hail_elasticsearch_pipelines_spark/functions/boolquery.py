@@ -443,6 +443,20 @@ def positive_terms(node) -> list[str]:
     return sorted(out)
 
 
+def is_pure_negation(node) -> bool:
+    """True when the AST's match set is a COMPLEMENT ("everything
+    except these docs") — the shape eval_docs returns as a (NEG, docs)
+    marker.  Only a NOT chain at the root has it: AND roots absorb
+    inner negations against their positive side and OR roots reject
+    them outright (both raise in eval_docs otherwise).  Counting APIs
+    (filters/adjacency aggregations) must reject this shape at parse
+    time — mapping it to doc_count 0 would be plausible-but-wrong
+    (ADVICE r5)."""
+    if isinstance(node, Not):
+        return not is_pure_negation(node.part)
+    return False
+
+
 def term_boosts(node) -> dict[str, float]:
     """Per-term query boost for the positive scoring terms (only the
     ones != 1).  A term mentioned with several boosts takes the MAX —

@@ -2611,6 +2611,11 @@ class IndexSearcher:
                 ast = bq.expand_wildcards(
                     ast, self.expand_prefix, self.expand_fuzzy
                 )
+            if bq.is_pure_negation(ast):
+                raise bq.QueryParseError(
+                    f"filter {name!r} is pure negation (unbounded match "
+                    "set) — rewrite as '<positive> AND NOT ...'"
+                )
             if bq.range_atoms(ast) or bq.phrase_atoms(ast):
                 ranged.append((name, q))
             else:
@@ -3203,6 +3208,11 @@ class IndexSearcher:
             if bq.has_wildcards(ast):
                 ast = bq.expand_wildcards(
                     ast, self.expand_prefix, self.expand_fuzzy
+                )
+            if bq.is_pure_negation(ast):
+                raise bq.QueryParseError(
+                    f"filter {name!r} is pure negation (unbounded match "
+                    "set) — rewrite as '<positive> AND NOT ...'"
                 )
             if bq.range_atoms(ast) or bq.phrase_atoms(ast):
                 raise ValueError(

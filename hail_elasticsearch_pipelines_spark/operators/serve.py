@@ -1763,10 +1763,29 @@ class LocalSearcher:
         """ES ``filters`` aggregation — named boolean filters, each
         with its live match count; [(name, doc_count)] in name order
         (serving twin of IndexSearcher.search_filters)."""
+        self._reject_pure_negation(filters)
         return [
             (name, int(len(self.matched_ids(q, "BOOL"))))
             for name, q in sorted(filters.items())
         ]
+
+    def _reject_pure_negation(self, filters: "dict[str, str]") -> None:
+        """Counting aggregations must fail loud on a pure-negation
+        filter ('NOT lang:en'): its match set is a complement, which
+        the shared match kernel maps to 0 — plausible but wrong
+        (ADVICE r5).  Same check as IndexSearcher.search_filters."""
+        from ..functions import boolquery as bq
+
+        af = set(analyzed_fields_of(self.manifest))
+        dvf = dv_filter_fields_of(self.manifest)
+        for name, q in filters.items():
+            if bq.is_pure_negation(
+                bq.parse(q, analyzed_fields=af, dv_fields=dvf)
+            ):
+                raise bq.QueryParseError(
+                    f"filter {name!r} is pure negation (unbounded match "
+                    "set) — rewrite as '<positive> AND NOT ...'"
+                )
 
     def significant_text(
         self,
@@ -1814,6 +1833,7 @@ class LocalSearcher:
         ``a`` and ``a&b`` (names sorted), empty pairs omitted."""
         from itertools import combinations
 
+        self._reject_pure_negation(filters)
         sets = {
             name: set(self.matched_ids(q, "BOOL").tolist())
             for name, q in sorted(filters.items())

@@ -125,6 +125,29 @@ class TestFiltersAgg:
         for name, q in filters.items():
             assert dict(d)[name] == len(L.matched_ids(q, "BOOL"))
 
+    def test_pure_negation_rejected(self, searchers):
+        """ADVICE r5: a pure-negation filter must raise, not report a
+        plausible-but-wrong doc_count of 0 — both engines, both aggs."""
+        from hail_elasticsearch_pipelines_spark.functions.boolquery import (
+            QueryParseError,
+        )
+
+        s, L = searchers
+        for bad in ({"neg": "NOT lang:en"}, {"ok": "the", "neg": "NOT the"}):
+            with pytest.raises(QueryParseError, match="pure negation"):
+                s.search_filters(bad)
+            with pytest.raises(QueryParseError, match="pure negation"):
+                L.search_filters(bad)
+            with pytest.raises(QueryParseError, match="pure negation"):
+                s.search_adjacency(bad)
+            with pytest.raises(QueryParseError, match="pure negation"):
+                L.search_adjacency(bad)
+        # double negation is positive — still accepted
+        d = [(r.name, r.doc_count)
+             for r in s.search_filters({"nn": "NOT (NOT the)"}).collect()]
+        assert d == L.search_filters({"nn": "NOT (NOT the)"})
+        assert d[0][1] == len(L.matched_ids("the", "BOOL"))
+
 
 class TestDvEquality:
     """field:value atoms on doc-value-only (stored, non-facet) fields —
