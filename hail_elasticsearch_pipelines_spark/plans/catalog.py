@@ -120,6 +120,39 @@ class IndexCatalog:
         if delete_files:
             shutil.rmtree(entry["index_dir"], ignore_errors=True)
 
+    def reserve_build_dir(self, name: str, root: str) -> str:
+        """Pick and RESERVE a fresh build directory for a reindex of
+        ``name`` — the whole selection runs under the catalog lock and
+        ends with an atomic mkdir, so two concurrent reindexes can
+        never pick the same dir (ADVICE r5: rev = len(history)+1 chosen
+        outside the lock let them clobber each other's build).  A dir
+        equal to the CURRENT pointer or any history entry is never
+        reused either, even when a manual ``register`` reset the
+        history — pinned searchers may still reference those paths."""
+        import fcntl
+
+        os.makedirs(root, exist_ok=True)
+        lock_path = os.path.join(self.root, ".catalog.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                entry = self._read(name)
+                taken = {
+                    os.path.abspath(p)
+                    for p in [entry["index_dir"], *(entry.get("history") or [])]
+                }
+                rev = len(entry.get("history") or []) + 1
+            except UnknownIndexError:
+                taken, rev = set(), 0
+            while True:
+                dest = os.path.join(root, f"{name}-r{rev}")
+                if os.path.abspath(dest) not in taken and not os.path.exists(
+                    dest
+                ):
+                    os.makedirs(dest)  # atomic reservation
+                    return dest
+                rev += 1
+
     def open_local(self, name: str):
         """LocalSearcher over the name's CURRENT directory (pinned —
         a later swap does not move it; construct again to follow)."""
@@ -150,24 +183,24 @@ def reindex_swap(
     new index's manifest (with ``index_dir``/``previous_dir`` added).
 
     First-time names (nothing registered yet) are allowed — the build
-    registers instead of swapping."""
+    registers instead of swapping.
+
+    Concurrency: the destination dir is reserved atomically under the
+    catalog lock (``reserve_build_dir``) before the build starts, and
+    nothing is ever deleted here — a dir matching the current pointer
+    or a history entry is skipped, never rmtree'd (ADVICE r5).  A
+    crashed build leaves only its own reserved dir behind; since it is
+    neither current nor history, the caller's GC may remove it."""
     from ..operators.index_build import build_index
 
     root = indexes_root or os.path.join(catalog.root, "indexes")
-    os.makedirs(root, exist_ok=True)
-    try:
-        entry = catalog._read(name)
-        rev = len(entry.get("history") or []) + 1
-        prev = entry["index_dir"]
-    except UnknownIndexError:
-        rev, prev = 0, None
-    dest = os.path.join(root, f"{name}-r{rev}")
-    shutil.rmtree(dest, ignore_errors=True)
+    dest = catalog.reserve_build_dir(name, root)
     manifest = build_index(spark, pages, dest, **build_opts)
-    if prev is None:
+    try:
+        prev = catalog.swap(name, dest)
+    except UnknownIndexError:
         catalog.register(name, dest)
-    else:
-        catalog.swap(name, dest)
+        prev = None
     manifest["index_dir"] = dest
     manifest["previous_dir"] = prev
     return manifest

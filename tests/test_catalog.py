@@ -73,6 +73,53 @@ def test_reindex_swap_blue_green(spark, tmp_path):
         cat.swap("web", str(tmp_path / "nothing"))
 
 
+def test_reserve_build_dir_never_reuses_live_dirs(small_index, tmp_path):
+    """ADVICE r5: concurrent reindexes must get DISTINCT build dirs
+    (reservation under the catalog lock), and a dir referenced by the
+    current pointer or history must never be picked even when a manual
+    register() reset the history to []."""
+    import threading
+
+    index_dir, _ = small_index
+    cat = IndexCatalog(str(tmp_path / "cat"))
+    root = str(tmp_path / "indexes")
+    cat.register("web", index_dir)
+
+    # concurrent reservations: all distinct, all pre-created
+    got, errs = [], []
+    barrier = threading.Barrier(4)
+
+    def reserve():
+        try:
+            barrier.wait()
+            got.append(cat.reserve_build_dir("web", root))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=reserve) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs and len(set(got)) == 4
+    assert all(os.path.isdir(d) for d in got)
+
+    # history-reset hazard: point the name at a dir INSIDE the build
+    # root whose rev the naive len(history)+1 scheme would pick next
+    live = os.path.join(root, "web-r1")
+    assert live in got or os.path.isdir(live)
+    import shutil
+
+    shutil.copytree(index_dir, live, dirs_exist_ok=True)
+    cat.register("web", index_dir)  # resets history to []
+    cat.swap("web", live)  # current = web-r1, history = [index_dir]
+    marker = os.path.join(live, "PINNED")
+    open(marker, "w").close()
+    nxt = cat.reserve_build_dir("web", root)
+    assert os.path.abspath(nxt) != os.path.abspath(live)
+    assert os.path.exists(marker), "reservation touched a live dir"
+
+
 def test_concurrent_swaps_keep_full_history(small_index, tmp_path):
     """Two threads swapping the same name serialize under the catalog
     flock: both swaps land and the history holds every prior dir."""
