@@ -105,6 +105,33 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
             )
         )
         .alias("tags"),
+        # nested field (ES "type": "nested" — array-of-struct; the
+        # reference's mapping derivation emits nested for exactly this
+        # shape): page links with anchor + rel.  obj0 = (a<id%5>,
+        # r<id%3>), obj1 = (a<(id+1)%5>, ext); every 13th doc has none.
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit(None).cast("array<struct<anchor:string,rel:string>>"),
+        )
+        .otherwise(
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.lit("a"), (F.col("doc_id") % 5).cast("string")
+                    ).alias("anchor"),
+                    F.concat(
+                        F.lit("r"), (F.col("doc_id") % 3).cast("string")
+                    ).alias("rel"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.lit("a"), ((F.col("doc_id") + 1) % 5).cast("string")
+                    ).alias("anchor"),
+                    F.lit("ext").alias("rel"),
+                ),
+            )
+        )
+        .alias("links"),
     )
 
 
@@ -129,6 +156,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
             or params.get("text_fields") != ["title"]
             or not {"source", "n_chars", "fetch_ms", "tags"}
             <= set(params.get("stored_fields") or ())
+            or not (params.get("fields") or {}).get("links", {}).get("nested")
         ):
             shutil.rmtree(out, ignore_errors=True)
     if not os.path.exists(os.path.join(out, "_INDEX_PUBLISHED")):
@@ -993,58 +1021,26 @@ def _q_terms_after_src(spark, sf):
     )
 
 
+def _q_nested_filter(spark, sf):
+    """ES nested query (same-object semantics): BM25 over the OR terms
+    restricted to docs having ≥1 links object with anchor=a1 AND
+    rel=r0 in the SAME object — resolved via the exploded nested
+    sidecar's (doc_id, obj) join."""
+    r = _searcher(spark, sf).search_nested(
+        OR_TERMS, "links", {"anchor": "a1", "rel": "r0"}, k=20
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver gate verifies the FIRST 50 entries only.
+    # Rotation policy (round 6): rows never driver-oracled (r5 additions
+    # past the cap) first, then rows whose last driver record is r4, then
+    # rows whose implementation files change this round, then long-green
+    # staples. Entries past 50 all have a prior green driver record on
+    # unchanged code.
     return {
-        "token_count": _q_token_count,
-        "text_quality": _q_text_quality,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_dedup": _q_minhash_dedup,
-        "simhash_pairs": _q_simhash_pairs,
-        "bm25_or": _q_bm25_or,
-        "bm25_and": _q_bm25_and,
-        "bm25_index_or": _q_bm25_index_or,
-        "bm25_index_and": _q_bm25_index_and,
-        "bm25_index_bmw": _q_bm25_index_bmw,
-        "bm25_index_segprune": _q_bm25_index_segprune,
-        "bm25_page2": _q_bm25_page2,
-        "facet_counts": _q_facet_counts,
-        "search_count": _q_search_count,
-        "explain_top1": _q_explain_top1,
-        "match_positions": _q_match_positions,
-        "url_canon": _q_url_canon,
-        "phrase_search": _q_phrase_search,
-        "phrase_slop": _q_phrase_slop,
-        "boost_search": _q_boost_search,
-        "bool_phrase_search": _q_bool_phrase,
-        "percolate_hits": _q_percolate,
-        "adjacency_matrix": _q_adjacency,
-        "exists_search": _q_exists_search,
-        "bucket_metrics_day": _q_bucket_metrics,
-        "filters_agg": _q_filters_agg,
-        "rescore_phrase": _q_rescore_phrase,
-        "tags_terms": _q_tags_terms,
-        "dv_eq_search": _q_dv_eq_search,
-        "sig_text": _q_sig_text,
-        "tags_missing": _q_tags_missing,
-        "bool_search": _q_bool_search,
-        "fielded_search": _q_fielded_search,
-        "fielded_search_and": _q_fielded_search_and,
-        "prefix_search": _q_prefix_search,
-        "fuzzy_search": _q_fuzzy_search,
-        "highlight_top3": _q_highlight_top3,
-        "min_should_match2": _q_min_should_match2,
-        "stats_agg": _q_stats_agg,
-        "dlen_histogram": _q_dlen_histogram,
-        "sort_recent": _q_sort_recent,
-        "range_search": _q_range_search,
-        "date_histogram": _q_date_histogram,
-        "cardinality_src": _q_cardinality_src,
-        "sig_terms_src": _q_sig_terms_src,
-        "bool_range_search": _q_bool_range,
-        "filtered_histogram": _q_filtered_histogram,
+        # -- r5 rows the driver never saw (replica-verified only) --------
         "collapse_src": _q_collapse_src,
         "tophits_src": _q_tophits_src,
         "stats_nchars": _q_stats_nchars,
@@ -1059,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_after_src": _q_terms_after_src,
         "suggest_s": _q_suggest_s,
         "mlt_doc0": _q_mlt_doc0,
+        # -- rows displaced since r4 (last driver record: r4) ------------
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_pairs": _q_embedding_pairs,
@@ -1076,6 +1073,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_per_user": _q_top_event_per_user,
         "hourly_events": _q_hourly_events,
         "json_props": _q_json_props,
+        # -- rows over code touched in round 6 ----------------------------
+        "percolate_hits": _q_percolate,
+        "phrase_search": _q_phrase_search,
+        "phrase_slop": _q_phrase_slop,
+        "bool_phrase_search": _q_bool_phrase,
+        "filters_agg": _q_filters_agg,
+        "adjacency_matrix": _q_adjacency,
+        "bm25_index_or": _q_bm25_index_or,
+        "bm25_index_and": _q_bm25_index_and,
+        "bm25_index_bmw": _q_bm25_index_bmw,
+        "bm25_index_segprune": _q_bm25_index_segprune,
+        "nested_filter": _q_nested_filter,
+        # -- long-green staples (fill to 50) ------------------------------
+        "bool_search": _q_bool_search,
+        "fielded_search": _q_fielded_search,
+        "facet_counts": _q_facet_counts,
+        "search_count": _q_search_count,
+        "range_search": _q_range_search,
+        "sort_recent": _q_sort_recent,
+        "highlight_top3": _q_highlight_top3,
+        "min_should_match2": _q_min_should_match2,
+        # ---- entries below rank past the driver's 50-row cap ----------
+        "token_count": _q_token_count,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "bm25_or": _q_bm25_or,
+        "bm25_and": _q_bm25_and,
+        "bm25_page2": _q_bm25_page2,
+        "explain_top1": _q_explain_top1,
+        "match_positions": _q_match_positions,
+        "url_canon": _q_url_canon,
+        "boost_search": _q_boost_search,
+        "exists_search": _q_exists_search,
+        "bucket_metrics_day": _q_bucket_metrics,
+        "rescore_phrase": _q_rescore_phrase,
+        "tags_terms": _q_tags_terms,
+        "dv_eq_search": _q_dv_eq_search,
+        "sig_text": _q_sig_text,
+        "tags_missing": _q_tags_missing,
+        "fielded_search_and": _q_fielded_search_and,
+        "prefix_search": _q_prefix_search,
+        "fuzzy_search": _q_fuzzy_search,
+        "stats_agg": _q_stats_agg,
+        "dlen_histogram": _q_dlen_histogram,
+        "date_histogram": _q_date_histogram,
+        "cardinality_src": _q_cardinality_src,
+        "sig_terms_src": _q_sig_terms_src,
+        "bool_range_search": _q_bool_range,
+        "filtered_histogram": _q_filtered_histogram,
     }
 
 
@@ -1872,6 +1923,27 @@ FROM flt ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 )
 
+_NESTED_FILTER_SQL = (
+    _BM25_CTES
+    + f"""
+, nest AS (
+  -- links objects rebuilt from doc_id: obj0 = (a<id%5>, r<id%3>),
+  -- obj1 = (a<(id+1)%5>, 'ext'); every 13th doc has none.  The
+  -- same-object condition anchor='a1' AND rel='r0' is evaluated per
+  -- object, mirroring the engine's (doc_id, obj) sidecar join.
+  SELECT doc_id FROM documents
+  WHERE doc_id % 13 <> 0 AND (
+    ('a' || (doc_id % 5)::VARCHAR = 'a1'
+     AND 'r' || (doc_id % 3)::VARCHAR = 'r0')
+    OR ('a' || ((doc_id + 1) % 5)::VARCHAR = 'a1' AND 'ext' = 'r0')
+  )
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM agg JOIN nest USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+)
+
 _DATE_HISTOGRAM_SQL = (
     _DV_MATCH_CTE
     + f"""
@@ -2082,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "fielded_search_and": _FIELDED_AND_SQL,
         "sort_recent": _SORT_RECENT_SQL,
         "range_search": _RANGE_SEARCH_SQL,
+        "nested_filter": _NESTED_FILTER_SQL,
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "cardinality_src": _CARDINALITY_SQL,
         "sig_terms_src": _SIG_TERMS_SQL,

@@ -96,6 +96,50 @@ class RangeTerm:
 
 
 @dataclass(frozen=True)
+class NestedTerm:
+    """Nested-object atom ``genotypes.sample_id:s1`` — an equality
+    filter on one scalar leaf of an array-of-struct (ES ``nested``
+    type) field, resolved against the index's exploded nested sidecar
+    (the analog of ES's hidden nested sub-documents; the reference's
+    mapping derivation emits ``"type": "nested"`` for exactly these
+    columns, hail_scripts/v02/utils/elasticsearch_utils.py:22-28).
+    Pure filter context: matches docs having ANY object whose leaf
+    equals the value; never contributes to the BM25 score.  Searchers
+    resolve it against the nested table and inject the matching doc
+    set under ``key()`` before evaluation, exactly like range and
+    phrase atoms.  Multi-condition SAME-OBJECT semantics need the
+    ``search_nested`` API — two NestedTerm atoms ANDed in a query
+    match ES's ``object`` (cross-object) behavior, not ``nested``."""
+
+    path: str  # dotted "field.leaf"
+    value: str  # facet-normalized match value
+
+    def key(self) -> str:
+        return f"{self.path}:={self.value}"
+
+
+def nested_atoms(node) -> list:
+    """Unique NestedTerm atoms of the AST, first-appearance order
+    (deduped by key()) — the nested-sidecar sets a searcher must
+    resolve before evaluation."""
+    out, seen = [], set()
+
+    def walk(n):
+        if isinstance(n, NestedTerm):
+            if n.key() not in seen:
+                seen.add(n.key())
+                out.append(n)
+        elif isinstance(n, Not):
+            walk(n.part)
+        elif isinstance(n, (And, Or)):
+            for p in n.parts:
+                walk(p)
+
+    walk(node)
+    return out
+
+
+@dataclass(frozen=True)
 class PhraseTerm:
     """Quoted phrase atom ``"big table"`` (optional slop suffix
     ``"big table"~2``) — the ES query_string match_phrase clause, here
@@ -169,6 +213,7 @@ def parse(
     query: str,
     analyzed_fields: "set[str] | frozenset[str]" = frozenset(),
     dv_fields: "set[str] | frozenset[str]" = frozenset(),
+    nested_fields: "set[str] | frozenset[str]" = frozenset(),
 ):
     """Parse a boolean query string into an AST of Term/And/Or/Not.
 
@@ -182,6 +227,11 @@ def parse(
     ``field:value`` atom on one of these parses as a doc-value
     EQUALITY filter (the ES term query on a doc-value-only field —
     every field stays queryable, indexed fields are just faster).
+
+    ``nested_fields``: dotted ``field.leaf`` paths of the index's
+    nested (array-of-struct) columns.  A ``field.leaf:value`` atom on
+    one of these parses as a NestedTerm equality filter resolved
+    against the nested sidecar.
 
     Any other ``field:value`` atom keeps the facet-filter meaning."""
     toks = _TOKEN_RE.findall(query)
@@ -293,6 +343,21 @@ def parse(
             field, value = t.split(":", 1)
             from ..operators.index_build import facet_token, py_facet_value
 
+            if "." in field:  # nested-object leaf: genotypes.sample_id:s1
+                if boost != 1.0:
+                    raise QueryParseError(
+                        f"boost on a filter-context nested atom: {t!r}"
+                    )
+                if field not in nested_fields:
+                    raise QueryParseError(
+                        f"unknown nested path {field!r} in {t!r} — the "
+                        "index's nested leaves are "
+                        f"{sorted(nested_fields) or '(none)'}"
+                    )
+                nv = py_facet_value(value)
+                if not nv:
+                    raise QueryParseError(f"bad nested atom: {t!r}")
+                return NestedTerm(field, nv)
             if field in dv_fields:
                 if boost != 1.0:
                     raise QueryParseError(
@@ -360,7 +425,7 @@ def expand_wildcards(node, expander, fuzzy_expander=None):
     (``fuzzy_expander(term, max_edits) -> list[str]``).  An empty
     expansion becomes the reserved NO_MATCH_TERM (matches nothing,
     scores nothing) — ES semantics for both."""
-    if isinstance(node, (RangeTerm, PhraseTerm)):
+    if isinstance(node, (RangeTerm, PhraseTerm, NestedTerm)):
         return node
     if isinstance(node, Term):
         if node.wildcard:
@@ -414,7 +479,7 @@ def range_atoms(node) -> list:
 
 def has_wildcards(node) -> bool:
     """True when any atom needs termdict expansion (wildcard OR fuzzy)."""
-    if isinstance(node, (RangeTerm, PhraseTerm)):
+    if isinstance(node, (RangeTerm, PhraseTerm, NestedTerm)):
         return False
     if isinstance(node, Term):
         return node.wildcard or bool(node.fuzzy)
@@ -428,7 +493,7 @@ def positive_terms(node) -> list[str]:
     out: set[str] = set()
 
     def walk(n, negated: bool):
-        if isinstance(n, (RangeTerm, PhraseTerm)):
+        if isinstance(n, (RangeTerm, PhraseTerm, NestedTerm)):
             pass  # filter context: never scores
         elif isinstance(n, Term):
             if not negated and not n.filter:
@@ -505,7 +570,7 @@ def all_terms(node) -> list[str]:
     out: set[str] = set()
 
     def walk(n):
-        if isinstance(n, (RangeTerm, PhraseTerm)):
+        if isinstance(n, (RangeTerm, PhraseTerm, NestedTerm)):
             pass  # resolved against doc values / positions, not termdict
         elif isinstance(n, Term):
             out.add(n.term)
@@ -527,7 +592,7 @@ def eval_docs(node, doc_sets: dict[str, np.ndarray]):
     set (absent term → empty).  Negations propagate as (NEG, docs)
     markers and must be absorbed by an AND with a positive side."""
     empty = np.array([], dtype=np.int64)
-    if isinstance(node, (RangeTerm, PhraseTerm)):
+    if isinstance(node, (RangeTerm, PhraseTerm, NestedTerm)):
         if node.key() not in doc_sets:
             # callers that support ranges always inject a (possibly
             # empty) set per atom; absence means an API that can't
@@ -668,6 +733,13 @@ def eval_doc(node, tokens: list, fields: dict) -> bool:
             return True
 
         return any(_cmp(x) for x in vals)
+    if isinstance(node, NestedTerm):
+        # percolation docs are flat (url/text/meta rows) — nested
+        # array-of-struct payloads are an index-side shape; fail loud
+        # rather than silently not matching
+        raise QueryParseError(
+            f"nested atom {node.key()!r} is not supported in percolation"
+        )
     if isinstance(node, PhraseTerm):
         return _phrase_in_tokens(tokens, node.tokens, node.slop)
     if isinstance(node, Term):

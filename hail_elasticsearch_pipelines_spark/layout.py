@@ -38,8 +38,8 @@ import os
 import re
 import shutil
 
-TABLES = ("postings", "termdict", "doclens", "deletes")
-_GEN_RE = re.compile(r"^(postings|termdict|doclens|deletes)-g\d+$")
+TABLES = ("postings", "termdict", "doclens", "deletes", "nested")
+_GEN_RE = re.compile(r"^(postings|termdict|doclens|deletes|nested)-g\d+$")
 _SCRATCH_RE = re.compile(r".*(__staging|__updating|__compacting|__old)$")
 
 

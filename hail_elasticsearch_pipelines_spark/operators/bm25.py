@@ -549,6 +549,18 @@ def dv_filter_fields_of(manifest: dict) -> frozenset:
     )
 
 
+def nested_paths_of(manifest: dict) -> frozenset:
+    """Dotted ``field.leaf`` paths of the index's nested
+    (array-of-struct) columns — the atoms ``parse(nested_fields=)``
+    accepts, resolved against the exploded nested sidecar (the ES
+    ``nested`` mapping's queryable leaves)."""
+    out = set()
+    for name, spec in (manifest.get("params", {}).get("fields") or {}).items():
+        for leaf in (spec.get("nested") or {}):
+            out.add(f"{name}.{leaf}")
+    return frozenset(out)
+
+
 def analyzed_fields_of(manifest: dict) -> tuple[str, ...]:
     """Extra analyzed text fields of the index (build-time
     ``text_fields`` — the ES multi-field mapping analog,
@@ -1153,6 +1165,7 @@ class IndexSearcher:
             self.spark.read.parquet(td_path) if os.path.exists(td_path) else None
         )
         self._doclens_path = table_path(self.index_dir, "doclens", self.manifest)
+        self._nested_path = table_path(self.index_dir, "nested", self.manifest)
         self._refresh_deletes_state()
 
     def _refresh_deletes_state(self) -> None:
@@ -1544,6 +1557,7 @@ class IndexSearcher:
             query,
             analyzed_fields=set(analyzed_fields_of(self.manifest)),
             dv_fields=dv_filter_fields_of(self.manifest),
+            nested_fields=nested_paths_of(self.manifest),
         )
         if bq.has_wildcards(ast):
             ast = bq.expand_wildcards(ast, self.expand_prefix, self.expand_fuzzy)
@@ -1552,6 +1566,7 @@ class IndexSearcher:
         req = bq.required_terms(ast)
         ranges = bq.range_atoms(ast)
         phrases = bq.phrase_atoms(ast)
+        nested = bq.nested_atoms(ast)
         boosts = bq.term_boosts(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
@@ -1569,11 +1584,12 @@ class IndexSearcher:
                 )[F.col("term")],
             )
 
-        if ranges or phrases:
-            # range/phrase filters evaluate on the doc-set path
+        if ranges or phrases or nested:
+            # range/phrase/nested filters evaluate on the doc-set path
             # (block-skip can't see doc-value sets or positions);
             # allowed ids ride a per-segment cogroup, tagged by atom key
             from . import docvalues as dv
+            from . import nested as nst
 
             dl = dv.doclens_df(self)
             dpp, seg_group = dv._seg_params(self.manifest)
@@ -1598,10 +1614,22 @@ class IndexSearcher:
                         F.lit(pt.key()).alias("rkey"),
                     )
                 )
+            for nt in nested:
+                parts.append(
+                    nst.atom_match_df(self, nt).select(
+                        seg_of.alias("segment"),
+                        "doc_id",
+                        F.lit(nt.key()).alias("rkey"),
+                    )
+                )
             allowed = parts[0]
             for p in parts[1:]:
                 allowed = allowed.unionByName(p)
-            rkeys = [rt.key() for rt in ranges] + [pt.key() for pt in phrases]
+            rkeys = (
+                [rt.key() for rt in ranges]
+                + [pt.key() for pt in phrases]
+                + [nt.key() for nt in nested]
+            )
 
             def score_segment_rng(
                 key, left: pd.DataFrame, right: pd.DataFrame
@@ -2085,6 +2113,7 @@ class IndexSearcher:
                 query,
                 analyzed_fields=set(analyzed_fields_of(self.manifest)),
                 dv_fields=dv_filter_fields_of(self.manifest),
+                nested_fields=nested_paths_of(self.manifest),
             )
             if bq.has_wildcards(ast):
                 ast = bq.expand_wildcards(
@@ -2371,9 +2400,12 @@ class IndexSearcher:
 
         mode_u = mode.upper()
         ast, qterms = self._query_ast_terms(query, mode_u)
-        if ast is not None and (bq.range_atoms(ast) or bq.phrase_atoms(ast)):
-            # range/_exists_/phrase atoms need the doc-value store or
-            # positions — count through the aggregation front half
+        if ast is not None and (
+            bq.range_atoms(ast) or bq.phrase_atoms(ast) or bq.nested_atoms(ast)
+        ):
+            # range/_exists_/phrase/nested atoms need the doc-value
+            # store, positions, or the nested sidecar — count through
+            # the aggregation front half
             # (same job shape, plus the per-atom sides)
             from . import docvalues as dv
 
@@ -2460,6 +2492,25 @@ class IndexSearcher:
         from . import docvalues as dv
 
         return dv.search_range(self, query, field, lo, hi, mode, k)
+
+    def search_nested(
+        self, query, field: str, conditions: dict, mode: str = "OR",
+        k: int = 10,
+    ) -> DataFrame:
+        """BM25 top-k with an ES ``nested`` filter clause: docs having
+        ≥1 object of the array-of-struct ``field`` satisfying ALL
+        ``conditions`` (leaf → value) within the SAME object (see
+        operators/nested.search_nested)."""
+        from . import nested as nst
+
+        return nst.search_nested(self, query, field, conditions, mode, k)
+
+    def nested_match_ids(self, field: str, conditions: dict) -> DataFrame:
+        """Distinct live doc ids with ≥1 nested object satisfying ALL
+        conditions (see operators/nested.nested_match_ids)."""
+        from . import nested as nst
+
+        return nst.nested_match_ids(self, field, conditions)
 
     def search_value_histogram(
         self, query, field: str, interval, mode: str = "OR",
@@ -2616,7 +2667,7 @@ class IndexSearcher:
                     f"filter {name!r} is pure negation (unbounded match "
                     "set) — rewrite as '<positive> AND NOT ...'"
                 )
-            if bq.range_atoms(ast) or bq.phrase_atoms(ast):
+            if bq.range_atoms(ast) or bq.phrase_atoms(ast) or bq.nested_atoms(ast):
                 ranged.append((name, q))
             else:
                 compiled.append((name, ast, bq.all_terms(ast)))
@@ -3214,10 +3265,10 @@ class IndexSearcher:
                     f"filter {name!r} is pure negation (unbounded match "
                     "set) — rewrite as '<positive> AND NOT ...'"
                 )
-            if bq.range_atoms(ast) or bq.phrase_atoms(ast):
+            if bq.range_atoms(ast) or bq.phrase_atoms(ast) or bq.nested_atoms(ast):
                 raise ValueError(
-                    f"adjacency filter {name!r} uses doc-value/phrase atoms "
-                    "— not supported here (use search_filters)"
+                    f"adjacency filter {name!r} uses doc-value/phrase/nested "
+                    "atoms — not supported here (use search_filters)"
                 )
             compiled.append((name, ast, bq.all_terms(ast)))
         all_terms = sorted({t for _n, _a, ts in compiled for t in ts})
@@ -3375,14 +3426,15 @@ class IndexSearcher:
                     s["query"],
                     analyzed_fields=set(analyzed_fields_of(self.manifest)),
                     dv_fields=dv_filter_fields_of(self.manifest),
+                    nested_fields=nested_paths_of(self.manifest),
                 )
                 pos_terms = bq.positive_terms(ast)
                 if not pos_terms:
                     raise bq.QueryParseError(
                         f"query {s['query_id']} has no positive terms"
                     )
-                if bq.range_atoms(ast) or bq.phrase_atoms(ast):
-                    # doc-value/phrase atoms need the per-atom cogroup
+                if bq.range_atoms(ast) or bq.phrase_atoms(ast) or bq.nested_atoms(ast):
+                    # doc-value/phrase/nested atoms need the per-atom cogroup
                     # — route through search_bool (one extra job per
                     # such query; the shared block cache can't see doc
                     # values or positions), results identical to a lone

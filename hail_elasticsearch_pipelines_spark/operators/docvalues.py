@@ -186,12 +186,13 @@ def matched_ids(
     ast, qterms = searcher._query_ast_terms(query, mode.upper())
     ranges = bq.range_atoms(ast) if ast is not None else []
     phrases = bq.phrase_atoms(ast) if ast is not None else []
-    if not qterms and not ranges and not phrases:
+    nested = bq.nested_atoms(ast) if ast is not None else []
+    if not qterms and not ranges and not phrases and not nested:
         return spark.createDataFrame([], MATCHED_SCHEMA)
     get_deletes = searcher._segment_deletes_fn()
     mode_u = mode.upper()
 
-    if ranges or phrases:
+    if ranges or phrases or nested:
         # BOOL query with doc-value range / quoted-phrase atoms:
         # allowed ids per atom ride a per-segment cogroup (pure-atom
         # queries — bounded filters of match_all — cogroup against an
@@ -217,10 +218,25 @@ def matched_ids(
                     F.lit(pt.key()).alias("rkey"),
                 )
             )
+        if nested:
+            from . import nested as nst
+
+            for nt in nested:
+                parts.append(
+                    nst.atom_match_df(searcher, nt).select(
+                        seg_of.alias("segment"),
+                        "doc_id",
+                        F.lit(nt.key()).alias("rkey"),
+                    )
+                )
         allowed = parts[0]
         for p in parts[1:]:
             allowed = allowed.unionByName(p)
-        rkeys = [rt.key() for rt in ranges] + [pt.key() for pt in phrases]
+        rkeys = (
+            [rt.key() for rt in ranges]
+            + [pt.key() for pt in phrases]
+            + [nt.key() for nt in nested]
+        )
         rows = (
             searcher._term_rows(qterms).select("segment", "term", "blob")
             if qterms

@@ -164,7 +164,16 @@ def derive_index_fields(
                reference's unsupported-type NotImplementedError analog)
       stored — persisted in the doc-store sidecar (doclens) and returned
                by with_source
-    `overrides`: {field_name_or_fnmatch_pattern: {facet:, stored:}}."""
+    `overrides`: {field_name_or_fnmatch_pattern: {facet:, stored:}}.
+
+    Array-of-struct columns take the NESTED role (the reference's
+    mapping derivation emits ``"type": "nested"`` for struct-element
+    arrays, hail_scripts/v02/utils/elasticsearch_utils.py:22-28): the
+    spec carries ``nested = {leaf: dtype}`` for the struct's SCALAR
+    leaves (queryable via ``field.leaf:value`` atoms and
+    ``search_nested``, resolved against the exploded nested sidecar).
+    Nested columns are never facets and never stored in doclens —
+    overriding either raises with the sidecar/flatten recipe."""
     import fnmatch
 
     overrides = overrides or {}
@@ -173,14 +182,51 @@ def derive_index_fields(
         if f.name in CORE_COLUMNS:
             continue
         is_str = isinstance(f.dataType, T.StringType)
+        is_nested = isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, T.StructType
+        )
         spec = {
             "dtype": f.dataType.simpleString(),
             "facet": bool(is_str and f.name in default_facets),
-            "stored": True,
+            "stored": not is_nested,
         }
+        if is_nested:
+            spec["nested"] = {
+                sf.name: sf.dataType.simpleString()
+                for sf in f.dataType.elementType.fields
+                if isinstance(
+                    sf.dataType,
+                    (
+                        T.StringType,
+                        T.IntegerType,
+                        T.LongType,
+                        T.ShortType,
+                        T.ByteType,
+                        T.FloatType,
+                        T.DoubleType,
+                        T.BooleanType,
+                    ),
+                )
+            }
         for pat, ov in overrides.items():
             if f.name == pat or fnmatch.fnmatch(f.name, pat):
                 spec.update({k: v for k, v in ov.items() if k in ("facet", "stored")})
+        if is_nested and spec["facet"]:
+            raise TypeError(
+                f"field {f.name!r} is nested (array-of-struct, "
+                f"{spec['dtype']}) — it cannot be a facet; query its "
+                "leaves via 'field.leaf:value' atoms or flatten the "
+                "array to a string column before indexing"
+            )
+        if is_nested and spec["stored"]:
+            raise TypeError(
+                f"field {f.name!r} is nested (array-of-struct, "
+                f"{spec['dtype']}) — the doc-value store holds scalars "
+                "and string arrays only; nested leaves live in the "
+                "exploded nested sidecar (query via 'field.leaf:value' "
+                "/ search_nested), or flatten to scalar columns before "
+                "indexing"
+            )
         if spec["facet"] and not is_str:
             raise TypeError(
                 f"facet field {f.name!r} has non-string type "
@@ -213,6 +259,79 @@ def facet_token(field: str, value: str | None) -> str:
     every indexed facet is queryable (round-2 advice: raw values like
     'EN' or 'pt-BR' used to index under tokens no query could produce)."""
     return f"__{field}_{py_facet_value(value) or 'unknown'}__"
+
+
+def nested_leaf_value_col(col: Column) -> Column:
+    """Match-value normalization for a nested leaf: the value's string
+    form run through the SAME rule as facet values and the query
+    parser (lowercase tokens joined by '_'), so every stored leaf is
+    queryable by construction.  NULL / empty normalizes to NULL — a
+    missing leaf emits no sidecar row (ES missing-field semantics),
+    unlike facets where NULL indexes as 'unknown'."""
+    toks = F.filter(
+        F.split(F.lower(col.cast("string")), TOKEN_SPLIT_PATTERN),
+        lambda t: t != "",
+    )
+    joined = F.array_join(toks, "_")
+    return F.when(
+        col.isNull() | (joined == ""), F.lit(None).cast("string")
+    ).otherwise(joined)
+
+
+def nested_rows(docs: DataFrame, fields: "dict[str, list[str]]") -> DataFrame:
+    """Exploded nested-sidecar projection — the analog of ES's hidden
+    nested sub-documents (one Lucene doc per array element; the
+    reference's mapping derivation marks these columns ``nested``,
+    hail_scripts/v02/utils/elasticsearch_utils.py:22-28).
+
+    One long row per (doc, array position, scalar leaf with a value):
+    (field, doc_id, obj, leaf, value).  ``obj`` is the element's
+    position — the object identity that lets ``search_nested`` demand
+    several conditions hold within the SAME object (the whole point of
+    ES ``nested`` vs ``object`` mappings).  Values are normalized by
+    :func:`nested_leaf_value_col`; NULL leaves emit nothing.
+
+    Scale: O(total nested objects × leaves) rows of 5 small columns —
+    a pure per-partition projection (posexplode + melt, no shuffle
+    here; the publisher sorts within partitions by (leaf, value) so
+    parquet min/max stats prune query scans to the matching row
+    groups)."""
+    parts = []
+    for field, leaves in sorted(fields.items()):
+        ex = docs.select(
+            "doc_id", F.posexplode(F.col(field)).alias("obj", "_o")
+        )
+        melted = ex.select(
+            F.lit(field).alias("field"),
+            "doc_id",
+            F.col("obj").cast("int").alias("obj"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(leaf).alias("leaf"),
+                            nested_leaf_value_col(F.col("_o")[leaf]).alias(
+                                "value"
+                            ),
+                        )
+                        for leaf in sorted(leaves)
+                    ]
+                )
+            ).alias("lv"),
+        ).select(
+            "field",
+            "doc_id",
+            "obj",
+            F.col("lv.leaf").alias("leaf"),
+            F.col("lv.value").alias("value"),
+        )
+        parts.append(melted.filter(F.col("value").isNotNull()))
+    if not parts:
+        raise ValueError("nested_rows needs at least one nested field")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def py_dlen_bucket(doc_len: int) -> int:

@@ -155,6 +155,7 @@ class LocalSearcher:
         # filter / aggregation is a numpy lookup.  Pinned to this
         # snapshot; reload() drops it.
         self._doclens_path = table_path(self.index_dir, "doclens", self.manifest)
+        self._nested_path = table_path(self.index_dir, "nested", self.manifest)
         self._dv_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._dv_array_fields: set[str] = set()
         self._dv_cache_bytes = 0
@@ -956,17 +957,20 @@ class LocalSearcher:
 
         mode_u = mode.upper()
         if mode_u == "BOOL":
+            from .bm25 import nested_paths_of
+
             ast = bq.parse(
                 query,  # type: ignore[arg-type]
                 analyzed_fields=set(analyzed_fields_of(self.manifest)),
                 dv_fields=dv_filter_fields_of(self.manifest),
+                nested_fields=nested_paths_of(self.manifest),
             )
             if bq.has_wildcards(ast):
                 ast = bq.expand_wildcards(
                     ast, self.expand_prefix, self.expand_fuzzy
                 )
-            if bq.range_atoms(ast) or bq.phrase_atoms(ast):
-                # doc-value / positional atoms resolve on the
+            if bq.range_atoms(ast) or bq.phrase_atoms(ast) or bq.nested_atoms(ast):
+                # doc-value / positional / nested atoms resolve on the
                 # aggregation front half
                 return int(len(self.matched_ids(query, "BOOL")))
             qterms = sorted(set(bq.all_terms(ast)))
@@ -1140,18 +1144,19 @@ class LocalSearcher:
             return ids
         if mode.upper() == "BOOL":
             from ..functions import boolquery as bq
-            from .bm25 import analyzed_fields_of
+            from .bm25 import analyzed_fields_of, nested_paths_of
 
             ast = bq.parse(
                 query,
             analyzed_fields=set(analyzed_fields_of(self.manifest)),
             dv_fields=dv_filter_fields_of(self.manifest),
+            nested_fields=nested_paths_of(self.manifest),
             )
             if bq.has_wildcards(ast):
                 ast = bq.expand_wildcards(
                     ast, self.expand_prefix, self.expand_fuzzy
                 )
-            if bq.range_atoms(ast) or bq.phrase_atoms(ast):
+            if bq.range_atoms(ast) or bq.phrase_atoms(ast) or bq.nested_atoms(ast):
                 return self._matched_ids_ranges(ast)
         parts = [m for m, _dls in self._segment_match_dls(query, mode) or ()]
         if not parts:
@@ -1179,6 +1184,11 @@ class LocalSearcher:
         for pt in bq.phrase_atoms(ast):
             ids = np.sort(self._phrase_match_rows(list(pt.tokens), pt.slop)[0])
             range_sets[pt.key()] = (ids, (ids // dpp) // seg_group)
+        for nt in bq.nested_atoms(ast):
+            from . import nested as nst
+
+            ids = nst.local_atom_ids(self, nt)
+            range_sets[nt.key()] = (ids, (ids // dpp) // seg_group)
         rows = self._rows_for(qterms) if qterms else {}
         seg_list = {s for m in rows.values() for s in m}
         for _ids, segs in range_sets.values():
@@ -1281,6 +1291,68 @@ class LocalSearcher:
         if hi is not None:
             keep &= vals <= hi
         allowed = all_ids[keep]
+        if not allowed.size:
+            return []
+        dfs = self.global_dfs(qterms)
+        if not dfs or (mode_u == "AND" and any(t not in dfs for t in qterms)):
+            return []
+        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        avgdl = field_avgdl_map(self.manifest, qterms)
+        msm = len(qterms) if mode_u == "AND" else 1
+        rows = self._rows_for(qterms)
+        acc_d, acc_s = [], []
+        for seg in sorted({s for m in rows.values() for s in m}):
+            postings = {
+                t: self._decode_cached(t, seg, rows[t][seg].blob)
+                for t in qterms
+                if seg in rows.get(t, {})
+            }
+            docs, scores = _msm_scores(postings, qterms, idf, avgdl, msm)
+            if not docs.size:
+                continue
+            m = np.isin(docs, allowed, assume_unique=True)
+            dead = self._deletes.get(seg)
+            if dead is not None and dead.size:
+                m &= ~np.isin(docs, dead, assume_unique=True)
+            acc_d.append(docs[m])
+            acc_s.append(scores[m])
+        if not acc_d:
+            return []
+        docs, scores = _topk(np.concatenate(acc_d), np.concatenate(acc_s), k)
+        return list(zip(docs.tolist(), scores.tolist()))
+
+    def nested_match_ids(self, field: str, conditions: dict) -> np.ndarray:
+        """Sorted live doc ids with ≥1 nested object satisfying ALL
+        conditions — serving twin of IndexSearcher.nested_match_ids."""
+        from . import nested as nst
+
+        ids = nst.local_match_ids(self, field, conditions)
+        dead_all = [
+            d for d in self._deletes.values() if d is not None and d.size
+        ]
+        if dead_all and ids.size:
+            dead = np.unique(np.concatenate(dead_all))
+            ids = ids[~np.isin(ids, dead)]
+        return ids
+
+    def search_nested(
+        self, query, field: str, conditions: dict, mode: str = "OR",
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k with an ES ``nested`` filter clause (all
+        conditions within the SAME object) — serving twin of
+        operators/nested.search_nested, bit-identical scores (same
+        exhaustive _msm_scores kernel, filter context)."""
+        from . import nested as nst
+        from .bm25 import _msm_scores
+
+        mode_u = mode.upper()
+        if mode_u not in ("OR", "AND"):
+            raise ValueError("search_nested supports OR/AND term queries")
+        qterms = sorted(set(query))
+        if not qterms:
+            return []
+        allowed = nst.local_match_ids(self, field, conditions)
         if not allowed.size:
             return []
         dfs = self.global_dfs(qterms)
@@ -2013,10 +2085,13 @@ class LocalSearcher:
 
         from ..functions import boolquery as bq
 
+        from .bm25 import nested_paths_of
+
         ast = bq.parse(
             query,
             analyzed_fields=set(analyzed_fields_of(self.manifest)),
             dv_fields=dv_filter_fields_of(self.manifest),
+            nested_fields=nested_paths_of(self.manifest),
         )
         if bq.has_wildcards(ast):
             ast = bq.expand_wildcards(
@@ -2027,6 +2102,7 @@ class LocalSearcher:
         req = bq.required_terms(ast)
         ranges = bq.range_atoms(ast)
         phrases = bq.phrase_atoms(ast)
+        nested = bq.nested_atoms(ast)
         if not pos_terms:
             raise bq.QueryParseError("query has no positive terms")
         avgdl = field_avgdl_map(self.manifest, terms)
@@ -2037,11 +2113,11 @@ class LocalSearcher:
             for t, d in dfs.items()
         }
         range_sets: dict[str, tuple] = {}
-        if ranges or phrases:
-            # doc-value range / quoted-phrase atoms (filter context):
-            # resolve allowed ids once (cached doc values / positional
-            # chain matches), sliced per segment below; forces the
-            # doc-set evaluation path
+        if ranges or phrases or nested:
+            # doc-value range / quoted-phrase / nested atoms (filter
+            # context): resolve allowed ids once (cached doc values /
+            # positional chain matches / nested-sidecar scan), sliced
+            # per segment below; forces the doc-set evaluation path
             from .docvalues import range_mask
 
             req = []
@@ -2058,6 +2134,11 @@ class LocalSearcher:
                     self._phrase_match_rows(list(pt.tokens), pt.slop)[0]
                 )
                 range_sets[pt.key()] = (ids, (ids // dpp) // seg_group)
+            for nt in nested:
+                from . import nested as nst
+
+                ids = nst.local_atom_ids(self, nt)
+                range_sets[nt.key()] = (ids, (ids // dpp) // seg_group)
         if req:
             # required conjuncts → same block-skip evaluation as the
             # distributed searcher, seeded from the decoded-postings

@@ -564,13 +564,30 @@ def _extend_index_locked(
     facet_fields = tuple(params.get("facet_fields", ib.DEFAULT_FACET_FIELDS))
     stored_fields = tuple(params.get("stored_fields", ()))
     text_fields = tuple(params.get("text_fields", ()) or ())
-    meta_cols = tuple(dict.fromkeys(facet_fields + stored_fields))
+    # nested (array-of-struct) fields: new docs' exploded sidecar rows
+    # append alongside doclens; a batch lacking the column is legal
+    # (ES docs-without-the-field), it just emits no rows
+    nested_specs = {
+        n: sorted(s["nested"])
+        for n, s in (params.get("fields") or {}).items()
+        if s.get("nested")
+    }
+    meta_cols = tuple(
+        dict.fromkeys(
+            facet_fields + stored_fields + tuple(sorted(nested_specs))
+        )
+    )
     # a batch without an analyzed field column is legal (ES: docs
     # simply lack the field) — appended docs get NULL → zero field
     # tokens, no field postings, field_stats contribution 0
     for f in text_fields:
         if f not in new_pages.columns:
             new_pages = new_pages.withColumn(f, F.lit(None).cast("string"))
+    for f in nested_specs:
+        if f not in new_pages.columns:
+            new_pages = new_pages.withColumn(
+                f, F.lit(None).cast(params["fields"][f]["dtype"])
+            )
     normalized = ib.normalize_pages(
         new_pages, params.get("lang_filter"), meta_cols=meta_cols
     )
@@ -707,6 +724,26 @@ def _extend_index_locked(
             merged.write.mode("append").partitionBy("term_bucket").parquet(
                 postings_path
             )
+            # nested sidecar rows append BEFORE doclens: the doclens
+            # row count is repair's batch-completeness signal, so a
+            # crash here reads as an incomplete batch whose orphan
+            # nested rows are masked by the resolvers' live-doclens
+            # semi-join and stripped at the next full compaction
+            nested_cols = [f for f in nested_specs if f in docs.columns]
+            if nested_cols:
+                nested_path = layout.table_path(
+                    index_dir, "nested", manifest
+                )
+                (
+                    ib.nested_rows(
+                        docs, {f: nested_specs[f] for f in nested_cols}
+                    )
+                    .repartition("field", "leaf")
+                    .sortWithinPartitions("leaf", "value", "doc_id")
+                    .write.mode("append")
+                    .partitionBy("field")
+                    .parquet(nested_path)
+                )
             stored = [c for c in stored_fields if c in docs.columns]
             # append must match the EXISTING doclens schema: a pre-v6
             # index has no warc_ts column and plain (non-mergeSchema)
@@ -1610,6 +1647,23 @@ def _compact_index_locked(spark: SparkSession, index_dir: str, factor: int = 2) 
         flips["doclens"] = doclens_rel
         flips["deletes"] = layout.next_gen_rel(manifest, "deletes")
         manifest["deletes_epoch"] = epoch + 1
+        # nested sidecar: drop the dead docs' rows (and any crash-orphan
+        # rows whose doc never reached doclens) the same way — a
+        # semi-join against the surviving doclens ids.  Nested rows are
+        # keyed by doc_id only, so segment renumbering needs nothing.
+        nested_path = layout.table_path(index_dir, "nested", manifest)
+        if os.path.isdir(nested_path):
+            nested_rel = layout.next_gen_rel(manifest, "nested")
+            (
+                spark.read.parquet(nested_path)
+                .join(live.select("doc_id"), "doc_id", "left_semi")
+                .repartition("field", "leaf")
+                .sortWithinPartitions("leaf", "value", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("field")
+                .parquet(os.path.join(index_dir, nested_rel))
+            )
+            flips["nested"] = nested_rel
 
     td_rel = layout.next_gen_rel(manifest, "termdict")
     _write_termdict(

@@ -261,7 +261,17 @@ class IndexBuildPipeline:
         self.stored_fields = tuple(
             dict.fromkeys(self.stored_fields + self.text_fields)
         )
-        self.meta_cols = tuple(dict.fromkeys(self.facet_fields + self.stored_fields))
+        # nested (array-of-struct) columns ride the docs stage so the
+        # publish step can project the exploded sidecar; they are never
+        # doclens columns (stored=False enforced in derive_index_fields)
+        self.nested_fields = tuple(
+            n for n, s in self.field_specs.items() if s.get("nested")
+        )
+        self.meta_cols = tuple(
+            dict.fromkeys(
+                self.facet_fields + self.stored_fields + self.nested_fields
+            )
+        )
         if self.checkpoint_normalize:
             self._stage_normalize(pages)
         globals_ = self._stage_docs(pages)
@@ -422,6 +432,27 @@ class IndexBuildPipeline:
         docs.select("doc_id", "url", "doc_len", *stored, *dv).write.mode(
             "overwrite"
         ).parquet(self._p("doclens"))
+
+        # nested sidecar (ES hidden nested sub-documents): exploded
+        # (field, doc_id, obj, leaf, value) rows, partitioned by field
+        # and sorted by (leaf, value) within files so equality lookups
+        # prune to the matching row groups via parquet min/max stats
+        nested_cols = [f for f in self.nested_fields if f in docs.columns]
+        if nested_cols:
+            (
+                ib.nested_rows(
+                    docs,
+                    {
+                        f: list(self.field_specs[f]["nested"])
+                        for f in nested_cols
+                    },
+                )
+                .repartition("field", "leaf")
+                .sortWithinPartitions("leaf", "value", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("field")
+                .parquet(self._p("nested"))
+            )
 
         postings = self.spark.read.parquet(final)
         _write_termdict(self.spark, self.out)
