@@ -45,6 +45,54 @@ def test_eval_doc_atoms():
     assert "neg" not in py_percolate("fast stuff", {}, compiled)
 
 
+def test_prefilter_equivalence_every_shape():
+    """The candidate prefilter (extracted required terms) must never
+    change results: prefiltered == naive for every query shape over a
+    grid of documents, and required_body_tokens stays conservative
+    (wildcard/fuzzy/fielded/negated/OR atoms extract nothing)."""
+    from hail_elasticsearch_pipelines_spark.operators.percolate import (
+        _Prefilter,
+        required_body_tokens,
+    )
+
+    queries = {
+        "t": "fast AND key",
+        "ph": '"big table"~1',
+        "rng": "n_chars:[100 TO 200}",
+        "ex": "_exists_:tags AND fast",
+        "eq": "tags:news",
+        "wild": "fas* AND NOT slow",
+        "fz": "kez~1",
+        "neg": "NOT fast",
+        "or_only": "red OR blue",
+        "mixed": "(red OR blue) AND table",
+        "nested_not": "fast AND NOT (key OR red)",
+    }
+    compiled = compile_queries(queries, dv_fields={"n_chars", "tags"})
+    # extraction is conservative and exact where possible
+    req = {qid: required_body_tokens(ast) for qid, ast in compiled}
+    assert req["t"] == {"fast", "key"}
+    assert req["ph"] == {"big", "table"}
+    assert req["mixed"] == {"table"}  # OR side extracts nothing
+    assert req["nested_not"] == {"fast"}
+    for qid in ("rng", "eq", "wild", "fz", "neg", "or_only"):
+        assert req[qid] == set(), qid
+    pre = _Prefilter(compiled)
+    docs = [
+        ("fast big red table key", {"n_chars": 150, "tags": ["news"]}),
+        ("slow stuff", {}),
+        ("key stuff", {"tags": []}),
+        ("big table fast", {"n_chars": 99}),
+        ("", {"n_chars": 100}),
+        ("red blue table", {"tags": ["tech"]}),
+        ("fast", {"tags": ["news", "tech"], "n_chars": 199}),
+    ]
+    for text, fields in docs:
+        naive = py_percolate(text, fields, compiled)
+        fast = py_percolate(text, fields, compiled, pre)
+        assert naive == fast, (text, fields)
+
+
 def test_timestamp_range_percolation():
     import pandas as pd
 
