@@ -236,12 +236,18 @@ def main():
             q[f"segprune400_{qname}_{mode_name}"] = round(best, 4)
         segprune_ms[f"skipped_{qname}"] = sms.last_segments_skipped
 
-    # stopword phrase: the vectorized adjacency matcher's showcase
+    # stopword phrase: the vectorized adjacency matcher's showcase.
+    # warm = best-of-3 (same discipline as every other key: the r5
+    # "phrase warm +61%" was a noisy-window artifact of averaging two
+    # reps — r6 interleaved probes measured 0.25 s on the same code the
+    # driver clocked at 1.28 s)
     q["phrase_stopword_cold"] = cold(lambda ls: ls.search_phrase(["of", "the"], 10))
-    t0 = time.time()
-    local.search_phrase(["of", "the"], 10)
-    local.search_phrase(["of", "the"], 10)
-    q["phrase_stopword_warm"] = round((time.time() - t0) / 2, 4)
+    warm_reps = []
+    for _ in range(3):
+        t0 = time.time()
+        local.search_phrase(["of", "the"], 10)
+        warm_reps.append(time.time() - t0)
+    q["phrase_stopword_warm"] = round(min(warm_reps), 4)
 
     # -- r5 query-surface probes (expansion + aggregation paths) -------
     # termdict-expansion queries: prefix (range scan -> 10-term OR),

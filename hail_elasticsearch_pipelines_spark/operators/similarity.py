@@ -236,13 +236,19 @@ def embedding_cosine_pairs(
         F.posexplode("bkts").alias("band", "bucket"),
     )
     if max_bucket_df is not None:
-        hot = (
-            bands.groupBy("band", "bucket")
-            .count()
-            .filter(F.col("count") > max_bucket_df)
-            .select("band", "bucket")
+        from pyspark.sql import Window
+
+        # window count, not groupBy+anti-join: one (band, bucket)
+        # shuffle, no second recomputation of the hyperplane-hash UDF
+        # lineage (see dedup._cap_hot_buckets)
+        bands = (
+            bands.withColumn(
+                "__bdf",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+            )
+            .filter(F.col("__bdf") <= F.lit(max_bucket_df))
+            .drop("__bdf")
         )
-        bands = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a_side, b_side = bands.alias("a"), bands.alias("b")
     cand = (
         a_side.join(
