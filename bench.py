@@ -70,8 +70,12 @@ def timed(fn):
 
 def main():
     t_start = time.time()
+    # the driver parses bench stdout from its TAIL — console progress
+    # bars overflowed its capture window in r5 (BENCH_r05 parsed: null),
+    # so bench runs keep stdout to exactly one JSON line
     spark = get_spark(
-        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     q: dict[str, float] = {}
 
@@ -235,6 +239,28 @@ def main():
                 best = min(best, time.time() - t0)
             q[f"segprune400_{qname}_{mode_name}"] = round(best, 4)
         segprune_ms[f"skipped_{qname}"] = sms.last_segments_skipped
+
+    # 10^3-segment validation (r5 verdict ask #8): same probes at 1000
+    # segments — the 100x-scale segment count — to confirm the
+    # SEGPRUNE_AUTO_MIN_SEGMENTS=128 gate and the bound-flatness
+    # bail-out hold where they matter most
+    idx_ms1k = f"{BENCH_DIR}/index_ms1000_{CPUS}"
+    if not os.path.exists(os.path.join(idx_ms1k, "manifest.json")):
+        build_index(
+            spark, pages_ms, idx_ms1k, docs_per_part=200, seg_group=1,
+            n_term_buckets=16,
+        )
+    sms1k = IndexSearcher(spark, idx_ms1k)
+    segprune_ms["n_segments_1k"] = sms1k.manifest["metrics"]["n_segments"]
+    for qname, terms in (("local", ["sitemark42", "the"]), ("flat", SEL_OR)):
+        for mode_name, sp in (("plain", False), ("auto", None)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                sms1k.search(terms, "OR", 10, algo="auto", segment_prune=sp).collect()
+                best = min(best, time.time() - t0)
+            q[f"segprune1000_{qname}_{mode_name}"] = round(best, 4)
+        segprune_ms[f"skipped1k_{qname}"] = sms1k.last_segments_skipped
 
     # stopword phrase: the vectorized adjacency matcher's showcase.
     # warm = best-of-3 (same discipline as every other key: the r5
