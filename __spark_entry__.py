@@ -1032,6 +1032,14 @@ def _q_nested_filter(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_suggest_phrase(spark, sf):
+    """ES phrase suggester: multi-term did-you-mean over the termdict
+    ('fasr key' → 'fast key' and friends), unigram-LM ranked, ≤1
+    changed token."""
+    r = _searcher(spark, sf).suggest_phrase("fasr kei", size=5)
+    return r.select("suggestion", _micro(F.col("score")).alias("score_micro"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gate verifies the FIRST 50 entries only.
     # Rotation policy (round 6): rows never driver-oracled (r5 additions
@@ -1085,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_bmw": _q_bm25_index_bmw,
         "bm25_index_segprune": _q_bm25_index_segprune,
         "nested_filter": _q_nested_filter,
+        "suggest_phrase": _q_suggest_phrase,
         # -- long-green staples (fill to 50) ------------------------------
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
@@ -1093,8 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_search": _q_range_search,
         "sort_recent": _q_sort_recent,
         "highlight_top3": _q_highlight_top3,
-        "min_should_match2": _q_min_should_match2,
         # ---- entries below rank past the driver's 50-row cap ----------
+        "min_should_match2": _q_min_should_match2,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
@@ -1923,6 +1932,49 @@ FROM flt ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 )
 
+_SUGGEST_PHRASE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs FROM tok
+), vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+), c0 AS (  -- expand_fuzzy('fasr', 1): length ±1 + levenshtein ≤ 1
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+  FROM vocab
+  WHERE length(term) BETWEEN 3 AND 5 AND levenshtein(term, 'fasr') <= 1
+), p0 AS (  -- per_term=5 by (df desc, term asc), original always present
+  SELECT term, df FROM c0 WHERE rn <= 5
+  UNION
+  SELECT 'fasr', coalesce((SELECT df FROM vocab WHERE term = 'fasr'), 0)
+), c1 AS (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+  FROM vocab
+  WHERE length(term) BETWEEN 2 AND 4 AND levenshtein(term, 'kei') <= 1
+), p1 AS (
+  SELECT term, df FROM c1 WHERE rn <= 5
+  UNION
+  SELECT 'kei', coalesce((SELECT df FROM vocab WHERE term = 'kei'), 0)
+), inp AS (  -- the input phrase's own unigram-LM score
+  SELECT ln((coalesce((SELECT df FROM vocab WHERE term = 'fasr'), 0) + 0.5)
+            / (stats.n_docs + 1.0))
+       + ln((coalesce((SELECT df FROM vocab WHERE term = 'kei'), 0) + 0.5)
+            / (stats.n_docs + 1.0)) AS s
+  FROM stats
+), sugg AS (  -- ≤ 1 changed position, identity excluded
+  SELECT p0.term || ' ' || p1.term AS suggestion,
+         ln((p0.df + 0.5) / (stats.n_docs + 1.0))
+         + ln((p1.df + 0.5) / (stats.n_docs + 1.0)) AS score
+  FROM p0 CROSS JOIN p1 CROSS JOIN stats
+  WHERE (CASE WHEN p0.term <> 'fasr' THEN 1 ELSE 0 END
+         + CASE WHEN p1.term <> 'kei' THEN 1 ELSE 0 END) = 1
+)
+SELECT suggestion, {_micro_sql('score')} AS score_micro
+FROM sugg WHERE score > (SELECT s FROM inp)
+ORDER BY score DESC, suggestion ASC LIMIT 5
+"""
+
 _NESTED_FILTER_SQL = (
     _BM25_CTES
     + f"""
@@ -2155,6 +2207,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_recent": _SORT_RECENT_SQL,
         "range_search": _RANGE_SEARCH_SQL,
         "nested_filter": _NESTED_FILTER_SQL,
+        "suggest_phrase": _SUGGEST_PHRASE_SQL,
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "cardinality_src": _CARDINALITY_SQL,
         "sig_terms_src": _SIG_TERMS_SQL,

@@ -52,7 +52,7 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 DOCS_PER_PART = int(os.environ.get("SPARK_GRAFT_DPP", "4000"))
 # best-of-2 by default (r3 verdict: single-rep driver builds measured
 # VM weather, not code — cold-JIT/noisy-neighbor bursts are 30-50%)
-BUILD_REPS = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "2"))
+BUILD_REPS = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "3"))
 # fused normalize+docs (corpus text materialized once) is the bench
 # default; SPARK_GRAFT_FUSE=0 restores the normalize checkpoint
 FUSE = os.environ.get("SPARK_GRAFT_FUSE", "1") == "1"
@@ -287,6 +287,9 @@ def main():
     )
     q["suggest_local"] = cold(lambda ls: ls.suggest_terms("term4", 10))
     _mlt_like = " ".join(["term4000", "term4001", "the", "of"] * 3)
+    q["suggest_phrase_local"] = cold(
+        lambda ls: ls.suggest_phrase("teh term400", size=5)
+    )
     q["mlt_local"] = cold(lambda ls: ls.more_like_this(_mlt_like, 10))
     # postings-only stats aggregation, distributed (one scoring-shaped
     # job; dl rides the postings so no doclens read)
@@ -393,7 +396,10 @@ def main():
             watch_q[f"w{i:05d}"] = (
                 f"term{i % 997:04d} AND term{(i * 7) % 997:04d}"
             )
-    perc_5k_docs = perc_docs.limit(20_000).cache()
+    # limit() funnels to one partition — repartition so the watch
+    # evaluation uses every core (first r6 run: 133 s single-partition
+    # vs ~8 s spread)
+    perc_5k_docs = perc_docs.limit(20_000).repartition(CPUS).cache()
     perc_5k_docs.count()
     t0 = time.time()
     n5k = percolate(perc_5k_docs, watch_q).count()

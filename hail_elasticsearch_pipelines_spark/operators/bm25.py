@@ -1136,6 +1136,49 @@ def _score_union_blockmax(
     )
 
 
+def _phrase_suggest_rows(
+    searcher,
+    text: str,
+    size: int,
+    max_edits: int,
+    max_errors: int,
+    per_term: int,
+    collate: bool,
+    count_fn,
+) -> "list[tuple[str, float]]":
+    """Shared phrase-suggester front half (both engines pass
+    themselves — they expose the same expand_fuzzy/global_dfs/n_docs
+    surface): tokenize, per-position fuzzy candidates df-ranked from
+    the termdict, beam assembly (functions/suggest.py), optional
+    collation dropping corrections with no conjunctive match."""
+    from ..functions.suggest import assemble_phrase_suggestions
+    from ..functions.tokenize import py_tokenize
+
+    tokens = py_tokenize(text or "")
+    if not tokens:
+        return []
+    cand_terms: dict[str, list[str]] = {}
+    for t in dict.fromkeys(tokens):
+        cand_terms[t] = sorted(set(searcher.expand_fuzzy(t, max_edits)) | {t})
+    all_terms = sorted({c for cs in cand_terms.values() for c in cs})
+    dfs = searcher.global_dfs(all_terms)
+    per_pos = []
+    for t in tokens:
+        ranked = sorted(
+            ((c, int(dfs.get(c, 0))) for c in cand_terms[t]),
+            key=lambda r: (-r[1], r[0]),
+        )[: max(1, int(per_term))]
+        if all(c != t for c, _df in ranked):
+            ranked.append((t, int(dfs.get(t, 0))))
+        per_pos.append(ranked)
+    out = assemble_phrase_suggestions(
+        tokens, per_pos, searcher.n_docs, size=size, max_errors=max_errors
+    )
+    if collate:
+        out = [(s, sc) for s, sc in out if count_fn(s.split(" ")) > 0]
+    return out
+
+
 class IndexSearcher:
     """Query-side entry point over a published index directory."""
 
@@ -2260,6 +2303,35 @@ class IndexSearcher:
             .agg(F.sum("df").alias("df"))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(size)
+        )
+
+    def suggest_phrase(
+        self,
+        text: str,
+        size: int = 5,
+        max_edits: int = 1,
+        max_errors: int = 1,
+        per_term: int = 5,
+        collate: bool = False,
+    ) -> DataFrame:
+        """ES phrase suggester (multi-term did-you-mean): corrections
+        of ``text`` changing ≤ ``max_errors`` tokens, candidates from
+        the termdict fuzzy expansion (≤ ``max_edits``, top
+        ``per_term`` by df per position), ranked by a smoothed unigram
+        LM; only corrections scoring above the input survive
+        (functions/suggest.py).  ``collate=True`` additionally drops
+        corrections with no conjunctive match — ES's collate query.
+        DataFrame(suggestion, score) by (score desc, suggestion asc).
+        Termdict-only (+ one count job per surviving correction when
+        collating); never reads posting blobs otherwise."""
+        rows = _phrase_suggest_rows(
+            self, text, size, max_edits, max_errors, per_term, collate,
+            lambda ts: int(
+                self.search_count(sorted(set(ts)), "AND").collect()[0][0]
+            ),
+        )
+        return self.spark.createDataFrame(
+            rows, "suggestion string, score double"
         )
 
     MLT_MAX_QUERY_TERMS = 25  # the ES more_like_this default

@@ -1920,6 +1920,26 @@ class LocalSearcher:
                 out.append((f"{a}&{b}", len(inter)))
         return sorted(out)
 
+    def suggest_phrase(
+        self,
+        text: str,
+        size: int = 5,
+        max_edits: int = 1,
+        max_errors: int = 1,
+        per_term: int = 5,
+        collate: bool = False,
+    ) -> "list[tuple[str, float]]":
+        """ES phrase suggester — serving twin of
+        IndexSearcher.suggest_phrase (same termdict candidates, same
+        beam/LM kernel, identical rows): [(suggestion, score)] by
+        (score desc, suggestion asc)."""
+        from .bm25 import _phrase_suggest_rows
+
+        return _phrase_suggest_rows(
+            self, text, size, max_edits, max_errors, per_term, collate,
+            lambda ts: self.search_count(sorted(set(ts)), "AND"),
+        )
+
     def more_like_this(
         self,
         like_text: str,
