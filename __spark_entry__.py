@@ -1040,6 +1040,16 @@ def _q_suggest_phrase(spark, sf):
     return r.select("suggestion", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_termvectors(spark, sf):
+    """ES _termvectors (on-the-fly): per-term tf/df/first-position of
+    doc 0's analyzed text, df joined from the termdict."""
+    r = _searcher(spark, sf).termvectors(_read(spark, sf, "documents"), 0)
+    return r.select(
+        "term", "tf", "df",
+        F.element_at("positions", 1).alias("first_pos"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gate verifies the FIRST 50 entries only.
     # Rotation policy (round 6): rows never driver-oracled (r5 additions
@@ -1094,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_segprune": _q_bm25_index_segprune,
         "nested_filter": _q_nested_filter,
         "suggest_phrase": _q_suggest_phrase,
+        "termvectors_doc0": _q_termvectors,
         # -- long-green staples (fill to 50) ------------------------------
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
@@ -1101,8 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_count": _q_search_count,
         "range_search": _q_range_search,
         "sort_recent": _q_sort_recent,
-        "highlight_top3": _q_highlight_top3,
         # ---- entries below rank past the driver's 50-row cap ----------
+        "highlight_top3": _q_highlight_top3,
         "min_should_match2": _q_min_should_match2,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
@@ -1975,6 +1986,24 @@ FROM sugg WHERE score > (SELECT s FROM inp)
 ORDER BY score DESC, suggestion ASC LIMIT 5
 """
 
+_TERMVECTORS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+), d0 AS (
+  SELECT unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok WHERE doc_id = 0
+), tv AS (
+  SELECT term, count(*)::BIGINT AS tf, min(pos) AS first_pos
+  FROM d0 GROUP BY term
+)
+SELECT tv.term, tv.tf, vocab.df, tv.first_pos::INT AS first_pos
+FROM tv JOIN vocab USING (term) ORDER BY term
+"""
+
 _NESTED_FILTER_SQL = (
     _BM25_CTES
     + f"""
@@ -2208,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         "range_search": _RANGE_SEARCH_SQL,
         "nested_filter": _NESTED_FILTER_SQL,
         "suggest_phrase": _SUGGEST_PHRASE_SQL,
+        "termvectors_doc0": _TERMVECTORS_SQL,
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "cardinality_src": _CARDINALITY_SQL,
         "sig_terms_src": _SIG_TERMS_SQL,

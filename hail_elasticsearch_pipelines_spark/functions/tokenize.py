@@ -44,6 +44,16 @@ def py_tokenize(text: str | None) -> list[str]:
     return [t for t in _SPLIT_RE.split(text) if t]
 
 
+def py_termvector(text: "str | None") -> "list[tuple[str, int, list[int]]]":
+    """ES ``_termvectors`` kernel (on-the-fly re-analysis): per-term
+    (term, tf, 0-based positions) of one document's analyzed text,
+    term-ascending — positions 1:1 with the positional index."""
+    acc: dict[str, list[int]] = {}
+    for i, t in enumerate(py_tokenize(text)):
+        acc.setdefault(t, []).append(i)
+    return [(t, len(p), p) for t, p in sorted(acc.items())]
+
+
 def tokenize_col(col: Column | str) -> Column:
     """JVM-side tokenizer: stays inside WholeStageCodegen (no Python).
 

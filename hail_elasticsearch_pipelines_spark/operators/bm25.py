@@ -2982,6 +2982,42 @@ class IndexSearcher:
         ]
     )
 
+    def termvectors(
+        self, docs: DataFrame, doc_id: int, with_df: bool = True
+    ) -> DataFrame:
+        """ES ``_termvectors`` (on-the-fly mode — the index stores no
+        per-doc term vectors, so the doc's STORED text re-analyzes,
+        exactly ES's fallback): per-term stats of ONE document —
+        DataFrame(term, tf, df, positions) by term asc.  ``docs`` is
+        the doc store / corpus table with (doc_id, text) — the doc_id
+        filter prunes the scan to one row before any Python runs; df
+        joins from the termdict (one pruned lookup).  Positions are
+        0-based analyzed-token positions, 1:1 with the positional
+        index (match_positions)."""
+        from ..functions.tokenize import py_termvector
+
+        row = (
+            docs.filter(F.col("doc_id") == int(doc_id))
+            .select("text")
+            .head()
+        )
+        schema = "term string, tf long, df long, positions array<int>"
+        if row is None or row["text"] is None:
+            return self.spark.createDataFrame([], schema)
+        tv = py_termvector(row["text"])
+        dfs = (
+            self.global_dfs(sorted(t for t, _tf, _p in tv))
+            if with_df
+            else {}
+        )
+        return self.spark.createDataFrame(
+            [
+                (t, tf, int(dfs.get(t, 0)), pos)
+                for t, tf, pos in tv
+            ],
+            schema,
+        )
+
     @staticmethod
     def highlight(
         docs: DataFrame,

@@ -1920,6 +1920,23 @@ class LocalSearcher:
                 out.append((f"{a}&{b}", len(inter)))
         return sorted(out)
 
+    def termvectors(
+        self, text: str, with_df: bool = True
+    ) -> "list[tuple[str, int, int, list[int]]]":
+        """ES ``_termvectors`` — serving twin of
+        IndexSearcher.termvectors over a caller-provided document text
+        (same contract as LocalSearcher.highlight): [(term, tf, df,
+        positions)] term-ascending, df from this searcher's termdict."""
+        from ..functions.tokenize import py_termvector
+
+        tv = py_termvector(text)
+        dfs = (
+            self.global_dfs(sorted(t for t, _tf, _p in tv))
+            if with_df
+            else {}
+        )
+        return [(t, tf, int(dfs.get(t, 0)), pos) for t, tf, pos in tv]
+
     def suggest_phrase(
         self,
         text: str,
