@@ -2584,6 +2584,13 @@ class IndexSearcher:
 
         return nst.nested_match_ids(self, field, conditions)
 
+    def nested_inner_hits(self, field: str, conditions: dict) -> DataFrame:
+        """ES inner_hits: the matching (doc_id, obj) object identities
+        themselves (see operators/nested.nested_inner_hits)."""
+        from . import nested as nst
+
+        return nst.nested_inner_hits(self, field, conditions)
+
     def search_value_histogram(
         self, query, field: str, interval, mode: str = "OR",
         cumulative: bool = False,

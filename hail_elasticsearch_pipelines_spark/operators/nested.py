@@ -147,6 +147,59 @@ def nested_match_ids(searcher, field: str, conditions: dict) -> DataFrame:
     return out
 
 
+def nested_inner_hits(searcher, field: str, conditions: dict) -> DataFrame:
+    """ES ``inner_hits`` for a nested query: WHICH objects matched —
+    DataFrame(doc_id, obj) of every (live doc, array position) whose
+    object satisfies ALL ``conditions``, the per-object half of
+    :func:`nested_match_ids` (same pruned scans + (doc_id, obj) join,
+    minus the doc-level distinct)."""
+    from .docvalues import _all_dead_ids
+
+    conds = _norm_conditions(searcher, field, conditions)
+    nd = nested_df(searcher).filter(F.col("field") == field)
+    sets = [
+        nd.filter((F.col("leaf") == leaf) & (F.col("value") == val)).select(
+            "doc_id", "obj"
+        )
+        for leaf, val in conds
+    ]
+    inter = reduce(lambda a, b: a.join(b, ["doc_id", "obj"]), sets).distinct()
+    live = searcher.spark.read.parquet(searcher._doclens_path).select("doc_id")
+    out = inter.join(live, "doc_id", "left_semi")
+    dead = _all_dead_ids(searcher)
+    if dead.size:
+        dead_df = searcher.spark.createDataFrame(
+            [(int(d),) for d in dead.tolist()], "doc_id long"
+        )
+        out = out.join(F.broadcast(dead_df), "doc_id", "left_anti")
+    return out
+
+
+def local_inner_hits(local, field: str, conditions: dict) -> "list[tuple[int, int]]":
+    """Serving twin of nested_inner_hits: sorted (doc_id, obj) pairs
+    of live matching objects."""
+    conds = _norm_conditions(local, field, conditions)
+    pair_sets = []
+    for leaf, val in conds:
+        tbl = _local_scan(local, field, leaf, val, columns=["doc_id", "obj"])
+        d = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = tbl.column("obj").to_numpy(zero_copy_only=False).astype(np.int64)
+        pair_sets.append(np.unique(d * (1 << 20) + o))
+        if d.size and int(o.max(initial=0)) >= (1 << 20):
+            raise DocValueError("nested arrays longer than 2^20 elements")
+    inter = reduce(np.intersect1d, pair_sets)
+    ids = inter >> 20
+    live = _live_only(local, np.unique(ids))
+    keep = np.isin(ids, live)
+    inter, ids = inter[keep], ids[keep]
+    dead_all = [d for d in local._deletes.values() if d is not None and d.size]
+    if dead_all and ids.size:
+        dead = np.unique(np.concatenate(dead_all))
+        keep = ~np.isin(ids, dead)
+        inter, ids = inter[keep], ids[keep]
+    return [(int(k >> 20), int(k & ((1 << 20) - 1))) for k in inter]
+
+
 def search_nested(
     searcher,
     query: "list[str]",

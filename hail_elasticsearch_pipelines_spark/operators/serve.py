@@ -1335,6 +1335,16 @@ class LocalSearcher:
             ids = ids[~np.isin(ids, dead)]
         return ids
 
+    def nested_inner_hits(
+        self, field: str, conditions: dict
+    ) -> "list[tuple[int, int]]":
+        """ES inner_hits — serving twin of
+        IndexSearcher.nested_inner_hits: sorted (doc_id, obj) pairs of
+        live objects satisfying ALL conditions."""
+        from . import nested as nst
+
+        return nst.local_inner_hits(self, field, conditions)
+
     def search_nested(
         self, query, field: str, conditions: dict, mode: str = "OR",
         k: int = 10,

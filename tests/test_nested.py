@@ -244,6 +244,27 @@ class TestSameObject:
         base = dict(L.search(["the", "of"], mode="AND", k=10_000))
         assert all(sc == base[i] for i, sc in d)
 
+    def test_inner_hits(self, spark, nested_index):
+        """ES inner_hits: the matching (doc_id, obj) identities — twin
+        parity, consistency with nested_match_ids, and ground truth
+        (only obj 0 can satisfy anchor=a1 ∧ rel=r0 by construction)."""
+        out, _ = nested_index
+        s, L = IndexSearcher(spark, out), LocalSearcher(out)
+        cond = {"anchor": "A1", "rel": "r0"}
+        d = sorted(
+            (r.doc_id, r.obj)
+            for r in s.nested_inner_hits("links", cond).collect()
+        )
+        loc = L.nested_inner_hits("links", cond)
+        assert d == loc and d
+        assert {i for i, _o in d} == set(
+            L.nested_match_ids("links", cond).tolist()
+        )
+        assert all(o == 0 for _i, o in d)
+        # a condition only obj 1 satisfies reports obj 1
+        hits1 = L.nested_inner_hits("links", {"rel": "rx"})
+        assert hits1 and all(o == 1 for _i, o in hits1)
+
     def test_typed_errors(self, spark, nested_index):
         out, _ = nested_index
         s, L = IndexSearcher(spark, out), LocalSearcher(out)
@@ -254,6 +275,24 @@ class TestSameObject:
         # nested fields are not doclens doc values: sorts/ranges reject
         with pytest.raises(DocValueError, match="not a doc-value field"):
             s.search_range(["the"], "links", lo=0)
+
+
+class TestPlan:
+    def test_nested_pushdown_reaches_scan(self, spark, nested_index):
+        """100×-scale posture: a nested-atom resolution must be a
+        PRUNED scan — field= partition filter plus (leaf, value)
+        pushed data filters on the sidecar parquet, so row-group
+        min/max stats skip everything but the matching range."""
+        from hail_elasticsearch_pipelines_spark.operators import nested as nst
+
+        out, _ = nested_index
+        s = IndexSearcher(spark, out)
+        df = nst.atom_match_df(s, bq.NestedTerm("links.anchor", "a1"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "field" in plan.split("PartitionFilters", 1)[1][:200]
+        pushed = plan.split("PushedFilters", 1)[1][:300]
+        assert "leaf" in pushed and "value" in pushed, pushed
 
 
 class TestMaintenance:
