@@ -1050,6 +1050,15 @@ def _q_termvectors(spark, sf):
     )
 
 
+def _q_synonym_search(spark, sf):
+    """ES synonym_graph at search time: 'fast AND table' with
+    fast → {query} scores as '(fast OR query) AND table'."""
+    r = _searcher(spark, sf).search_bool(
+        "fast AND table", k=20, synonyms={"fast": ["query"]}
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gate verifies the FIRST 50 entries only.
     # Rotation policy (round 6): rows never driver-oracled (r5 additions
@@ -1105,14 +1114,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_filter": _q_nested_filter,
         "suggest_phrase": _q_suggest_phrase,
         "termvectors_doc0": _q_termvectors,
+        "synonym_search": _q_synonym_search,
         # -- long-green staples (fill to 50) ------------------------------
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
         "facet_counts": _q_facet_counts,
         "search_count": _q_search_count,
         "range_search": _q_range_search,
-        "sort_recent": _q_sort_recent,
         # ---- entries below rank past the driver's 50-row cap ----------
+        "sort_recent": _q_sort_recent,
         "highlight_top3": _q_highlight_top3,
         "min_should_match2": _q_min_should_match2,
         "token_count": _q_token_count,
@@ -1986,6 +1996,39 @@ FROM sugg WHERE score > (SELECT s FROM inp)
 ORDER BY score DESC, suggestion ASC LIMIT 5
 """
 
+_SYNONYM_SEARCH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ('fast', 'query', 'table')
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), flags AS (
+  SELECT doc_id,
+    bool_or(term = 'fast') AS has_fast,
+    bool_or(term = 'query') AS has_query,
+    bool_or(term = 'table') AS has_table
+  FROM tf GROUP BY doc_id
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (2.2 * tf.tf) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           AS contrib
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+)
+SELECT agg.doc_id, {_micro_sql('score')} AS score_micro
+FROM agg JOIN flags USING (doc_id)
+WHERE (has_fast OR has_query) AND has_table
+ORDER BY score DESC, agg.doc_id ASC LIMIT 20
+"""
+
 _TERMVECTORS_SQL = f"""
 WITH tok AS (
   SELECT doc_id, {TOK} AS toks FROM documents
@@ -2238,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_filter": _NESTED_FILTER_SQL,
         "suggest_phrase": _SUGGEST_PHRASE_SQL,
         "termvectors_doc0": _TERMVECTORS_SQL,
+        "synonym_search": _SYNONYM_SEARCH_SQL,
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "cardinality_src": _CARDINALITY_SQL,
         "sig_terms_src": _SIG_TERMS_SQL,

@@ -456,6 +456,51 @@ def expand_wildcards(node, expander, fuzzy_expander=None):
     raise QueryParseError(f"unknown node {node!r}")
 
 
+def expand_synonyms(node, synonyms: "dict[str, list[str]]"):
+    """Query-time synonym expansion — the ES ``synonym_graph`` search
+    analyzer re-expressed as a query rewrite: every analyzed scoring
+    Term with an entry becomes the OR of itself and its synonyms, each
+    synonym inheriting the term's boost.  Applies inside NOT too
+    (analyzer semantics: ``NOT fast`` with fast→quick excludes docs
+    containing EITHER).  Filter-context atoms (facets, ranges,
+    phrases, nested) and wildcard/fuzzy atoms (expansion happens
+    against the termdict, not the synonym map) are untouched.
+    Synonyms must normalize to single index tokens."""
+    norm: dict[str, list[str]] = {}
+    for k, syns in synonyms.items():
+        out = []
+        for s in syns:
+            ts = py_tokenize(s)
+            if len(ts) != 1:
+                raise QueryParseError(
+                    f"synonym {s!r} for {k!r} is not a single index token"
+                )
+            out.append(ts[0])
+        norm[k] = sorted(dict.fromkeys(out))
+
+    def walk(n):
+        if isinstance(n, (RangeTerm, PhraseTerm, NestedTerm)):
+            return n
+        if isinstance(n, Term):
+            if n.filter or n.wildcard or n.fuzzy:
+                return n
+            syns = [s for s in norm.get(n.term, ()) if s != n.term]
+            if not syns:
+                return n
+            return Or(
+                [n] + [Term(s, boost=n.boost) for s in syns]
+            )
+        if isinstance(n, Not):
+            return Not(walk(n.part))
+        if isinstance(n, And):
+            return And([walk(p) for p in n.parts])
+        if isinstance(n, Or):
+            return Or([walk(p) for p in n.parts])
+        raise QueryParseError(f"unknown node {n!r}")
+
+    return walk(node)
+
+
 def range_atoms(node) -> list:
     """Unique RangeTerm atoms of the AST, in first-appearance order
     (deduped by key()) — the doc-value sets a searcher must resolve

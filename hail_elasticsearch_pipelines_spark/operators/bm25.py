@@ -1581,7 +1581,9 @@ class IndexSearcher:
             probe_df = probe_df.unionByName(rest)
         return probe_df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def search_bool(self, query: str, k: int = 10) -> DataFrame:
+    def search_bool(
+        self, query: str, k: int = 10, synonyms: "dict | None" = None
+    ) -> DataFrame:
         """Boolean query string (`a AND (b OR c) AND NOT d`) — the ES
         query-string analog.  The expression filters; BM25 scores sum
         over the positive terms each match contains (see
@@ -1604,6 +1606,11 @@ class IndexSearcher:
         )
         if bq.has_wildcards(ast):
             ast = bq.expand_wildcards(ast, self.expand_prefix, self.expand_fuzzy)
+        if synonyms:
+            # ES synonym_graph at search time — a pure query rewrite,
+            # so every downstream kernel (doc-set, block-skip, pruned)
+            # sees a plain boolean AST
+            ast = bq.expand_synonyms(ast, synonyms)
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)

@@ -2125,7 +2125,9 @@ class LocalSearcher:
                 out[s["query_id"]] = self.search(s["terms"], mode, k)
         return out
 
-    def search_bool(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_bool(
+        self, query: str, k: int = 10, synonyms: "dict | None" = None
+    ) -> list[tuple[int, float]]:
         """Boolean query string — same semantics as
         IndexSearcher.search_bool, no Spark jobs."""
         import numpy as np
@@ -2144,6 +2146,8 @@ class LocalSearcher:
             ast = bq.expand_wildcards(
                 ast, self.expand_prefix, self.expand_fuzzy
             )
+        if synonyms:
+            ast = bq.expand_synonyms(ast, synonyms)
         terms = bq.all_terms(ast)
         pos_terms = bq.positive_terms(ast)
         req = bq.required_terms(ast)
