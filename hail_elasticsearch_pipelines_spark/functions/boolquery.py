@@ -112,9 +112,12 @@ class NestedTerm:
     match ES's ``object`` (cross-object) behavior, not ``nested``."""
 
     path: str  # dotted "field.leaf"
-    value: str  # facet-normalized match value
+    value: str  # facet-normalized match value ("" for exists atoms)
+    exists: bool = False  # _exists_:field.leaf — any object holds the leaf
 
     def key(self) -> str:
+        if self.exists:
+            return f"_exists_:{self.path}"
         return f"{self.path}:={self.value}"
 
 
@@ -287,6 +290,14 @@ def parse(
                     f"boost on a filter-context _exists_ atom: {t!r}"
                 )
             fld = t.split(":", 1)[1]
+            if "." in fld:  # nested leaf: any object holds the leaf
+                if fld not in nested_fields:
+                    raise QueryParseError(
+                        f"unknown nested path {fld!r} in {t!r} — the "
+                        "index's nested leaves are "
+                        f"{sorted(nested_fields) or '(none)'}"
+                    )
+                return NestedTerm(fld, "", exists=True)
             # raw field name (doc-value column) — same convention as
             # the range-atom syntax, which also keeps underscores
             if not re.fullmatch(r"[a-z0-9_]+", fld):

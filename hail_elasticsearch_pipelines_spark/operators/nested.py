@@ -106,15 +106,10 @@ def atom_match_df(searcher, nt) -> DataFrame:
     scan; the doclens semi-join bounds the result to live primaries."""
     field, leaf = _split_path(searcher, nt.path)
     nd = nested_df(searcher)
-    ids = (
-        nd.filter(
-            (F.col("field") == field)
-            & (F.col("leaf") == leaf)
-            & (F.col("value") == nt.value)
-        )
-        .select("doc_id")
-        .distinct()
-    )
+    pred = (F.col("field") == field) & (F.col("leaf") == leaf)
+    if not getattr(nt, "exists", False):
+        pred &= F.col("value") == nt.value
+    ids = nd.filter(pred).select("doc_id").distinct()
     live = searcher.spark.read.parquet(searcher._doclens_path).select("doc_id")
     return ids.join(live, "doc_id", "left_semi")
 
@@ -286,7 +281,8 @@ def local_atom_ids(local, nt) -> np.ndarray:
     one NestedTerm, read via a pyarrow dataset scan with field=
     partition pruning and (leaf, value) predicate pushdown."""
     field, leaf = _split_path(local, nt.path)
-    tbl = _local_scan(local, field, leaf, nt.value, columns=["doc_id"])
+    value = None if getattr(nt, "exists", False) else nt.value
+    tbl = _local_scan(local, field, leaf, value, columns=["doc_id"])
     ids = np.unique(tbl.column("doc_id").to_numpy(zero_copy_only=False))
     return _live_only(local, ids.astype(np.int64))
 
@@ -321,14 +317,10 @@ def _local_scan(local, field: str, leaf: str, value: str, columns):
             "column was present at build time"
         )
     dataset = ds.dataset(path, format="parquet", partitioning="hive")
-    return dataset.to_table(
-        columns=columns,
-        filter=(
-            (ds.field("field") == field)
-            & (ds.field("leaf") == leaf)
-            & (ds.field("value") == value)
-        ),
-    )
+    pred = (ds.field("field") == field) & (ds.field("leaf") == leaf)
+    if value is not None:  # None = exists atom (any value)
+        pred &= ds.field("value") == value
+    return dataset.to_table(columns=columns, filter=pred)
 
 
 def _live_only(local, ids: np.ndarray) -> np.ndarray:

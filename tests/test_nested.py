@@ -173,6 +173,29 @@ class TestAtoms:
         ) == len(L.matched_ids(q, "BOOL"))
         assert L.search_count(q, "BOOL") > 0
 
+    def test_nested_exists_atom(self, spark, nested_index):
+        """`_exists_:links.anchor` — docs with ≥1 object holding the
+        leaf: parity, composition, and ground truth (every 7th doc has
+        no links array at all)."""
+        out, _ = nested_index
+        s, L = IndexSearcher(spark, out), LocalSearcher(out)
+        q = "the AND _exists_:links.anchor"
+        d = [(r.doc_id, r.score) for r in s.search_bool(q, k=500).collect()]
+        loc = L.search_bool(q, k=500)
+        assert d == loc and d
+        with_links = {
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(out, "nested")).collect()
+        }
+        the = {i for i, _ in L.search(["the"], mode="OR", k=10_000)}
+        assert {i for i, _ in d} == the & with_links
+        # NOT composition: docs lacking the field entirely
+        none = set(L.matched_ids("the AND NOT _exists_:links.anchor", "BOOL").tolist())
+        assert none == the - with_links and none
+        # unknown nested path still fails loud
+        with pytest.raises(bq.QueryParseError, match="unknown nested path"):
+            L.search_bool("the AND _exists_:links.nope", k=5)
+
     def test_matched_ids_parity(self, spark, nested_index):
         out, _ = nested_index
         s, L = IndexSearcher(spark, out), LocalSearcher(out)
