@@ -206,11 +206,25 @@ def embedding_cosine_pairs(
     planes_per_band: int = 8,
     seed: int = 11,
     max_bucket_df: int | None = 10_000,
+    mode: str = "pairs",
 ) -> DataFrame:
     """Embedding near-dup pairs via MULTI-BAND hyperplane LSH: a pair is
     a candidate when it agrees on ALL sign bits of AT LEAST ONE band
     (independent plane sets per band — the MinHash-banding shape), then
     verified with exact cosine >= threshold.
+
+    ``mode="star"`` (cluster semantics — the minhash/simhash guard,
+    dedup._star_edges): each bucket emits (bucket-min, member)
+    representative edges instead of the all-pairs self-join — O(n) per
+    bucket — then cosine-verifies member↔representative.  Same recall
+    contract as minhash_dedup_clusters: exact for duplicate-heavy
+    buckets (every member matches the rep — the regime that explodes),
+    but a pair sharing a bucket with an UNRELATED representative is
+    lost, so star mode wants selective buckets (raise
+    ``planes_per_band`` until random collisions are rare; a planted
+    near-dup still agrees on all bits with probability ≈
+    (1 − θ/π)^planes per band).  Feed the edges to connected
+    components.
 
     Scale design (round-2 fix): the previous single-table all-pairs join
     over 2^n_planes buckets goes quadratic in a hot bucket at 10^9+
@@ -249,17 +263,24 @@ def embedding_cosine_pairs(
             .filter(F.col("__bdf") <= F.lit(max_bucket_df))
             .drop("__bdf")
         )
-    a_side, b_side = bands.alias("a"), bands.alias("b")
-    cand = (
-        a_side.join(
-            b_side,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    if mode == "star":
+        from .dedup import _star_edges
+
+        cand = _star_edges(bands, ["band", "bucket"], [])
+    elif mode == "pairs":
+        a_side, b_side = bands.alias("a"), bands.alias("b")
+        cand = (
+            a_side.join(
+                b_side,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    else:
+        raise ValueError(f"unknown candidate mode {mode!r}")
     va = b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     vb = b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = cand.join(va, "id_a").join(vb, "id_b")

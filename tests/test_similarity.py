@@ -103,6 +103,44 @@ def test_embedding_pairs_hot_bucket_cap(spark):
     assert capped <= 4 * 10 * 9 / 2  # <= n_bands * C(cap, 2)
 
 
+def test_embedding_pairs_star_mode(spark, planted_df):
+    """mode='star': O(members) representative edges per bucket, still
+    cosine-verified — every planted duplicate stays connected to its
+    twin through the edge set, and a 200-copy dup farm costs O(n)
+    edges instead of the capped self-join."""
+    # star verifies member<->REPRESENTATIVE, so buckets must be
+    # selective enough that random vectors rarely collide (16 planes =
+    # 65k buckets for 300 vectors; the ~0.99997-cosine planted twins
+    # still agree on all 16 bits with prob ~0.96 per band, 4 bands)
+    edges = sim.embedding_cosine_pairs(
+        planted_df, threshold=0.9, n_bands=4, planes_per_band=16, mode="star"
+    ).collect()
+    # build components from the star edges: each planted pair must
+    # land in one component
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for r in edges:
+        parent[find(r["id_a"])] = find(r["id_b"])
+    for i in range(150):
+        assert find(i) == find(i + 1000), i
+    # dup farm: edges stay linear in members
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(16)
+    rows = [
+        (int(i), [float(x) for x in base + 0.0001 * rng.standard_normal(16)])
+        for i in range(200)
+    ]
+    farm = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_edges = sim.embedding_cosine_pairs(
+        farm, threshold=-1.0, n_bands=4, planes_per_band=8, mode="star"
+    ).count()
+    assert n_edges <= 4 * 199  # <= n_bands * (members - 1)
+
+
 def test_ann_lcg_planes_match_python(emb_df):
     """LCG-generated planes: engine buckets equal a pure-Python
     recomputation of the documented integer formula."""
