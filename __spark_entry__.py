@@ -1059,6 +1059,15 @@ def _q_synonym_search(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_nested_terms(spark, sf):
+    """ES nested terms aggregation: top links.anchor values across the
+    matching docs' nested objects (distinct parent docs per value —
+    the nested + reverse_nested shape)."""
+    return _searcher(spark, sf).search_nested_terms(
+        OR_TERMS, "links", "anchor", size=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gate verifies the FIRST 50 entries only.
     # Rotation policy (round 6): rows never driver-oracled (r5 additions
@@ -1115,13 +1124,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_phrase": _q_suggest_phrase,
         "termvectors_doc0": _q_termvectors,
         "synonym_search": _q_synonym_search,
+        "nested_terms_anchor": _q_nested_terms,
         # -- long-green staples (fill to 50) ------------------------------
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
         "facet_counts": _q_facet_counts,
         "search_count": _q_search_count,
-        "range_search": _q_range_search,
         # ---- entries below rank past the driver's 50-row cap ----------
+        "range_search": _q_range_search,
         "sort_recent": _q_sort_recent,
         "highlight_top3": _q_highlight_top3,
         "min_should_match2": _q_min_should_match2,
@@ -2047,6 +2057,24 @@ SELECT tv.term, tv.tf, vocab.df, tv.first_pos::INT AS first_pos
 FROM tv JOIN vocab USING (term) ORDER BY term
 """
 
+_NESTED_TERMS_SQL = (
+    _DV_MATCH_CTE
+    + """
+, anchors AS (
+  -- distinct (doc, anchor) pairs rebuilt from doc_id: obj0 anchor =
+  -- a<id%5>, obj1 anchor = a<(id+1)%5>; every 13th doc has no links
+  SELECT doc_id, 'a' || (doc_id % 5)::VARCHAR AS value
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION
+  SELECT doc_id, 'a' || ((doc_id + 1) % 5)::VARCHAR
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT value, count(DISTINCT doc_id)::BIGINT AS doc_count
+FROM anchors JOIN m USING (doc_id)
+GROUP BY value ORDER BY doc_count DESC, value ASC LIMIT 10
+"""
+)
+
 _NESTED_FILTER_SQL = (
     _BM25_CTES
     + f"""
@@ -2282,6 +2310,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_phrase": _SUGGEST_PHRASE_SQL,
         "termvectors_doc0": _TERMVECTORS_SQL,
         "synonym_search": _SYNONYM_SEARCH_SQL,
+        "nested_terms_anchor": _NESTED_TERMS_SQL,
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "cardinality_src": _CARDINALITY_SQL,
         "sig_terms_src": _SIG_TERMS_SQL,

@@ -2591,6 +2591,18 @@ class IndexSearcher:
 
         return nst.nested_match_ids(self, field, conditions)
 
+    def search_nested_terms(
+        self, query, field: str, leaf: str, size: int = 10,
+        mode: str = "OR", count: str = "docs",
+    ) -> DataFrame:
+        """ES nested terms aggregation (see
+        operators/nested.search_nested_terms)."""
+        from . import nested as nst
+
+        return nst.search_nested_terms(
+            self, query, field, leaf, size, mode, count
+        )
+
     def nested_inner_hits(self, field: str, conditions: dict) -> DataFrame:
         """ES inner_hits: the matching (doc_id, obj) object identities
         themselves (see operators/nested.nested_inner_hits)."""

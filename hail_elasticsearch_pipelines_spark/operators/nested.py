@@ -142,6 +142,87 @@ def nested_match_ids(searcher, field: str, conditions: dict) -> DataFrame:
     return out
 
 
+def search_nested_terms(
+    searcher,
+    query,
+    field: str,
+    leaf: str,
+    size: int = 10,
+    mode: str = "OR",
+    count: str = "docs",
+) -> DataFrame:
+    """ES nested ``terms`` aggregation: top leaf values across the
+    nested objects of the docs matching ``query`` —
+    DataFrame(value, doc_count) by (doc_count desc, value asc).
+
+    ``count="docs"`` (default) counts distinct PARENT documents per
+    value — the ES ``nested`` agg + ``reverse_nested`` shape (a doc
+    with three matching objects counts once).  ``count="objects"``
+    counts the nested objects themselves — the plain nested-agg
+    doc_count (ES counts hidden sub-documents there).
+
+    Plan: matched live ids (the shared aggregation front half) semi-
+    join the (field, leaf)-pruned sidecar scan; the shuffle carries
+    (value, doc_id|obj) rows of MATCHING docs only, then one count
+    aggregation — never the corpus."""
+    from .docvalues import matched_ids
+
+    _split_path(searcher, f"{field}.{leaf}")
+    if count not in ("docs", "objects"):
+        raise DocValueError("count must be 'docs' or 'objects'")
+    ids = matched_ids(searcher, query, mode)
+    nd = nested_df(searcher).filter(
+        (F.col("field") == field) & (F.col("leaf") == leaf)
+    )
+    hit = nd.join(ids, "doc_id", "left_semi")
+    if count == "docs":
+        agg = hit.groupBy("value").agg(
+            F.countDistinct("doc_id").alias("doc_count")
+        )
+    else:
+        agg = hit.select("value", "doc_id", "obj").distinct().groupBy(
+            "value"
+        ).agg(F.count(F.lit(1)).alias("doc_count"))
+    return agg.orderBy(F.desc("doc_count"), F.asc("value")).limit(int(size))
+
+
+def local_nested_terms(
+    local, query, field: str, leaf: str, size: int = 10,
+    mode: str = "OR", count: str = "docs",
+) -> "list[tuple[str, int]]":
+    """Serving twin of search_nested_terms."""
+    from collections import Counter
+
+    _split_path(local, f"{field}.{leaf}")
+    if count not in ("docs", "objects"):
+        raise DocValueError("count must be 'docs' or 'objects'")
+    matched = local.matched_ids(query, mode)
+    tbl = _local_scan(
+        local, field, leaf, None, columns=["doc_id", "obj", "value"]
+    )
+    d = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = np.isin(d, matched)
+    vals = tbl.column("value").to_pylist()
+    c: Counter = Counter()
+    if count == "docs":
+        seen = set()
+        for i in np.flatnonzero(keep):
+            k = (int(d[i]), vals[i])
+            if k not in seen:
+                seen.add(k)
+                c[vals[i]] += 1
+    else:
+        objs = tbl.column("obj").to_numpy(zero_copy_only=False)
+        seen = set()
+        for i in np.flatnonzero(keep):
+            k = (int(d[i]), int(objs[i]), vals[i])
+            if k not in seen:
+                seen.add(k)
+                c[vals[i]] += 1
+    out = sorted(c.items(), key=lambda r: (-r[1], r[0]))
+    return [(v, int(n)) for v, n in out[: int(size)]]
+
+
 def nested_inner_hits(searcher, field: str, conditions: dict) -> DataFrame:
     """ES ``inner_hits`` for a nested query: WHICH objects matched —
     DataFrame(doc_id, obj) of every (live doc, array position) whose

@@ -1335,6 +1335,18 @@ class LocalSearcher:
             ids = ids[~np.isin(ids, dead)]
         return ids
 
+    def search_nested_terms(
+        self, query, field: str, leaf: str, size: int = 10,
+        mode: str = "OR", count: str = "docs",
+    ) -> "list[tuple[str, int]]":
+        """ES nested terms aggregation — serving twin (see
+        operators/nested.local_nested_terms)."""
+        from . import nested as nst
+
+        return nst.local_nested_terms(
+            self, query, field, leaf, size, mode, count
+        )
+
     def nested_inner_hits(
         self, field: str, conditions: dict
     ) -> "list[tuple[int, int]]":

@@ -300,6 +300,47 @@ class TestSameObject:
             s.search_range(["the"], "links", lo=0)
 
 
+class TestNestedTermsAgg:
+    def test_docs_and_objects_counts(self, spark, nested_index):
+        out, _ = nested_index
+        s, L = IndexSearcher(spark, out), LocalSearcher(out)
+        for count in ("docs", "objects"):
+            d = [
+                (r.value, r.doc_count)
+                for r in s.search_nested_terms(
+                    ["the"], "links", "anchor", size=10, count=count
+                ).collect()
+            ]
+            loc = L.search_nested_terms(
+                ["the"], "links", "anchor", size=10, count=count
+            )
+            assert d == loc and d, count
+        # ground truth for count="docs": distinct matching parents per
+        # value over the sidecar
+        nd = spark.read.parquet(os.path.join(out, "nested")).filter(
+            F.col("leaf") == "anchor"
+        )
+        the = {i for i, _ in L.search(["the"], mode="OR", k=10_000)}
+        import collections
+
+        want: dict = collections.Counter()
+        for r in nd.select("doc_id", "value").distinct().collect():
+            if r.doc_id in the:
+                want[r.value] += 1
+        got = dict(
+            L.search_nested_terms(["the"], "links", "anchor", size=100)
+        )
+        assert got == dict(want)
+        # objects >= docs per value (two objects can share an anchor)
+        docs_c = dict(L.search_nested_terms(["the"], "links", "anchor", 100))
+        obj_c = dict(
+            L.search_nested_terms(["the"], "links", "anchor", 100, count="objects")
+        )
+        assert all(obj_c[v] >= c for v, c in docs_c.items())
+        with pytest.raises(DocValueError, match="docs.*objects"):
+            L.search_nested_terms(["the"], "links", "anchor", count="x")
+
+
 class TestPlan:
     def test_nested_pushdown_reaches_scan(self, spark, nested_index):
         """100×-scale posture: a nested-atom resolution must be a
