@@ -856,6 +856,42 @@ def _q_date_histogram(spark, sf):
     )
 
 
+def _q_histo_pipeline_day(spark, sf):
+    """ES pipeline aggregations over a date_histogram parent:
+    derivative (day-over-day change) + a trailing 3-bucket moving
+    average, computed over the aggregated bucket series (the window is
+    bounded by bucket cardinality, never corpus size).  The NULL
+    first-bucket derivative is sentinel-encoded for the value hash."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        histogram_pipeline,
+    )
+
+    r = histogram_pipeline(
+        _searcher(spark, sf), OR_TERMS, "warc_ts", "day",
+        derivative=True, moving_avg=3,
+    )
+    return r.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        "doc_count",
+        F.coalesce(F.col("derivative"), F.lit(-1e9)).cast("long").alias("deriv_l"),
+        _micro(F.col("moving_avg")).alias("moving_micro"),
+    )
+
+
+def _q_max_bucket_day(spark, sf):
+    """ES max_bucket sibling pipeline agg: the day bucket(s) with the
+    highest match count (every tying key, per ES)."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        bucket_stat,
+    )
+
+    r = bucket_stat(_searcher(spark, sf), OR_TERMS, "warc_ts", "day", "max")
+    return r.select(
+        F.col("bucket").cast("long").alias("bucket_epoch"),
+        F.col("value").cast("long").alias("doc_count"),
+    )
+
+
 def _q_cardinality_src(spark, sf):
     """ES cardinality aggregation (exact mode for the oracle; the
     HLL++ approx mode is the 10^12-doc path)."""
@@ -1125,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "termvectors_doc0": _q_termvectors,
         "synonym_search": _q_synonym_search,
         "nested_terms_anchor": _q_nested_terms,
+        "histo_pipeline_day": _q_histo_pipeline_day,
+        "max_bucket_day": _q_max_bucket_day,
         # -- long-green staples (fill to 50) ------------------------------
         "bool_search": _q_bool_search,
         "fielded_search": _q_fielded_search,
@@ -2105,6 +2143,39 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 )
 
+# pipeline aggregations over the day histogram: derivative = lag diff
+# (first bucket NULL → the same -1e9 sentinel the Spark row uses),
+# moving avg = trailing 3-bucket window; both windows run over the
+# aggregated bucket series
+_HISTO_PIPELINE_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+, h AS (
+  SELECT date_trunc('day', {_DV_TS}) AS b, count(*)::BIGINT AS doc_count
+  FROM m GROUP BY 1
+)
+SELECT epoch(b)::BIGINT AS bucket_epoch, doc_count,
+       CAST(coalesce(
+         (doc_count - lag(doc_count) OVER (ORDER BY b))::DOUBLE,
+         -1000000000.0) AS BIGINT) AS deriv_l,
+       {_micro_sql('avg(doc_count) OVER (ORDER BY b ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)')} AS moving_micro
+FROM h ORDER BY bucket_epoch
+"""
+)
+
+_MAX_BUCKET_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+, h AS (
+  SELECT date_trunc('day', {_DV_TS}) AS b, count(*)::BIGINT AS doc_count
+  FROM m GROUP BY 1
+)
+SELECT epoch(b)::BIGINT AS bucket_epoch, doc_count
+FROM h WHERE doc_count = (SELECT max(doc_count) FROM h)
+ORDER BY bucket_epoch
+"""
+)
+
 _CARDINALITY_SQL = (
     _DV_MATCH_CTE
     + """
@@ -2312,6 +2383,8 @@ def oracle_sql() -> dict[str, str]:
         "synonym_search": _SYNONYM_SEARCH_SQL,
         "nested_terms_anchor": _NESTED_TERMS_SQL,
         "date_histogram": _DATE_HISTOGRAM_SQL,
+        "histo_pipeline_day": _HISTO_PIPELINE_SQL,
+        "max_bucket_day": _MAX_BUCKET_SQL,
         "cardinality_src": _CARDINALITY_SQL,
         "sig_terms_src": _SIG_TERMS_SQL,
         "bool_range_search": _BOOL_RANGE_SQL,

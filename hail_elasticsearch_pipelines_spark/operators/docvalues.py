@@ -1575,3 +1575,150 @@ def _search_decay_bool(
     return partials.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
         int(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline aggregations (ES derivative / moving_fn / serial_diff /
+# bucket_selector / bucket_sort, and the sibling *_bucket family)
+# ---------------------------------------------------------------------------
+
+_SORTABLE = ("bucket", "doc_count", "cum_count", "derivative",
+             "moving_avg", "serial_diff")
+
+
+def histogram_pipeline(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    interval,
+    mode: str = "OR",
+    *,
+    cumulative: bool = False,
+    derivative: bool = False,
+    moving_avg: int | None = None,
+    serial_diff: int | None = None,
+    min_doc_count: int | None = None,
+    sort_by: tuple[str, str] | None = None,
+    size: int | None = None,
+) -> DataFrame:
+    """ES pipeline aggregations over a ``date_histogram``/``histogram``
+    parent — one frame with the parent buckets plus any requested
+    pipeline columns, in ES evaluation order:
+
+    1. parent buckets (``search_value_histogram`` — bucket, doc_count),
+    2. per-bucket pipeline metrics over bucket order:
+       ``cumulative`` → ``cum_count`` (cumulative_sum),
+       ``derivative`` → ``derivative`` = doc_count − previous bucket's
+       (NULL in the first bucket, the ES no-lag convention),
+       ``moving_avg=w`` → ``moving_avg`` = mean of the trailing window
+       of w buckets ending at the current one (ES moving_fn with
+       ``shift=0`` and an unweighted avg),
+       ``serial_diff=n`` → ``serial_diff`` = doc_count − the bucket n
+       steps back (NULL for the first n buckets),
+    3. ``min_doc_count`` → the ES ``bucket_selector`` filter
+       (``params.count >= N``) applied AFTER the pipeline metrics, so
+       derivatives keep seeing the pruned neighbours, exactly as ES
+       evaluates selector scripts after sibling pipeline aggs,
+    4. ``sort_by=(col, "asc"|"desc")`` + ``size`` → ``bucket_sort``
+       (bucket ascending is the tie-break and the default order).
+
+    Every window runs over the already-aggregated buckets (one row per
+    bucket), so the single-partition window is bounded by bucket
+    cardinality — never corpus size — the same scale argument as the
+    cumulative_sum agg (H25).
+    """
+    from pyspark.sql.window import Window
+
+    h = search_value_histogram(searcher, query, field, interval, mode)
+    w = Window.orderBy("bucket")
+    if cumulative:
+        h = h.withColumn(
+            "cum_count",
+            F.sum("doc_count")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    if derivative:
+        h = h.withColumn(
+            "derivative",
+            (F.col("doc_count") - F.lag("doc_count", 1).over(w)).cast("double"),
+        )
+    if moving_avg is not None:
+        mw = int(moving_avg)
+        if mw <= 0:
+            raise DocValueError("moving_avg window must be a positive int")
+        h = h.withColumn(
+            "moving_avg",
+            F.avg("doc_count").over(w.rowsBetween(-(mw - 1), Window.currentRow)),
+        )
+    if serial_diff is not None:
+        lag_n = int(serial_diff)
+        if lag_n <= 0:
+            raise DocValueError("serial_diff lag must be a positive int")
+        h = h.withColumn(
+            "serial_diff",
+            (F.col("doc_count") - F.lag("doc_count", lag_n).over(w)).cast(
+                "double"
+            ),
+        )
+    if min_doc_count is not None:
+        h = h.filter(F.col("doc_count") >= int(min_doc_count))
+    if sort_by is not None:
+        col, direction = sort_by
+        if col not in h.columns or col not in _SORTABLE:
+            raise DocValueError(
+                f"bucket_sort key {col!r} is not a computed column "
+                f"(have {h.columns})"
+            )
+        if direction not in ("asc", "desc"):
+            raise DocValueError("bucket_sort direction must be asc|desc")
+        key = F.col(col).asc() if direction == "asc" else F.col(col).desc()
+        h = h.orderBy(key, F.col("bucket").asc())
+    else:
+        h = h.orderBy("bucket")
+    if size is not None:
+        h = h.limit(int(size))
+    return h
+
+
+def bucket_stat(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    interval,
+    stat: str,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES sibling pipeline aggregations ``max_bucket`` / ``min_bucket``
+    / ``avg_bucket`` / ``sum_bucket`` over a histogram parent —
+    DataFrame(bucket, value):
+
+    * ``max``/``min``: one row per bucket achieving the extreme
+      doc_count (ES returns the full ``keys`` list on ties), bucket
+      ascending;
+    * ``avg``/``sum``: a single row with bucket NULL (sibling stats
+      have no single key) and the statistic over every parent bucket.
+
+    The reduction runs over the aggregated bucket frame (rows = bucket
+    cardinality), so the extra stage is a scalar aggregate, never a
+    corpus-sized shuffle."""
+    stat_l = str(stat).lower()
+    if stat_l not in ("max", "min", "avg", "sum"):
+        raise DocValueError("bucket_stat takes stat in {max, min, avg, sum}")
+    h = search_value_histogram(searcher, query, field, interval, mode)
+    if stat_l in ("avg", "sum"):
+        agg = (
+            F.avg("doc_count") if stat_l == "avg" else
+            F.sum("doc_count").cast("double")
+        )
+        return h.agg(
+            F.lit(None).cast(h.schema["bucket"].dataType).alias("bucket"),
+            agg.alias("value"),
+        )
+    ext = F.max("doc_count") if stat_l == "max" else F.min("doc_count")
+    best = h.agg(ext.alias("value"))
+    return (
+        h.join(F.broadcast(best), h["doc_count"] == best["value"], "inner")
+        .select("bucket", F.col("value").cast("double").alias("value"))
+        .orderBy("bucket")
+    )

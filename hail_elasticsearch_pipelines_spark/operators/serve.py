@@ -1452,6 +1452,106 @@ class LocalSearcher:
             c = np.cumsum(c)
         return list(zip(b.tolist(), c.tolist()))
 
+    def histogram_pipeline(
+        self, query, field: str, interval, mode: str = "OR", *,
+        cumulative: bool = False, derivative: bool = False,
+        moving_avg: "int | None" = None, serial_diff: "int | None" = None,
+        min_doc_count: "int | None" = None,
+        sort_by: "tuple[str, str] | None" = None, size: "int | None" = None,
+    ) -> list[tuple]:
+        """ES pipeline aggregations over a histogram parent — serving
+        twin of docvalues.histogram_pipeline: same column order
+        (bucket, doc_count[, cum_count][, derivative][, moving_avg]
+        [, serial_diff]), same evaluation order (pipeline metrics →
+        bucket_selector → bucket_sort), same exact integer window sums
+        (moving_avg = Σwindow/|window| over int64, bit-identical to the
+        distributed F.avg of longs)."""
+        from .docvalues import _SORTABLE, DocValueError
+
+        rows = self.search_value_histogram(query, field, interval, mode)
+        buckets = [r[0] for r in rows]
+        c = np.asarray([r[1] for r in rows], dtype=np.int64)
+        cols: dict[str, list] = {
+            "bucket": buckets,
+            "doc_count": c.tolist(),
+        }
+        if cumulative:
+            cols["cum_count"] = np.cumsum(c).tolist()
+        if derivative:
+            cols["derivative"] = [None] + (c[1:] - c[:-1]).astype(
+                np.float64
+            ).tolist()
+        if moving_avg is not None:
+            mw = int(moving_avg)
+            if mw <= 0:
+                raise DocValueError("moving_avg window must be a positive int")
+            cs = np.concatenate([[0], np.cumsum(c)])
+            mv = []
+            for i in range(c.size):
+                lo = max(0, i - mw + 1)
+                mv.append(float(cs[i + 1] - cs[lo]) / (i + 1 - lo))
+            cols["moving_avg"] = mv
+        if serial_diff is not None:
+            lag_n = int(serial_diff)
+            if lag_n <= 0:
+                raise DocValueError("serial_diff lag must be a positive int")
+            cols["serial_diff"] = [None] * min(lag_n, c.size) + (
+                c[lag_n:] - c[:-lag_n]
+            ).astype(np.float64).tolist()
+        names = list(cols)
+        out = [tuple(cols[n][i] for n in names) for i in range(c.size)]
+        if min_doc_count is not None:
+            m = int(min_doc_count)
+            out = [r for r in out if r[1] >= m]
+        if sort_by is not None:
+            col, direction = sort_by
+            if col not in names or col not in _SORTABLE:
+                raise DocValueError(
+                    f"bucket_sort key {col!r} is not a computed column "
+                    f"(have {names})"
+                )
+            if direction not in ("asc", "desc"):
+                raise DocValueError("bucket_sort direction must be asc|desc")
+            j = names.index(col)
+            if col == "bucket":
+                out.sort(key=lambda r: r[0], reverse=(direction == "desc"))
+            else:
+                # numeric keys; Spark NULL order (asc NULLS FIRST, desc
+                # NULLS LAST) == treating NULL as -inf in both, so
+                # negating the filled value for desc puts NULLs last
+                sgn = 1.0 if direction == "asc" else -1.0
+                out.sort(
+                    key=lambda r: (
+                        sgn * (float("-inf") if r[j] is None else float(r[j])),
+                        r[0],
+                    )
+                )
+        if size is not None:
+            out = out[: int(size)]
+        return out
+
+    def bucket_stat(
+        self, query, field: str, interval, stat: str, mode: str = "OR"
+    ) -> list[tuple]:
+        """ES sibling pipeline aggs (max/min/avg/sum _bucket) — serving
+        twin of docvalues.bucket_stat: [(bucket, value)], max/min emit
+        every tying bucket ascending, avg/sum one (None, value) row."""
+        from .docvalues import DocValueError
+
+        stat_l = str(stat).lower()
+        if stat_l not in ("max", "min", "avg", "sum"):
+            raise DocValueError("bucket_stat takes stat in {max, min, avg, sum}")
+        rows = self.search_value_histogram(query, field, interval, mode)
+        c = np.asarray([r[1] for r in rows], dtype=np.int64)
+        if stat_l == "sum":
+            return [(None, float(c.sum()) if c.size else None)]
+        if stat_l == "avg":
+            return [(None, float(c.sum()) / c.size if c.size else None)]
+        if not c.size:
+            return []
+        ext = c.max() if stat_l == "max" else c.min()
+        return [(b, float(n)) for b, n in rows if n == ext]
+
     def search_percentiles(
         self, query, field: str, percents=(0.25, 0.5, 0.75, 0.95),
         mode: str = "OR",
