@@ -493,6 +493,14 @@ def _q_phrase_slop(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_phrase_prefix(spark, sf):
+    """ES match_phrase_prefix (autocomplete-as-you-type): 'row s' —
+    'row' followed by any indexed s* expansion; the expansions merge
+    into one pseudo-term posting, scored like a phrase."""
+    r = _searcher(spark, sf).search_phrase_prefix(["row", "s"], k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_mlt_doc0(spark, sf):
     """ES more_like_this (r5): doc 0's text as the `like` input — top
     tf-idf terms (df >= 2 floor, ties term-asc) run as a BM25 OR; the
@@ -1162,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": _q_synonym_search,
         "nested_terms_anchor": _q_nested_terms,
         "histo_pipeline_day": _q_histo_pipeline_day,
+        "phrase_prefix_search": _q_phrase_prefix,
         "max_bucket_day": _q_max_bucket_day,
         # -- long-green staples (fill to 50) ------------------------------
         "bool_search": _q_bool_search,
@@ -1345,15 +1354,20 @@ SELECT doc_id,
 FROM tok
 """
 
-def _phrase_sql(phrase: list[str], k: int, slop: int = 0) -> str:
+def _phrase_sql(
+    phrase: list[str], k: int, slop: int = 0, last_prefix: str | None = None
+) -> str:
     """BM25 of the phrase as one pseudo-term: tf via an adjacency
     (slop=0) or in-order-window (slop>0) self-join over (token,
     position).  With slop, tf counts DISTINCT start positions — the
     greedy-chain count of the engine kernel (existence of any chain ==
     greedy success: all constraints are upper bounds on an increasing
-    chain)."""
-    joins, conds = [], [f"p0.term = '{phrase[0]}'"]
-    for i in range(1, len(phrase)):
+    chain).  ``last_prefix`` appends a final match_phrase_prefix slot:
+    any token carrying the prefix completes the chain (LIKE condition;
+    DISTINCT starts, since several expansions may complete one start)."""
+    terms = list(phrase) + ([None] if last_prefix is not None else [])
+    joins, conds = [], [f"p0.term = '{terms[0]}'"]
+    for i in range(1, len(terms)):
         if slop == 0:
             on = f"p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i}"
         else:
@@ -1362,8 +1376,14 @@ def _phrase_sql(phrase: list[str], k: int, slop: int = 0) -> str:
                 f"AND p{i}.i <= p0.i + {i} + {slop}"
             )
         joins.append(f"JOIN pos p{i} ON {on}")
-        conds.append(f"p{i}.term = '{phrase[i]}'")
-    tf_expr = "count(*)" if slop == 0 else "count(DISTINCT p0.i)"
+        if terms[i] is None:
+            conds.append(f"p{i}.term LIKE '{last_prefix}%'")
+        else:
+            conds.append(f"p{i}.term = '{terms[i]}'")
+    tf_expr = (
+        "count(*)" if slop == 0 and last_prefix is None
+        else "count(DISTINCT p0.i)"
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id, {TOK} AS toks FROM documents
@@ -2537,6 +2557,7 @@ FROM agg ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "phrase_search": _phrase_sql(PHRASE, 20),
         "phrase_slop": _phrase_sql(PHRASE, 20, slop=2),
+        "phrase_prefix_search": _phrase_sql(["row"], 20, last_prefix="s"),
         "bool_phrase_search": _BOOL_PHRASE_SQL,
         "percolate_hits": _PERCOLATE_SQL,
         "adjacency_matrix": _ADJACENCY_SQL,

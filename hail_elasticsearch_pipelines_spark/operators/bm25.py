@@ -727,6 +727,41 @@ def _phrase_match_counts(
     return np.bincount(doc_idx, minlength=C).astype(np.int64)
 
 
+def _merge_posting_variants(entries: list[tuple]) -> tuple:
+    """Merge several terms' positional postings into ONE synthetic
+    posting (docs = union, per-doc positions = sorted union across the
+    variants, dl carried from any variant — same doc, same field, same
+    length).  The multi-term-synonym primitive behind
+    ``match_phrase_prefix``: the expanded prefix behaves as a single
+    pseudo-term occupying the final phrase slot.  Distinct variants can
+    never collide on a position (one token per position), so the union
+    needs no dedup."""
+    if len(entries) == 1:
+        return entries[0]
+    doc_rep, pos_all, docs_l, dls_l = [], [], [], []
+    for d, dl, pos, offs in entries:
+        doc_rep.append(np.repeat(d, np.diff(offs)))
+        pos_all.append(pos)
+        docs_l.append(d)
+        dls_l.append(dl)
+    all_doc = np.concatenate(doc_rep)
+    all_pos = np.concatenate(pos_all)
+    order = np.lexsort((all_pos, all_doc))
+    all_doc, all_pos = all_doc[order], all_pos[order]
+    docs_u, starts = np.unique(all_doc, return_index=True)
+    offs_u = np.concatenate([starts, [all_pos.size]]).astype(np.int64)
+    cat_d = np.concatenate(docs_l)
+    cat_dl = np.concatenate(dls_l)
+    o2 = np.argsort(cat_d, kind="stable")
+    dl_u = cat_dl[o2][np.searchsorted(cat_d[o2], docs_u)]
+    return docs_u, dl_u, all_pos, offs_u
+
+
+# reserved pseudo-term key for the merged prefix slot ('\x00' sorts
+# before any indexable character, so it can never collide with a term)
+_PFX_SLOT = "\x00pfx"
+
+
 def _check_unique_terms(pdf: pd.DataFrame) -> None:
     """Each (term, segment) must hold exactly ONE postings row — the
     invariant extend_index's segment alignment guarantees.  Raise loudly
@@ -3297,6 +3332,12 @@ class IndexSearcher:
                 "built with with_positions=False — rebuild with positions"
             )
         matches = self._phrase_matches(phrase, slop)
+        return self._score_phrase_matches(matches, k)
+
+    def _score_phrase_matches(self, matches: DataFrame, k: int) -> DataFrame:
+        """Back half of search_phrase / search_phrase_prefix: count the
+        materialized matches for the pseudo-term's global df, then score
+        JVM-side with the exact float64 oracle expression."""
         matches.persist()
         try:
             df_count = matches.count()
@@ -3317,10 +3358,52 @@ class IndexSearcher:
         finally:
             matches.unpersist()
 
-    def _phrase_matches(self, phrase: list[str], slop: int = 0) -> DataFrame:
-        """DataFrame(doc_id, tf, dl) of phrase-chain matches."""
-        terms_sorted = sorted(set(phrase))
-        phrase_t = list(phrase)
+    def search_phrase_prefix(
+        self,
+        phrase: list[str],
+        k: int = 10,
+        slop: int = 0,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> DataFrame:
+        """ES ``match_phrase_prefix`` — autocomplete-as-you-type: the
+        LAST token is a prefix; a doc matches when the leading tokens
+        form a phrase chain (same slop semantics as search_phrase)
+        whose final slot holds ANY indexed expansion of the prefix.
+        Expansion is the termdict range scan (expand_prefix, typed cap);
+        the expansions merge into one synthetic pseudo-term posting per
+        segment (_merge_posting_variants — the Lucene multi-term-synonym
+        span), so the chain kernel and the one-pseudo-term scoring
+        contract (tf = chain starts, df = matching docs) run unchanged
+        and bit-identically to search_phrase when the prefix expands to
+        exactly one term."""
+        if not phrase:
+            raise ValueError("match_phrase_prefix needs at least one token")
+        if not self.manifest["params"].get("with_positions", True):
+            raise ValueError(
+                "phrase queries need positional postings, but this index was "
+                "built with with_positions=False — rebuild with positions"
+            )
+        lead, prefix = list(phrase[:-1]), str(phrase[-1])
+        expansions = self.expand_prefix(prefix, max_expansions)
+        if not expansions:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        matches = self._phrase_matches(lead, slop, expansions=expansions)
+        return self._score_phrase_matches(matches, k)
+
+    def _phrase_matches(
+        self,
+        phrase: list[str],
+        slop: int = 0,
+        expansions: "list[str] | None" = None,
+    ) -> DataFrame:
+        """DataFrame(doc_id, tf, dl) of phrase-chain matches.  With
+        ``expansions``, the phrase gains a FINAL slot that any of the
+        expanded terms may fill (the match_phrase_prefix shape): the
+        expansions present in a segment merge into one synthetic
+        posting via _merge_posting_variants."""
+        exp = sorted(set(expansions)) if expansions is not None else None
+        terms_sorted = sorted(set(phrase) | set(exp or ()))
+        phrase_t = list(phrase) + ([_PFX_SLOT] if exp is not None else [])
         slop_i = int(slop)
         get_deletes = self._segment_deletes_fn()
 
@@ -3335,6 +3418,11 @@ class IndexSearcher:
                 d, tf, dl = codecs.decode_postings(bytes(r.blob))
                 pos, offs = codecs.decode_position_lists(bytes(r.pos_blob), tf)
                 post[r.term] = (d, dl, pos, offs)
+            if exp is not None:
+                present = [post[v] for v in exp if v in post]
+                if not present:
+                    return pd.DataFrame(out)
+                post[_PFX_SLOT] = _merge_posting_variants(present)
             if not all(t in post for t in phrase_t):
                 return pd.DataFrame(out)
             common = reduce(

@@ -2395,17 +2395,29 @@ class LocalSearcher:
         d, s = _topk(np.concatenate(cand_d), np.concatenate(cand_s), k)
         return list(zip(d.tolist(), s.tolist()))
 
-    def _phrase_match_rows(self, phrase: list[str], slop: int = 0):
+    def _phrase_match_rows(
+        self,
+        phrase: list[str],
+        slop: int = 0,
+        expansions: "list[str] | None" = None,
+    ):
         """(docs, tfs, dls) arrays of every live phrase-chain match —
-        the shared front half of search_phrase and search_rescore."""
+        the shared front half of search_phrase, search_phrase_prefix
+        and search_rescore.  With ``expansions``, the final phrase slot
+        accepts any of the expanded terms (the match_phrase_prefix
+        shape — same synthetic merged posting as the distributed twin)."""
         import numpy as np
+
+        from .bm25 import _PFX_SLOT, _merge_posting_variants
 
         if not self.manifest["params"].get("with_positions", True):
             raise ValueError(
                 "phrase queries need positional postings, but this index was "
                 "built with with_positions=False — rebuild with positions"
             )
-        terms_sorted = sorted(set(phrase))
+        exp = sorted(set(expansions)) if expansions is not None else None
+        terms_sorted = sorted(set(phrase) | set(exp or ()))
+        phrase_t = list(phrase) + ([_PFX_SLOT] if exp is not None else [])
         tbl = self._term_rows(
             terms_sorted, ["term", "segment", "blob", "pos_blob"]
         )
@@ -2419,20 +2431,25 @@ class LocalSearcher:
                 d, tf, dl = self._decode_cached(t, int(seg), tbl["blob"][int(i)])
                 pos, offs = self._pos_cached(t, int(seg), tbl["pos_blob"][int(i)], tf)
                 _put_unique(post, t, (d, dl, pos, offs))
-            if not all(t in post for t in phrase):
+            if exp is not None:
+                present = [post[v] for v in exp if v in post]
+                if not present:
+                    continue
+                post[_PFX_SLOT] = _merge_posting_variants(present)
+            if not all(t in post for t in phrase_t):
                 continue
             from functools import reduce
 
             common = reduce(
                 lambda a, b: np.intersect1d(a, b, assume_unique=True),
-                (post[t][0] for t in dict.fromkeys(phrase)),
+                (post[t][0] for t in dict.fromkeys(phrase_t)),
             )
             dead = self._deletes.get(int(seg))
             if dead is not None and dead.size:
                 common = common[~np.isin(common, dead, assume_unique=True)]
-            d0, dl0, _, _ = post[phrase[0]]
+            d0, dl0, _, _ = post[phrase_t[0]]
             dl_idx = np.searchsorted(d0, common)
-            tfs = _phrase_match_counts(post, list(phrase), common, int(slop))
+            tfs = _phrase_match_counts(post, phrase_t, common, int(slop))
             hit = tfs > 0
             all_docs.extend(common[hit].tolist())
             all_tf.extend(tfs[hit].tolist())
@@ -2462,6 +2479,39 @@ class LocalSearcher:
         )
         scores = idf * w
         d, s = _topk(docs, scores, k)
+        return list(zip(d.tolist(), s.tolist()))
+
+    def search_phrase_prefix(
+        self,
+        phrase: list[str],
+        k: int = 10,
+        slop: int = 0,
+        max_expansions: int = DEFAULT_MAX_EXPANSIONS,
+    ) -> list[tuple[int, float]]:
+        """ES ``match_phrase_prefix`` — serving twin of
+        IndexSearcher.search_phrase_prefix, bit-identical: same prefix
+        expansion, same merged pseudo-term posting, same one-pseudo-term
+        scoring."""
+        from .index_build import BM25_B, BM25_K1
+
+        if not phrase:
+            raise ValueError("match_phrase_prefix needs at least one token")
+        lead, prefix = list(phrase[:-1]), str(phrase[-1])
+        expansions = self.expand_prefix(prefix, max_expansions)
+        if not expansions:
+            return []
+        docs, all_tf, all_dl = self._phrase_match_rows(
+            lead, slop, expansions=expansions
+        )
+        if not docs.size:
+            return []
+        idf = bm25_idf(self.n_docs, len(docs))
+        tf = all_tf.astype(np.float64)
+        dl = all_dl.astype(np.float64)
+        w = ((BM25_K1 + 1.0) * tf) / (
+            tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / self.avgdl)
+        )
+        d, s = _topk(docs, idf * w, k)
         return list(zip(d.tolist(), s.tolist()))
 
     def search_rescore(

@@ -127,10 +127,36 @@ class OracleIndex:
                 out[d] = c
         return out
 
+    def phrase_prefix_tfs(self, phrase: list[str], prefix: str) -> dict[int, int]:
+        """match_phrase_prefix chain count (slop=0): leading tokens
+        adjacent, final slot any token carrying the prefix."""
+        nlead = len(phrase)
+        out: dict[int, int] = {}
+        for d, toks in self.doc_tokens.items():
+            c = 0
+            for i in range(len(toks) - nlead):
+                if all(toks[i + j] == phrase[j] for j in range(nlead)) and toks[
+                    i + nlead
+                ].startswith(prefix):
+                    c += 1
+            if c:
+                out[d] = c
+        return out
+
+    def phrase_prefix_topk(
+        self, phrase: list[str], prefix: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k of the match_phrase_prefix pseudo-term."""
+        return self._pseudo_term_topk(self.phrase_prefix_tfs(phrase, prefix), k)
+
     def phrase_topk(self, phrase: list[str], k: int = 10) -> list[tuple[int, float]]:
         """BM25 top-k treating the phrase as one pseudo-term:
         tf = adjacency count, df = docs with tf > 0."""
-        tfs = self.phrase_tfs(phrase)
+        return self._pseudo_term_topk(self.phrase_tfs(phrase), k)
+
+    def _pseudo_term_topk(
+        self, tfs: dict[int, int], k: int
+    ) -> list[tuple[int, float]]:
         if not tfs:
             return []
         idf = bm25_idf(self.n_docs, len(tfs))

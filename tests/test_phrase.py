@@ -327,3 +327,77 @@ def test_rescore_weights_and_window(spark, small_index):
     assert r_slop  # runs; widened matches can only raise scores
     base = dict(L.search(["of", "the"], mode="OR", k=40))
     assert all(sc >= base[i] for i, sc in r_slop)
+
+
+# --- match_phrase_prefix (ES autocomplete-as-you-type) ----------------------
+
+PFX_CASES = [
+    (["the"], "term004"),       # stopword lead, 10-term expansion
+    (["of", "the"], "term00"),  # two-token lead, wide expansion
+    (["the"], "of"),            # single-term-ish prefix
+    ([], None),                 # placeholder (skipped below)
+]
+
+
+def test_phrase_prefix_matches_oracle(searcher, local_searcher, small_oracle):
+    oracle, _ = small_oracle
+    for lead, prefix in PFX_CASES:
+        if not lead:
+            continue
+        phrase = lead + [prefix]
+        expected = oracle.phrase_prefix_topk(lead, prefix, k=10)
+        dist = [
+            (r["doc_id"], r["score"])
+            for r in searcher.search_phrase_prefix(phrase, k=10).collect()
+        ]
+        loc = local_searcher.search_phrase_prefix(phrase, k=10)
+        assert dist == loc == expected, (lead, prefix)
+
+
+def test_phrase_prefix_single_expansion_is_exact_phrase(
+    searcher, local_searcher
+):
+    """A prefix expanding to exactly one term must score bit-identically
+    to the exact phrase through the merged-pseudo-term path."""
+    exp = searcher.expand_prefix("term0042")
+    assert exp == ["term0042"]
+    a = [
+        (r["doc_id"], r["score"])
+        for r in searcher.search_phrase_prefix(["the", "term0042"], k=10).collect()
+    ]
+    b = [
+        (r["doc_id"], r["score"])
+        for r in searcher.search_phrase(["the", "term0042"], k=10).collect()
+    ]
+    assert a == b == local_searcher.search_phrase_prefix(["the", "term0042"], k=10)
+
+
+def test_phrase_prefix_pure_prefix_token(searcher, local_searcher):
+    """Single-token query: every occurrence of any expansion counts as
+    one chain start (tf = merged occurrences)."""
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in searcher.search_phrase_prefix(["term004"], k=10).collect()
+    ]
+    loc = local_searcher.search_phrase_prefix(["term004"], k=10)
+    assert dist == loc and dist
+
+
+def test_phrase_prefix_slop_widens(searcher, local_searcher):
+    exact = local_searcher.search_phrase_prefix(["the", "term00"], k=500)
+    slop2 = local_searcher.search_phrase_prefix(["the", "term00"], k=500, slop=2)
+    assert {d for d, _ in exact} <= {d for d, _ in slop2}
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in searcher.search_phrase_prefix(["the", "term00"], k=20, slop=2).collect()
+    ]
+    assert dist == slop2[:20]
+
+
+def test_phrase_prefix_no_expansion_and_bad_args(searcher, local_searcher):
+    assert searcher.search_phrase_prefix(["the", "zzznope"], k=5).count() == 0
+    assert local_searcher.search_phrase_prefix(["the", "zzznope"], k=5) == []
+    with pytest.raises(ValueError):
+        searcher.search_phrase_prefix([], k=5)
+    with pytest.raises(ValueError):
+        local_searcher.search_phrase_prefix([], k=5)
