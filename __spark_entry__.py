@@ -582,6 +582,16 @@ def _q_fielded_search_and(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_dis_max_search(spark, sf):
+    """ES dis_max / multi_match best_fields: each field's own BM25 sum,
+    the doc scored by its best field plus 0.3 × the others."""
+    r = _searcher(spark, sf).search_fielded(
+        FIELDED_TERMS, fields=FIELDED_WEIGHTS, k=20, mode="BEST",
+        tie_breaker=0.3,
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_prefix_search(spark, sf):
     """Prefix/wildcard query (r5): termdict range expansion of 's*'
     (scan slow small sort spark stream) → bounded scoring-boolean OR;
@@ -1171,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_terms_anchor": _q_nested_terms,
         "histo_pipeline_day": _q_histo_pipeline_day,
         "phrase_prefix_search": _q_phrase_prefix,
+        "dis_max_search": _q_dis_max_search,
         "max_bucket_day": _q_max_bucket_day,
         # -- long-green staples (fill to 50) ------------------------------
         "bool_search": _q_bool_search,
@@ -1697,6 +1708,25 @@ FROM agg JOIN (
 """,
 )
 assert _FIELDED_AND_SQL != _FIELDED_SQL
+
+# dis_max / best_fields variant: per-field BM25 sums, max + 0.3 × rest
+# (scored additionally carries the field so fagg can group by it)
+_FIELDED_BEST_SQL = _FIELDED_SQL.replace(
+    "SELECT tf.doc_id,\n", "SELECT tf.doc_id, tf.field,\n"
+).replace(
+    """), agg AS (
+  SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
+)""",
+    """), fagg AS (
+  SELECT doc_id, field, sum(contrib) AS fscore
+  FROM scored GROUP BY doc_id, field
+), agg AS (
+  SELECT doc_id,
+         max(fscore) + 0.3 * (sum(fscore) - max(fscore)) AS score
+  FROM fagg GROUP BY doc_id
+)""",
+)
+assert _FIELDED_BEST_SQL != _FIELDED_SQL
 
 
 _FACET_COUNTS_SQL = f"""
@@ -2395,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fielded_search": _FIELDED_SQL,
         "fielded_search_and": _FIELDED_AND_SQL,
+        "dis_max_search": _FIELDED_BEST_SQL,
         "sort_recent": _SORT_RECENT_SQL,
         "range_search": _RANGE_SEARCH_SQL,
         "nested_filter": _NESTED_FILTER_SQL,

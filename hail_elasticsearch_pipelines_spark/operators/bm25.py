@@ -170,6 +170,46 @@ def _fielded_and_scores(
     return cand, scores
 
 
+def _fielded_best_scores(
+    postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    field_of: dict[str, str],
+    expanded_sorted: list[str],
+    idf: dict[str, float],
+    avgdl: "float | dict[str, float]",
+    tie_breaker: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES ``dis_max`` / ``multi_match best_fields`` kernel for one
+    segment: candidate docs are the cross-field union (should
+    semantics); each FIELD accumulates its own BM25 sum over its
+    present tokens (ascending expanded-term order, the determinism
+    contract), and the doc scores max(field sums) + tie_breaker ×
+    (sum of the other field sums).  BM25 idf is strictly positive, so
+    a field with no match contributes 0 and never wins the max."""
+    empty = np.array([], np.int64), np.array([], np.float64)
+    present = [t for t in expanded_sorted if t in postings]
+    if not present:
+        return empty
+    all_docs = reduce(np.union1d, (postings[t][0] for t in present))
+    fsum: dict[str, np.ndarray] = {}
+    for t in present:
+        d, tf, dl = postings[t]
+        arr = fsum.setdefault(
+            field_of[t], np.zeros(all_docs.size, dtype=np.float64)
+        )
+        idx = np.searchsorted(all_docs, d)
+        arr[idx] += idf[t] * bm25_tf_weight(tf, dl, _adl(avgdl, t))
+    stack = np.stack([fsum[f] for f in sorted(fsum)])
+    mx = stack.max(axis=0)
+    tot = stack.sum(axis=0)
+    return all_docs, mx + float(tie_breaker) * (tot - mx)
+
+
+def fielded_term_field(term: str) -> str:
+    """Field of an expanded fielded term: 'title:foo' → 'title', bare →
+    body ('text')."""
+    return term.split(":", 1)[0] if ":" in term else "text"
+
+
 def _match_dls(
     decoded: list[tuple[np.ndarray, np.ndarray]], matches: np.ndarray
 ) -> np.ndarray:
@@ -1796,6 +1836,7 @@ class IndexSearcher:
         fields: dict[str, float] | None = None,
         k: int = 10,
         mode: str = "OR",
+        tie_breaker: float = 0.0,
     ) -> DataFrame:
         """Multi-field BM25F-lite top-k — the ES ``multi_match``
         ``most_fields`` analog over the per-field postings the build
@@ -1814,7 +1855,13 @@ class IndexSearcher:
         mode="AND" is the ES ``operator: and`` variant: every query
         TOKEN must match in at least one of the fields (per-token
         cross-field OR, conjunction across tokens); matching docs still
-        score as the weighted most_fields sum."""
+        score as the weighted most_fields sum.
+
+        mode="BEST" is the ES ``dis_max`` / ``multi_match best_fields``
+        variant: each field accumulates its own BM25 sum and the doc
+        scores max(field sums) + ``tie_breaker`` × (the other field
+        sums) — the "one field should dominate" ranking for fields that
+        compete rather than complement (_fielded_best_scores)."""
         mode_u = mode.upper()
         text_fields = analyzed_fields_of(self.manifest)
         if fields is None:
@@ -1850,14 +1897,24 @@ class IndexSearcher:
                 t: weight[t] * bm25_idf(n_docs, int(d))
                 for t, d in zip(pdf["term"], pdf["df_global"])
             }
-            if mode_u == "AND":
+            if mode_u in ("AND", "BEST"):
                 postings = {}
                 for r in pdf.itertuples():
                     postings[r.term] = codecs.decode_postings(bytes(r.blob))
                 postings = _mask_deleted(postings, dead)
-                docs, scores = _fielded_and_scores(
-                    postings, variants, expanded, idf, avgdl
-                )
+                if mode_u == "AND":
+                    docs, scores = _fielded_and_scores(
+                        postings, variants, expanded, idf, avgdl
+                    )
+                else:
+                    docs, scores = _fielded_best_scores(
+                        postings,
+                        {t: fielded_term_field(t) for t in expanded},
+                        expanded,
+                        idf,
+                        avgdl,
+                        tie_breaker,
+                    )
                 docs, scores = _topk(docs, scores, k)
                 return pd.DataFrame({"doc_id": docs, "score": scores})
             cache = _BlockCache(pdf.itertuples())

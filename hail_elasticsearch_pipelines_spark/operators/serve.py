@@ -735,12 +735,20 @@ class LocalSearcher:
         fields: dict[str, float] | None = None,
         k: int = 10,
         mode: str = "OR",
+        tie_breaker: float = 0.0,
     ) -> list[tuple[int, float]]:
         """Multi-field BM25F-lite top-k — bit-identical to
         IndexSearcher.search_fielded (same expansion, same weighted-idf
         fold, same kernels with per-term field avgdl), served from the
-        hot-row cache (OR mode adds cross-segment pruning)."""
-        from .bm25 import _fielded_and_scores, _mask_deleted
+        hot-row cache (OR mode adds cross-segment pruning).  mode="BEST"
+        is the dis_max / best_fields variant (same kernel as the
+        distributed twin)."""
+        from .bm25 import (
+            _fielded_and_scores,
+            _fielded_best_scores,
+            _mask_deleted,
+            fielded_term_field,
+        )
 
         mode_u = mode.upper()
         text_fields = analyzed_fields_of(self.manifest)
@@ -755,12 +763,13 @@ class LocalSearcher:
         idf = {
             t: weight[t] * bm25_idf(self.n_docs, d) for t, d in dfs.items()
         }
-        if mode_u != "AND":
+        if mode_u not in ("AND", "BEST"):
             return self._search_pruned(expanded, "OR", k, idf, avgdl)
         variants = {
             t: sorted(t if f == "text" else f"{f}:{t}" for f in fields)
             for t in dict.fromkeys(terms)
         }
+        field_of = {t: fielded_term_field(t) for t in expanded}
         rows = self._rows_for(expanded)
         acc_d = np.array([], np.int64)
         acc_s = np.array([], np.float64)
@@ -771,9 +780,14 @@ class LocalSearcher:
                 if seg in rows.get(t, {})
             }
             postings = _mask_deleted(postings, self._deletes.get(seg))
-            docs, scores = _fielded_and_scores(
-                postings, variants, expanded, idf, avgdl
-            )
+            if mode_u == "AND":
+                docs, scores = _fielded_and_scores(
+                    postings, variants, expanded, idf, avgdl
+                )
+            else:
+                docs, scores = _fielded_best_scores(
+                    postings, field_of, expanded, idf, avgdl, tie_breaker
+                )
             if docs.size:
                 acc_d, acc_s = _topk(
                     np.concatenate([acc_d, docs]),

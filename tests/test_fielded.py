@@ -349,3 +349,92 @@ def test_fielded_extend_batch_without_field_column(
     assert [(url_of[d], s) for d, s in got] == [
         (ordered["url"][d], s) for d, s in expected
     ]
+
+
+# --- dis_max / multi_match best_fields (mode="BEST") -------------------------
+
+
+def _brute_fielded_best(pdf, terms, weights, k, tie):
+    """best_fields: per-field BM25 sums, max + tie * rest (fields
+    combined in sorted-field order, like the kernel's stack)."""
+    pdf = pdf.sort_values("url").reset_index(drop=True)
+    body = [py_tokenize(t) for t in pdf["text"]]
+    title = [py_tokenize(t) for t in pdf["title"]]
+    n = len(pdf)
+    avgdl = sum(len(b) for b in body) / n
+    tavgdl = (sum(len(t) for t in title) / n) or 1.0
+    expanded = sorted(
+        {
+            (t if f == "text" else f"{f}:{t}"): w
+            for f, w in weights.items()
+            for t in terms
+        }.items()
+    )
+    fsum: dict[int, dict[str, float]] = {}
+    for it, w in expanded:
+        fld, tok = (
+            ("title", it.split(":", 1)[1]) if ":" in it else ("text", it)
+        )
+        toks, adl = (title, tavgdl) if fld == "title" else (body, avgdl)
+        df = sum(1 for ts in toks if tok in ts)
+        if df == 0:
+            continue
+        widf = w * bm25_idf(n, df)
+        for d in range(n):
+            tf = toks[d].count(tok)
+            if tf:
+                tfw = float(
+                    bm25_tf_weight(
+                        np.array([tf], np.int64),
+                        np.array([len(toks[d])], np.int64),
+                        adl,
+                    )[0]
+                )
+                per = fsum.setdefault(d, {})
+                per[fld] = per.get(fld, 0.0) + widf * tfw
+    scores = {}
+    for d, per in fsum.items():
+        vals = [per.get(f, 0.0) for f in sorted(set(per))]
+        mx = max(vals)
+        scores[d] = mx + tie * (sum(vals) - mx)
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_fielded_best_matches_bruteforce(spark, fielded_index):
+    out, _, pdf = fielded_index
+    s, ls = IndexSearcher(spark, out), LocalSearcher(out)
+    for terms in (["alpha", "beta"], ["beta", "gamma"], ["alpha", "zzz"]):
+        for tie in (0.0, 0.3):
+            expected = _brute_fielded_best(pdf, terms, WEIGHTS, 15, tie)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in s.search_fielded(
+                    terms, WEIGHTS, k=15, mode="BEST", tie_breaker=tie
+                ).collect()
+            ]
+            loc = ls.search_fielded(
+                terms, WEIGHTS, k=15, mode="BEST", tie_breaker=tie
+            )
+            assert got == loc == expected, (terms, tie)
+    assert _brute_fielded_best(pdf, ["alpha", "beta"], WEIGHTS, 15, 0.0)
+
+
+def test_fielded_best_tie_breaker_semantics(spark, fielded_index):
+    """tie=1.0 degenerates to most_fields (max + rest == sum); tie=0
+    scores strictly by the winning field."""
+    out, _, pdf = fielded_index
+    ls = LocalSearcher(out)
+    most = ls.search_fielded(["alpha", "beta"], WEIGHTS, k=200)
+    best1 = ls.search_fielded(
+        ["alpha", "beta"], WEIGHTS, k=200, mode="BEST", tie_breaker=1.0
+    )
+    assert {d: pytest.approx(s) for d, s in most} == {
+        d: s for d, s in best1
+    }
+    best0 = dict(
+        ls.search_fielded(
+            ["alpha", "beta"], WEIGHTS, k=200, mode="BEST", tie_breaker=0.0
+        )
+    )
+    for d, s1 in best1:
+        assert best0[d] <= s1 + 1e-12
