@@ -582,6 +582,41 @@ def _q_fielded_search_and(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_repetition_stats(spark, sf):
+    """Gopher-style repetition quality metrics: per doc, the fraction
+    of bigram occurrences belonging to duplicated bigrams and the top
+    bigram's share — the 'repetitive page' pre-training filter."""
+    from hail_elasticsearch_pipelines_spark.operators.quality import (
+        repetition_stats,
+    )
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    r = repetition_stats(d, n=2)
+    return r.select(
+        "doc_id",
+        "n_grams",
+        _micro(F.col("dup_gram_frac")).alias("dup_micro"),
+        _micro(F.col("top_gram_frac")).alias("top_micro"),
+    )
+
+
+def _q_decontam_overlap(spark, sf):
+    """Benchmark decontamination (n=13 token grams): overlap of each
+    doc's distinct 13-grams with a 'benchmark' set synthesized from
+    every 37th document — the dirty-document test before training."""
+    from hail_elasticsearch_pipelines_spark.operators.quality import (
+        ngram_overlap,
+    )
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    r = ngram_overlap(d, bench, n=13)
+    return r.select(
+        "doc_id", "n_grams", "n_overlap",
+        _micro(F.col("overlap_frac")).alias("overlap_micro"),
+    )
+
+
 def _q_dis_max_search(spark, sf):
     """ES dis_max / multi_match best_fields: each field's own BM25 sum,
     the doc scored by its best field plus 0.3 × the others."""
@@ -1182,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histo_pipeline_day": _q_histo_pipeline_day,
         "phrase_prefix_search": _q_phrase_prefix,
         "dis_max_search": _q_dis_max_search,
+        "repetition_stats": _q_repetition_stats,
+        "decontam_overlap": _q_decontam_overlap,
         "max_bucket_day": _q_max_bucket_day,
         # -- long-green staples (fill to 50) ------------------------------
         "bool_search": _q_bool_search,
@@ -1727,6 +1764,52 @@ _FIELDED_BEST_SQL = _FIELDED_SQL.replace(
 )""",
 )
 assert _FIELDED_BEST_SQL != _FIELDED_SQL
+
+# Gopher bigram-repetition metrics: one (doc, gram) count, two fractions
+_REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM tok WHERE len(toks) >= 2
+), c AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM grams GROUP BY 1, 2
+), p AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_grams, max(cnt) AS top_cnt,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       {_micro_sql('coalesce(dup_cnt / n_grams, 0.0)')} AS dup_micro,
+       {_micro_sql('coalesce(top_cnt / n_grams, 0.0)')} AS top_micro
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+# decontamination: distinct 13-grams per doc vs the doc_id%37 benchmark
+_GRAM13 = (
+    "list_distinct(list_transform(range(1, len(toks) - 11), "
+    "i -> array_to_string(toks[i : i + 12], ' ')))"
+)
+_DECONTAM_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+dg AS (
+  SELECT doc_id, unnest({_GRAM13}) AS gram
+  FROM tok WHERE len(toks) >= 13
+), bg AS (
+  SELECT DISTINCT unnest({_GRAM13}) AS gram
+  FROM tok WHERE doc_id % 37 = 0 AND len(toks) >= 13
+), tot AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams FROM dg GROUP BY 1
+), ov AS (
+  SELECT doc_id, count(*)::BIGINT AS n_overlap
+  FROM dg JOIN bg USING (gram) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(tot.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       {_micro_sql('coalesce(ov.n_overlap / tot.n_grams, 0.0)')} AS overlap_micro
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN ov USING (doc_id)
+"""
 
 
 _FACET_COUNTS_SQL = f"""
@@ -2426,6 +2509,8 @@ def oracle_sql() -> dict[str, str]:
         "fielded_search": _FIELDED_SQL,
         "fielded_search_and": _FIELDED_AND_SQL,
         "dis_max_search": _FIELDED_BEST_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "decontam_overlap": _DECONTAM_SQL,
         "sort_recent": _SORT_RECENT_SQL,
         "range_search": _RANGE_SEARCH_SQL,
         "nested_filter": _NESTED_FILTER_SQL,

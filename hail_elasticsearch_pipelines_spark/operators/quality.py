@@ -1,0 +1,172 @@
+"""Corpus-quality operators for training-data pipelines: Gopher-style
+repetition metrics and benchmark decontamination.
+
+These are DataFrame-level operators (the per-row scalar heuristics live
+in functions/text_quality.py): repetition needs a per-doc n-gram
+frequency table, decontamination a join against the benchmark n-gram
+set.  Everything stays JVM-side (tokenize → transform/slice n-grams →
+explode → groupBy) with pinned, ANSI-SQL-expressible semantics so the
+DuckDB oracle replicates them exactly.
+
+Reference analog: the derived-quality-field layer the reference attaches
+before export (seqr_mt_schema.py @row_annotation fields) — these are the
+web-text equivalents used to filter a crawl before training.
+
+Scale posture: the n-gram explode shuffles (doc_id, gram) pairs —
+O(tokens) rows, the same order as the index build's posting explode; the
+aggregation is a map-side-combinable count.  Decontamination broadcasts
+the BENCHMARK side (eval sets are tiny next to a crawl) so the scan
+stays shuffle-free in ``hashed=True`` mode the join key is an 8-byte
+xxhash64, never the gram string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize_col
+
+
+def _gram_col(text_col: str, n: int):
+    """array<string> of space-joined token n-grams (empty when the doc
+    has fewer than n tokens — guarded: F.sequence would otherwise
+    descend)."""
+    toks = tokenize_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition metrics per document over token n-grams:
+
+    * ``n_grams`` — total n-gram occurrences (tokens − n + 1, floored
+      at 0),
+    * ``dup_gram_frac`` — fraction of n-gram occurrences belonging to a
+      gram that occurs more than once in the doc (the Gopher
+      "duplicate n-gram fraction" filter),
+    * ``top_gram_frac`` — occurrences of the doc's most frequent n-gram
+      over all occurrences (the "top n-gram fraction" filter).
+
+    Docs with fewer than n tokens keep a row with 0 / 0.0 / 0.0.  The
+    explode is O(tokens) and the two fractions come from one
+    map-side-combinable count per (doc, gram)."""
+    if n <= 0:
+        raise ValueError("n-gram order must be a positive int")
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    counts = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_gram_col(text_col, n)).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "dup_cnt"
+        ),
+    )
+    return (
+        ids.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(
+                F.col("dup_cnt") / F.col("n_grams"), F.lit(0.0)
+            ).alias("dup_gram_frac"),
+            F.coalesce(
+                F.col("top_cnt") / F.col("n_grams"), F.lit(0.0)
+            ).alias("top_gram_frac"),
+        )
+    )
+
+
+def duplicate_line_fraction(col) -> "F.Column":
+    """Gopher duplicate-line fraction as a scalar column: fraction of
+    non-empty (trimmed) lines that are repeats of an earlier-seen line
+    — 1 − distinct/total, 0.0 for line-less text.  Pure JVM higher-order
+    functions; SQL-expressible."""
+    c = F.col(col) if isinstance(col, str) else col
+    # NB: lambda, not bare F.trim — trim's optional second param makes
+    # transform pass the element INDEX as the trim-character set
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    total = F.size(lines)
+    distinct = F.size(F.array_distinct(lines))
+    return F.when(
+        total > 0, F.lit(1.0) - distinct / total
+    ).otherwise(F.lit(0.0))
+
+
+def ngram_overlap(
+    docs_df: DataFrame,
+    bench_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    hashed: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene staple:
+    for every document, the overlap between its DISTINCT token n-grams
+    and the benchmark corpus's n-gram set (the canonical n=13 "dirty
+    document" test).  Returns (doc_id, n_grams, n_overlap,
+    overlap_frac); docs shorter than n tokens report 0 / 0 / 0.0.
+
+    The benchmark side is collapsed to distinct grams and BROADCAST
+    (eval suites are MBs against a 100-TB crawl), so the corpus scan
+    never shuffles gram strings for the membership test.
+    ``hashed=True`` joins on ``xxhash64(gram)`` — an 8-byte key instead
+    of the ~100-byte gram — for the at-scale path; exact-string mode is
+    the oracle-checkable default (hash collisions are ~n_grams²/2⁶⁴;
+    the pytest asserts both modes agree on the test corpus)."""
+    if n <= 0:
+        raise ValueError("n-gram order must be a positive int")
+    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+    # per-doc distinct INSIDE the row (array_distinct) — the per-doc
+    # gram count never shuffles, and the explode feeds the broadcast
+    # membership join directly
+    dg = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(_gram_col(text_col, n)).alias("grams"),
+    )
+    bench_grams = (
+        bench_df.select(F.explode(_gram_col(bench_text_col, n)).alias("gram"))
+        .select(key(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    overlaps = (
+        dg.select("doc_id", F.explode("grams").alias("gram"))
+        .select("doc_id", key(F.col("gram")).alias("g"))
+        .join(F.broadcast(bench_grams), "g", "inner")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        dg.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(overlaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            F.coalesce(
+                F.col("n_overlap") / F.col("n_grams"), F.lit(0.0)
+            ).alias("overlap_frac"),
+        )
+    )
