@@ -582,6 +582,33 @@ def _q_fielded_search_and(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_fvf_boost(spark, sf):
+    """ES function_score field_value_factor (popularity boost):
+    BM25 × sqrt(0.01 × n_chars) — longer docs boosted, multiplicative,
+    sqrt is correctly-rounded so both engines agree bit-for-bit."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_field_value_factor,
+    )
+
+    r = search_field_value_factor(
+        _searcher(spark, sf), OR_TERMS, "n_chars",
+        factor=0.01, modifier="sqrt", k=20,
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_random_score(spark, sf):
+    """ES function_score random_score (seeded, reproducible shuffle):
+    BM25 × minstd-hash(doc_id, seed=7) ∈ [0,1) — the deterministic
+    sampling/result-diversification shape."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_random_score,
+    )
+
+    r = search_random_score(_searcher(spark, sf), OR_TERMS, seed=7, k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher-style repetition quality metrics: per doc, the fraction
     of bigram occurrences belonging to duplicated bigrams and the top
@@ -1219,6 +1246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_search": _q_dis_max_search,
         "repetition_stats": _q_repetition_stats,
         "decontam_overlap": _q_decontam_overlap,
+        "fvf_boost": _q_fvf_boost,
+        "random_score_search": _q_random_score,
         "max_bucket_day": _q_max_bucket_day,
         # -- long-green staples (fill to 50) ------------------------------
         "bool_search": _q_bool_search,
@@ -1641,6 +1670,37 @@ WITH tok AS (
   SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id
 )
 """
+
+# function_score field_value_factor (sqrt modifier: IEEE
+# correctly-rounded on both engines, so scores stay bit-identical)
+_FVF_SQL = (
+    _BM25_CTES
+    + f"""
+, rs AS (
+  SELECT agg.doc_id, agg.score * sqrt(0.01 * d.n_chars::DOUBLE) AS score
+  FROM agg JOIN documents d USING (doc_id)
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM rs ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+)
+
+# function_score random_score: two minstd rounds over (doc_id mod p +
+# seed), every intermediate < 2^48 — exact BIGINT arithmetic
+_RANDOM_SCORE_SQL = (
+    _BM25_CTES
+    + f"""
+, rs AS (
+  SELECT doc_id,
+         agg.score * ((((doc_id % 2147483647 + 7) % 2147483647)
+                       * 48271 % 2147483647)
+                      * 48271 % 2147483647) / 2147483647.0 AS score
+  FROM agg
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM rs ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+)
 
 _SEARCH_COUNT_SQL = f"""
 SELECT count(*)::BIGINT AS n_hits
@@ -2511,6 +2571,8 @@ def oracle_sql() -> dict[str, str]:
         "dis_max_search": _FIELDED_BEST_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontam_overlap": _DECONTAM_SQL,
+        "fvf_boost": _FVF_SQL,
+        "random_score_search": _RANDOM_SCORE_SQL,
         "sort_recent": _SORT_RECENT_SQL,
         "range_search": _RANGE_SEARCH_SQL,
         "nested_filter": _NESTED_FILTER_SQL,

@@ -1125,6 +1125,92 @@ def decay_factors(
     return np.maximum(0.0, (s - d) / s)
 
 
+def _rescore_with_values(
+    searcher: "IndexSearcher",
+    qterms: list[str],
+    field: "str | None",
+    mode_u: str,
+    k: int,
+    factors_fn,
+) -> DataFrame:
+    """Shared ES ``function_score`` skeleton (decay / field_value_factor
+    / random_score): exhaustive per-segment term scoring — pruned
+    kernels assume score-monotone bounds that a reweight invalidates —
+    cogrouped with the segment's NULL-filtered (doc_id, value) doclens
+    slice when a value field is involved.  ``factors_fn(docs, ok,
+    vals_f)`` returns the float64 multiplier per matched doc (``ok`` =
+    which docs hold a value; empty mask when ``field is None``).  Each
+    segment emits only its top-k; scores stay float64 end-to-end."""
+    from .bm25 import (
+        RESULT_SCHEMA,
+        _check_unique_terms,
+        _msm_scores,
+        _topk,
+        bm25_idf,
+        field_avgdl_map,
+    )
+
+    spark = searcher.spark
+    if not qterms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    rows = _scoring_rows(searcher, qterms, mode_u)
+    if rows is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs = searcher.n_docs
+    avgdl = field_avgdl_map(searcher.manifest, qterms)
+    get_deletes = searcher._segment_deletes_fn()
+    msm = len(qterms) if mode_u == "AND" else 1
+
+    def score_part(key, left: pd.DataFrame, right: "pd.DataFrame | None"):
+        if left.empty:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        _check_unique_terms(left)
+        dead = get_deletes(int(key[0]))
+        idf = {
+            t: bm25_idf(n_docs, int(d))
+            for t, d in zip(left["term"], left["df_global"])
+        }
+        postings = {
+            r.term: codecs.decode_postings(bytes(r.blob))
+            for r in left.itertuples()
+        }
+        docs, scores = _msm_scores(postings, qterms, idf, avgdl, msm)
+        if dead is not None and dead.size and docs.size:
+            keep = ~np.isin(docs, dead, assume_unique=True)
+            docs, scores = docs[keep], scores[keep]
+        if not docs.size:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        if right is None or right.empty:
+            ok = np.zeros(len(docs), dtype=bool)
+            vals_f = np.array([], dtype=np.float64)
+        else:
+            ok, v = _value_lookup(right, "value", docs)
+            vals_f = dv_float(v)
+        factors = factors_fn(docs, ok, vals_f)
+        docs, scores = _topk(docs, scores * factors, k)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    if field is None:
+        partials = rows.groupBy("segment").applyInPandas(
+            lambda key, pdf: score_part(key, pdf, None), RESULT_SCHEMA
+        )
+    else:
+        dpp, seg_group = _seg_params(searcher.manifest)
+        vals = doclens_df(searcher).where(F.col(field).isNotNull()).select(
+            segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
+            "doc_id",
+            F.col(field).alias("value"),
+        )
+        partials = (
+            rows.groupBy("segment")
+            .cogroup(vals.groupBy("segment"))
+            .applyInPandas(score_part, RESULT_SCHEMA)
+        )
+    return partials.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        int(k)
+    )
+
+
 def search_decay(
     searcher: "IndexSearcher",
     query: "list[str]",
@@ -1171,63 +1257,132 @@ def search_decay(
     if mode_u not in ("OR", "AND"):
         raise ValueError("search_decay supports OR/AND term queries or BOOL")
     qterms = sorted(set(query))
-    spark = searcher.spark
-    if not qterms:
-        return spark.createDataFrame([], RESULT_SCHEMA)
     dl = doclens_df(searcher)
     check_scalar(searcher, field, dl)
     is_time = isinstance(dl.schema[field].dataType, T.TimestampType)
     origin_f = origin_float(origin, is_time)
-    dpp, seg_group = _seg_params(searcher.manifest)
-    vals = dl.where(F.col(field).isNotNull()).select(
-        segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
-        "doc_id",
-        F.col(field).alias("value"),
-    )
-    rows = _scoring_rows(searcher, qterms, mode_u)
-    if rows is None:
-        return spark.createDataFrame([], RESULT_SCHEMA)
-    n_docs = searcher.n_docs
-    avgdl = field_avgdl_map(searcher.manifest, qterms)
-    get_deletes = searcher._segment_deletes_fn()
-    msm = len(qterms) if mode_u == "AND" else 1
     scale_f, decay_f, offset_f = float(scale), float(decay), float(offset)
 
-    def score_segment(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty:
-            return pd.DataFrame({"doc_id": [], "score": []})
-        _check_unique_terms(left)
-        dead = get_deletes(int(key[0]))
-        idf = {
-            t: bm25_idf(n_docs, int(d))
-            for t, d in zip(left["term"], left["df_global"])
-        }
-        postings = {
-            r.term: codecs.decode_postings(bytes(r.blob))
-            for r in left.itertuples()
-        }
-        docs, scores = _msm_scores(postings, qterms, idf, avgdl, msm)
-        if dead is not None and dead.size and docs.size:
-            keep = ~np.isin(docs, dead, assume_unique=True)
-            docs, scores = docs[keep], scores[keep]
-        if not docs.size:
-            return pd.DataFrame({"doc_id": [], "score": []})
+    def factors_fn(docs, ok, vals_f):
         factors = np.ones(len(docs), dtype=np.float64)
-        if not right.empty:
-            ok, v = _value_lookup(right, "value", docs)
-            factors[ok] = decay_factors(
-                dv_float(v), origin_f, scale_f, decay_f, offset_f, fn
-            )
-        docs, scores = _topk(docs, scores * factors, k)
-        return pd.DataFrame({"doc_id": docs, "score": scores})
+        factors[ok] = decay_factors(
+            vals_f, origin_f, scale_f, decay_f, offset_f, fn
+        )
+        return factors
 
-    partials = (
-        rows.groupBy("segment")
-        .cogroup(vals.groupBy("segment"))
-        .applyInPandas(score_segment, RESULT_SCHEMA)
+    return _rescore_with_values(searcher, qterms, field, mode_u, k, factors_fn)
+
+
+FVF_MODIFIERS = ("none", "log1p", "sqrt", "reciprocal")
+
+# minstd multiplier/modulus for the pinned random_score hash — two
+# rounds over (doc_id mod p + seed); every intermediate < 2^48 so the
+# identical arithmetic is expressible in ANSI SQL for the oracle
+RS_A = 48271
+RS_P = 2147483647
+
+
+def fvf_factor_values(vals_f: np.ndarray, factor: float, modifier: str) -> np.ndarray:
+    """ES ``field_value_factor``: modifier(factor × value), float64.
+    ``reciprocal`` guards value 0 the ES way (score becomes inf — the
+    caller should pick a nonzero ``missing``/field contract); negative
+    inputs to sqrt/log1p raise, as ES errors on them."""
+    x = vals_f * float(factor)
+    if modifier == "none":
+        return x
+    if modifier == "log1p":
+        if (x < 0).any():
+            raise DocValueError("log1p modifier needs non-negative values")
+        return np.log1p(x)
+    if modifier == "sqrt":
+        if (x < 0).any():
+            raise DocValueError("sqrt modifier needs non-negative values")
+        return np.sqrt(x)
+    if modifier == "reciprocal":
+        return 1.0 / x
+    raise DocValueError(f"field_value_factor modifier must be one of {FVF_MODIFIERS}")
+
+
+def search_field_value_factor(
+    searcher: "IndexSearcher",
+    query: "list[str]",
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    missing: float = 1.0,
+    mode: str = "OR",
+    k: int = 10,
+) -> DataFrame:
+    """ES ``function_score`` ``field_value_factor`` (boost_mode
+    multiply): final score = BM25 × modifier(factor × value) — the
+    "popularity boost" shape (boost by stars / views / length).  Docs
+    missing the field substitute the ``missing`` value (the documented
+    ES parameter), so absent fields reweight deterministically instead
+    of dropping the match.  Numeric doc-value fields only (epoch-cast
+    timestamps upstream; use search_decay for dates).  Same exhaustive
+    per-segment skeleton as search_decay (_rescore_with_values)."""
+    mode_u = mode.upper()
+    if mode_u not in ("OR", "AND"):
+        raise ValueError("search_field_value_factor supports OR/AND term queries")
+    if modifier not in FVF_MODIFIERS:
+        raise DocValueError(
+            f"field_value_factor modifier must be one of {FVF_MODIFIERS}"
+        )
+    dl = doclens_df(searcher)
+    check_scalar(searcher, field, dl)
+    if isinstance(dl.schema[field].dataType, (T.TimestampType, T.DateType)):
+        raise DocValueError(
+            "field_value_factor takes a numeric doc-value field — use "
+            "search_decay for timestamp boosts"
+        )
+    missing_factor = float(
+        fvf_factor_values(np.array([float(missing)]), factor, modifier)[0]
     )
-    return partials.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
-        int(k)
+
+    def factors_fn(docs, ok, vals_f):
+        factors = np.full(len(docs), missing_factor, dtype=np.float64)
+        factors[ok] = fvf_factor_values(vals_f, factor, modifier)
+        return factors
+
+    return _rescore_with_values(
+        searcher, sorted(set(query)), field, mode_u, k, factors_fn
+    )
+
+
+def random_score_values(docs: np.ndarray, seed: int) -> np.ndarray:
+    """Pinned deterministic per-doc uniform in [0, 1): two minstd
+    rounds over (doc_id mod p + seed) — identical int64 arithmetic in
+    numpy, Spark SQL, and the DuckDB oracle."""
+    p = np.int64(RS_P)
+    x = (docs % p + np.int64(int(seed) % RS_P)) % p
+    x = (x * RS_A) % p
+    x = (x * RS_A) % p
+    return x.astype(np.float64) / float(RS_P)
+
+
+def search_random_score(
+    searcher: "IndexSearcher",
+    query: "list[str]",
+    seed: int = 0,
+    mode: str = "OR",
+    k: int = 10,
+) -> DataFrame:
+    """ES ``function_score`` ``random_score`` (boost_mode multiply,
+    seeded on the doc id): final score = BM25 × hash(doc_id, seed) ∈
+    [0, 1) — the reproducible result-shuffling / sampling shape.  The
+    hash is a pinned two-round minstd LCG so the same seed ranks
+    identically across engines and the SQL oracle; no doc-value read
+    is involved (field=None skips the doclens cogroup entirely)."""
+    mode_u = mode.upper()
+    if mode_u not in ("OR", "AND"):
+        raise ValueError("search_random_score supports OR/AND term queries")
+    seed_i = int(seed)
+
+    def factors_fn(docs, ok, vals_f):
+        return random_score_values(docs, seed_i)
+
+    return _rescore_with_values(
+        searcher, sorted(set(query)), None, mode_u, k, factors_fn
     )
 
 

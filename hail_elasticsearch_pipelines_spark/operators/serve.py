@@ -1882,6 +1882,78 @@ class LocalSearcher:
         docs, scores = _topk(docs, scores * factors, k)
         return list(zip(docs.tolist(), scores.tolist()))
 
+    def search_field_value_factor(
+        self, query, field: str, factor: float = 1.0,
+        modifier: str = "log1p", missing: float = 1.0, mode: str = "OR",
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """function_score field_value_factor — serving twin of
+        docvalues.search_field_value_factor, bit-identical (same
+        exhaustive kernel, same float64 modifier; absent docs take the
+        ``missing`` substitute)."""
+        from .bm25 import _topk
+        from .docvalues import (
+            FVF_MODIFIERS,
+            DocValueError,
+            dv_float,
+            fvf_factor_values,
+        )
+
+        mode_u = mode.upper()
+        if mode_u not in ("OR", "AND"):
+            raise ValueError(
+                "search_field_value_factor supports OR/AND term queries"
+            )
+        if modifier not in FVF_MODIFIERS:
+            raise DocValueError(
+                f"field_value_factor modifier must be one of {FVF_MODIFIERS}"
+            )
+        qterms = sorted(set(query))
+        if not qterms:
+            return []
+        full = self.search(qterms, mode=mode_u, k=self.n_docs, algo="exhaustive")
+        if not full:
+            return []
+        docs = np.fromiter((d for d, _ in full), np.int64, len(full))
+        scores = np.fromiter((s for _, s in full), np.float64, len(full))
+        present, vals = self._dv_lookup(field, docs)
+        if np.issubdtype(vals.dtype, np.datetime64):
+            raise DocValueError(
+                "field_value_factor takes a numeric doc-value field — use "
+                "search_decay for timestamp boosts"
+            )
+        missing_factor = float(
+            fvf_factor_values(np.array([float(missing)]), factor, modifier)[0]
+        )
+        factors = np.full(len(docs), missing_factor, dtype=np.float64)
+        factors[present] = fvf_factor_values(dv_float(vals), factor, modifier)
+        docs, scores = _topk(docs, scores * factors, k)
+        return list(zip(docs.tolist(), scores.tolist()))
+
+    def search_random_score(
+        self, query, seed: int = 0, mode: str = "OR", k: int = 10
+    ) -> list[tuple[int, float]]:
+        """function_score random_score — serving twin of
+        docvalues.search_random_score, bit-identical (same pinned
+        two-round minstd hash per doc id)."""
+        from .bm25 import _topk
+        from .docvalues import random_score_values
+
+        mode_u = mode.upper()
+        if mode_u not in ("OR", "AND"):
+            raise ValueError("search_random_score supports OR/AND term queries")
+        qterms = sorted(set(query))
+        if not qterms:
+            return []
+        full = self.search(qterms, mode=mode_u, k=self.n_docs, algo="exhaustive")
+        if not full:
+            return []
+        docs = np.fromiter((d for d, _ in full), np.int64, len(full))
+        scores = np.fromiter((s for _, s in full), np.float64, len(full))
+        factors = random_score_values(docs, int(seed))
+        docs, scores = _topk(docs, scores * factors, k)
+        return list(zip(docs.tolist(), scores.tolist()))
+
     def search_missing(self, query, field: str, mode: str = "OR") -> int:
         """ES missing aggregation — serving twin of
         docvalues.search_missing: matched live docs with no value for

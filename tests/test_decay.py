@@ -205,3 +205,81 @@ def test_bool_decay_parity(spark, small_index):
     raw = dict(L.search_bool(q, k=10_000))
     for i, sc in L.search_decay(q, "warc_ts", **kw):
         assert sc <= raw[i] + 1e-12
+
+
+# --- function_score: field_value_factor + random_score ----------------------
+
+
+def test_fvf_parity_and_semantics(searchers):
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        fvf_factor_values,
+        search_field_value_factor,
+    )
+
+    s, L = searchers
+    for modifier in ("none", "log1p", "sqrt"):
+        d = [
+            (r.doc_id, r.score)
+            for r in search_field_value_factor(
+                s, Q, "doc_len", factor=0.1, modifier=modifier, k=12
+            ).collect()
+        ]
+        loc = L.search_field_value_factor(
+            Q, "doc_len", factor=0.1, modifier=modifier, k=12
+        )
+        assert d == loc and d, modifier
+    # brute force: plain exhaustive × modifier(factor·dl)
+    plain = L.search(sorted(set(Q)), mode="OR", k=L.n_docs, algo="exhaustive")
+    docs = np.array([x for x, _ in plain], np.int64)
+    present, vals = L._dv_lookup("doc_len", docs)
+    assert present.all()
+    fac = fvf_factor_values(vals.astype(np.float64), 0.1, "log1p")
+    expected = sorted(
+        zip(docs.tolist(), (np.array([sc for _, sc in plain]) * fac).tolist()),
+        key=lambda t: (-t[1], t[0]),
+    )[:12]
+    got = L.search_field_value_factor(Q, "doc_len", factor=0.1, k=12)
+    assert got == expected
+
+
+def test_fvf_rejects_bad_shapes(searchers):
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_field_value_factor,
+    )
+
+    s, L = searchers
+    with pytest.raises(DocValueError):
+        search_field_value_factor(s, Q, "warc_ts")  # timestamp field
+    with pytest.raises(DocValueError):
+        L.search_field_value_factor(Q, "warc_ts")
+    with pytest.raises(DocValueError):
+        search_field_value_factor(s, Q, "doc_len", modifier="cube")
+    with pytest.raises(DocValueError):
+        L.search_field_value_factor(Q, "doc_len", modifier="cube")
+
+
+def test_random_score_parity_and_determinism(searchers):
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        random_score_values,
+        search_random_score,
+    )
+
+    s, L = searchers
+    d7 = [
+        (r.doc_id, r.score)
+        for r in search_random_score(s, Q, seed=7, k=15).collect()
+    ]
+    loc7 = L.search_random_score(Q, seed=7, k=15)
+    assert d7 == loc7 and d7
+    # same seed twice = identical; different seed = different ranking
+    assert L.search_random_score(Q, seed=7, k=15) == loc7
+    loc8 = L.search_random_score(Q, seed=8, k=15)
+    assert [x for x, _ in loc8] != [x for x, _ in loc7]
+    # factor in [0, 1): scores never exceed the plain exhaustive score
+    plain = dict(L.search(sorted(set(Q)), mode="OR", k=L.n_docs, algo="exhaustive"))
+    for doc, sc in loc7:
+        assert 0.0 <= sc <= plain[doc]
+    # the pinned hash itself is stable
+    v = random_score_values(np.array([0, 1, 2**40], np.int64), 7)
+    assert np.all((0.0 <= v) & (v < 1.0))
+    assert random_score_values(np.array([0, 1, 2**40], np.int64), 7).tolist() == v.tolist()
