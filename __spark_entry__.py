@@ -168,6 +168,27 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return IndexSearcher(spark, out)
 
 
+def _half_indexes(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Two half-indexes over the documents table split by doc_id
+    parity — the federated-search fixtures.  Zero-padded urls make each
+    half's dense url-ordered ids equal doc_id // 2, so the original id
+    reconstructs as 2·local + index_id."""
+    import shutil
+
+    base = os.path.join(INDEX_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    dirs = []
+    for i in (0, 1):
+        out = f"{base}__half{i}"
+        if not os.path.exists(os.path.join(out, "_INDEX_PUBLISHED")):
+            shutil.rmtree(out, ignore_errors=True)
+            pages = _docs_as_pages(
+                _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == i)
+            )
+            build_index(spark, pages, out, n_term_buckets=8)
+        dirs.append(out)
+    return dirs
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: index the sf0.001 documents table, BM25 OR top-10."""
     s = _searcher(spark, "/root/testdata/sf0.001")
@@ -580,6 +601,24 @@ def _q_fielded_search_and(spark, sf):
         FIELDED_TERMS, fields=FIELDED_WEIGHTS, k=20, mode="AND"
     )
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_fed_dfs_search(spark, sf):
+    """ES dfs_query_then_fetch across two index generations: the corpus
+    split by doc parity into two indexes, searched with COMBINED
+    statistics — scores bit-identical to one merged index, so the
+    oracle is the plain single-corpus BM25 twin (original doc_id
+    reconstructs as 2·local + index_id)."""
+    from hail_elasticsearch_pipelines_spark.operators.federate import (
+        search_indices,
+    )
+
+    halves = _half_indexes(spark, sf)
+    r = search_indices(spark, halves, OR_TERMS, mode="OR", k=20, dfs=True)
+    return r.select(
+        (F.col("doc_id") * 2 + F.col("index_id")).alias("doc_id"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
 
 
 def _q_fvf_boost(spark, sf):
@@ -1246,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_search": _q_dis_max_search,
         "repetition_stats": _q_repetition_stats,
         "decontam_overlap": _q_decontam_overlap,
+        "fed_dfs_search": _q_fed_dfs_search,
         "fvf_boost": _q_fvf_boost,
         "random_score_search": _q_random_score,
         "max_bucket_day": _q_max_bucket_day,
@@ -2571,6 +2611,7 @@ def oracle_sql() -> dict[str, str]:
         "dis_max_search": _FIELDED_BEST_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontam_overlap": _DECONTAM_SQL,
+        "fed_dfs_search": _bm25_sql(["fast", "key", "table"], "OR", 20),
         "fvf_boost": _FVF_SQL,
         "random_score_search": _RANDOM_SCORE_SQL,
         "sort_recent": _SORT_RECENT_SQL,
