@@ -603,6 +603,41 @@ def _q_fielded_search_and(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+def _q_weighted_avg(spark, sf):
+    """ES weighted_avg aggregation: n_chars weighted by fetch_ms over
+    the OR match set; docs with a NULL weight are skipped (ES missing
+    semantics)."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_weighted_avg,
+    )
+
+    r = search_weighted_avg(_searcher(spark, sf), OR_TERMS, "n_chars", "fetch_ms")
+    return r.select(
+        "n",
+        F.col("weight_sum").cast("long").alias("weight_sum_l"),
+        _micro(F.col("wavg")).alias("wavg_micro"),
+    )
+
+
+def _q_matrix_stats(spark, sf):
+    """ES matrix_stats for the (n_chars, fetch_ms) pair: population
+    moments + correlation from one raw-sums pass."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_matrix_stats,
+    )
+
+    r = search_matrix_stats(_searcher(spark, sf), OR_TERMS, "n_chars", "fetch_ms")
+    return r.select(
+        "n",
+        _micro(F.col("mean_x")).alias("mean_x_micro"),
+        _micro(F.col("mean_y")).alias("mean_y_micro"),
+        _micro(F.col("var_x")).alias("var_x_micro"),
+        _micro(F.col("var_y")).alias("var_y_micro"),
+        _micro(F.col("cov")).alias("cov_micro"),
+        _micro(F.col("corr")).alias("corr_micro"),
+    )
+
+
 def _q_fed_dfs_search(spark, sf):
     """ES dfs_query_then_fetch across two index generations: the corpus
     split by doc parity into two indexes, searched with COMBINED
@@ -1285,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_search": _q_dis_max_search,
         "repetition_stats": _q_repetition_stats,
         "decontam_overlap": _q_decontam_overlap,
+        "weighted_avg_nchars": _q_weighted_avg,
+        "matrix_stats_pair": _q_matrix_stats,
         "fed_dfs_search": _q_fed_dfs_search,
         "fvf_boost": _q_fvf_boost,
         "random_score_search": _q_random_score,
@@ -2367,6 +2404,53 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 )
 
+# two-field metric aggregations over the OR match set (fetch_ms is the
+# derived nullable stored field: NULL when doc_id % 7 == 0)
+_TWO_FIELD_CTE = (
+    _DV_MATCH_CTE
+    + """
+, fv AS (
+  SELECT m.doc_id, d.n_chars::DOUBLE AS v,
+         (CASE WHEN d.doc_id % 7 = 0 THEN NULL
+               ELSE (d.doc_id * 37) % 500 + 20 END)::DOUBLE AS w
+  FROM m JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL AND d.doc_id % 7 <> 0
+)
+"""
+)
+
+_WEIGHTED_AVG_SQL = (
+    _TWO_FIELD_CTE
+    + f"""
+SELECT count(*)::BIGINT AS n,
+       CAST(sum(w) AS BIGINT) AS weight_sum_l,
+       {_micro_sql('sum(v * w) / sum(w)')} AS wavg_micro
+FROM fv
+"""
+)
+
+# population moments from raw sums — formulas spelled exactly as the
+# engine computes them (sxx/n − mean², cov/sqrt(var·var))
+_MATRIX_STATS_SQL = (
+    _TWO_FIELD_CTE
+    + f"""
+, s AS (
+  SELECT count(*)::DOUBLE AS n, sum(v) AS sx, sum(w) AS sy,
+         sum(v * v) AS sxx, sum(w * w) AS syy, sum(v * w) AS sxy
+  FROM fv
+)
+SELECT CAST(n AS BIGINT) AS n,
+       {_micro_sql('sx / n')} AS mean_x_micro,
+       {_micro_sql('sy / n')} AS mean_y_micro,
+       {_micro_sql('sxx / n - (sx / n) * (sx / n)')} AS var_x_micro,
+       {_micro_sql('syy / n - (sy / n) * (sy / n)')} AS var_y_micro,
+       {_micro_sql('sxy / n - (sx / n) * (sy / n)')} AS cov_micro,
+       {_micro_sql('(sxy / n - (sx / n) * (sy / n)) / sqrt((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n)))')} AS corr_micro
+FROM s
+"""
+)
+
+
 _DATE_HISTOGRAM_SQL = (
     _DV_MATCH_CTE
     + f"""
@@ -2611,6 +2695,8 @@ def oracle_sql() -> dict[str, str]:
         "dis_max_search": _FIELDED_BEST_SQL,
         "repetition_stats": _REPETITION_SQL,
         "decontam_overlap": _DECONTAM_SQL,
+        "weighted_avg_nchars": _WEIGHTED_AVG_SQL,
+        "matrix_stats_pair": _MATRIX_STATS_SQL,
         "fed_dfs_search": _bm25_sql(["fast", "key", "table"], "OR", 20),
         "fvf_boost": _FVF_SQL,
         "random_score_search": _RANDOM_SCORE_SQL,

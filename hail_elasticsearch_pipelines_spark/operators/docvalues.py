@@ -1877,3 +1877,94 @@ def bucket_stat(
         .select("bucket", F.col("value").cast("double").alias("value"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted_avg + matrix_stats (two-field metric aggregations)
+# ---------------------------------------------------------------------------
+
+
+def _two_field_rows(searcher: "IndexSearcher", query, f1: str, f2: str, mode: str):
+    """(doc_id, f1, f2) of matching live docs holding BOTH fields —
+    shared front half of weighted_avg and matrix_stats.  Scalar numeric
+    fields only."""
+    dl = doclens_df(searcher)
+    for f in (f1, f2):
+        check_scalar(searcher, f, dl)
+        if isinstance(dl.schema[f].dataType, (T.TimestampType, T.DateType)):
+            raise DocValueError(
+                f"{f!r} is a timestamp field — epoch-cast it upstream for "
+                "two-field metric aggregations"
+            )
+    vals = dl.where(
+        F.col(f1).isNotNull() & F.col(f2).isNotNull()
+    ).select("doc_id", f1, f2)
+    return matched_ids(searcher, query, mode).join(vals, "doc_id")
+
+
+def search_weighted_avg(
+    searcher: "IndexSearcher",
+    query,
+    field: str,
+    weight_field: str,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``weighted_avg`` aggregation: Σ(value × weight) / Σ(weight)
+    over matching live docs — one row DataFrame(n, weight_sum, wavg).
+    Docs missing either field are skipped (the ES default for a missing
+    value; a missing weight skips the doc rather than guessing one).
+    Integer sums stay exact in float64 below 2^53, so the DuckDB oracle
+    reproduces the division bit-for-bit."""
+    rows = _two_field_rows(searcher, query, field, weight_field, mode)
+    v = F.col(field).cast("double")
+    w = F.col(weight_field).cast("double")
+    return rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("weight_sum"),
+        (F.sum(v * w) / F.sum(w)).alias("wavg"),
+    )
+
+
+def search_matrix_stats(
+    searcher: "IndexSearcher",
+    query,
+    field_x: str,
+    field_y: str,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``matrix_stats`` aggregation for a field pair: one row
+    DataFrame(n, mean_x, mean_y, var_x, var_y, cov, corr) over matching
+    live docs holding both fields — population moments from raw sums
+    (Σx, Σy, Σx², Σy², Σxy), the formulas spelled identically in the
+    serving twin and the SQL oracle so float64 results agree:
+
+        var  = Σx²/n − mean²
+        cov  = Σxy/n − mean_x·mean_y
+        corr = cov / sqrt(var_x · var_y)
+    """
+    rows = _two_field_rows(searcher, query, field_x, field_y, mode)
+    x = F.col(field_x).cast("double")
+    y = F.col(field_y).cast("double")
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    mean_x = F.col("sx") / n
+    mean_y = F.col("sy") / n
+    var_x = F.col("sxx") / n - mean_x * mean_x
+    var_y = F.col("syy") / n - mean_y * mean_y
+    cov = F.col("sxy") / n - mean_x * mean_y
+    return agg.select(
+        "n",
+        mean_x.alias("mean_x"),
+        mean_y.alias("mean_y"),
+        var_x.alias("var_x"),
+        var_y.alias("var_y"),
+        cov.alias("cov"),
+        (cov / F.sqrt(var_x * var_y)).alias("corr"),
+    )

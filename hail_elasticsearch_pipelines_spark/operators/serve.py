@@ -1964,6 +1964,64 @@ class LocalSearcher:
         present, _ = self._dv_lookup(field, np.sort(ids), allow_array=True)
         return int(len(ids) - int(present.sum()))
 
+    def _two_field_vals(self, query, f1: str, f2: str, mode: str):
+        """(x, y) float64 arrays over matching live docs holding BOTH
+        scalar numeric fields — twin of docvalues._two_field_rows."""
+        from .docvalues import DocValueError
+
+        ids = np.sort(self.matched_ids(query, mode))
+        out = []
+        masks = []
+        for f in (f1, f2):
+            present, vals = self._dv_lookup(f, ids)
+            if np.issubdtype(vals.dtype, np.datetime64):
+                raise DocValueError(
+                    f"{f!r} is a timestamp field — epoch-cast it upstream "
+                    "for two-field metric aggregations"
+                )
+            full = np.zeros(len(ids), dtype=np.float64)
+            full[present] = vals.astype(np.float64)
+            out.append(full)
+            masks.append(present)
+        both = masks[0] & masks[1]
+        return out[0][both], out[1][both]
+
+    def search_weighted_avg(
+        self, query, field: str, weight_field: str, mode: str = "OR"
+    ) -> tuple[int, float, float]:
+        """ES weighted_avg — serving twin of
+        docvalues.search_weighted_avg: (n, weight_sum, wavg); docs
+        missing either field are skipped."""
+        v, w = self._two_field_vals(query, field, weight_field, mode)
+        if not v.size:
+            return 0, None, None
+        ws = float(np.sum(w))
+        return int(v.size), ws, float(np.sum(v * w)) / ws
+
+    def search_matrix_stats(
+        self, query, field_x: str, field_y: str, mode: str = "OR"
+    ) -> tuple:
+        """ES matrix_stats for a field pair — serving twin of
+        docvalues.search_matrix_stats: (n, mean_x, mean_y, var_x,
+        var_y, cov, corr), population moments from the same raw sums."""
+        x, y = self._two_field_vals(query, field_x, field_y, mode)
+        if not x.size:
+            return 0, None, None, None, None, None, None
+        n = float(x.size)
+        sx, sy = float(np.sum(x)), float(np.sum(y))
+        sxx, syy = float(np.sum(x * x)), float(np.sum(y * y))
+        sxy = float(np.sum(x * y))
+        mean_x, mean_y = sx / n, sy / n
+        var_x = sxx / n - mean_x * mean_x
+        var_y = syy / n - mean_y * mean_y
+        cov = sxy / n - mean_x * mean_y
+        import math
+
+        return (
+            int(x.size), mean_x, mean_y, var_x, var_y, cov,
+            cov / math.sqrt(var_x * var_y),
+        )
+
     def search_value_terms(
         self, query, field: str, size: int = 10, after=None,
         mode: str = "OR",

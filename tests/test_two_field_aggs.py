@@ -1,0 +1,96 @@
+"""weighted_avg + matrix_stats aggregations (two-field metrics,
+operators/docvalues.py + LocalSearcher twins)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+    DocValueError,
+    search_matrix_stats,
+    search_weighted_avg,
+)
+from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
+
+Q = ["the", "term0020"]
+
+
+@pytest.fixture(scope="module")
+def two_field_index(spark, tmp_path_factory):
+    from hail_elasticsearch_pipelines_spark.operators.index_build import (
+        build_index,
+    )
+    from hail_elasticsearch_pipelines_spark.sources.corpus import gen_pages_pdf
+
+    out = str(tmp_path_factory.mktemp("twofield") / "idx")
+    h = F.crc32(F.col("url"))
+    pages = (
+        spark.createDataFrame(gen_pages_pdf(np.arange(200)))
+        .withColumn(
+            "stars",
+            F.when(h % 4 == 0, F.lit(None)).otherwise(h % 50).cast("long"),
+        )
+        .withColumn(
+            "views",
+            F.when(h % 5 == 0, F.lit(None)).otherwise(h % 900 + 1).cast("long"),
+        )
+    )
+    build_index(spark, pages, out, docs_per_part=32, seg_group=2, n_term_buckets=8)
+    return out
+
+
+def _expected(L, q, f1, f2):
+    ids = np.sort(L.matched_ids(q, "OR"))
+    p1, v1 = L._dv_lookup(f1, ids)
+    p2, v2 = L._dv_lookup(f2, ids)
+    a = np.zeros(len(ids))
+    b = np.zeros(len(ids))
+    a[p1] = v1.astype(float)
+    b[p2] = v2.astype(float)
+    m = p1 & p2
+    return a[m], b[m]
+
+
+def test_weighted_avg_parity_and_missing_skip(spark, two_field_index):
+    s, L = IndexSearcher(spark, two_field_index), LocalSearcher(two_field_index)
+    row = search_weighted_avg(s, Q, "stars", "views").collect()[0]
+    loc = L.search_weighted_avg(Q, "stars", "views")
+    assert (row.n, row.weight_sum, row.wavg) == loc
+    v, w = _expected(L, Q, "stars", "views")
+    assert row.n == v.size and v.size < len(L.matched_ids(Q, "OR"))
+    assert row.weight_sum == float(w.sum())
+    assert row.wavg == pytest.approx(float((v * w).sum()) / float(w.sum()), rel=1e-12)
+
+
+def test_matrix_stats_parity_and_math(spark, two_field_index):
+    s, L = IndexSearcher(spark, two_field_index), LocalSearcher(two_field_index)
+    row = search_matrix_stats(s, Q, "stars", "views").collect()[0]
+    loc = L.search_matrix_stats(Q, "stars", "views")
+    assert tuple(row) == loc
+    x, y = _expected(L, Q, "stars", "views")
+    assert row.n == x.size
+    assert row.mean_x == pytest.approx(x.mean(), rel=1e-12)
+    assert row.var_y == pytest.approx(y.var(), rel=1e-9)
+    cov = (x * y).mean() - x.mean() * y.mean()
+    assert row.cov == pytest.approx(cov, rel=1e-9)
+    assert row.corr == pytest.approx(
+        cov / math.sqrt(x.var() * y.var()), rel=1e-9
+    )
+    assert -1.0 <= row.corr <= 1.0
+
+
+def test_two_field_rejects_bad_fields(spark, two_field_index):
+    s, L = IndexSearcher(spark, two_field_index), LocalSearcher(two_field_index)
+    with pytest.raises(DocValueError):
+        search_weighted_avg(s, Q, "stars", "warc_ts")
+    with pytest.raises(DocValueError):
+        L.search_weighted_avg(Q, "stars", "warc_ts")
+    with pytest.raises(DocValueError):
+        search_matrix_stats(s, Q, "warc_ts", "views")
+    with pytest.raises(DocValueError):
+        L.search_matrix_stats(Q, "nope", "views")
