@@ -1260,13 +1260,15 @@ def _q_nested_terms(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver gate verifies the FIRST 50 entries only.
-    # Rotation policy (round 6): rows never driver-oracled (r5 additions
-    # past the cap) first, then rows whose last driver record is r4, then
-    # rows whose implementation files change this round, then long-green
-    # staples. Entries past 50 all have a prior green driver record on
-    # unchanged code.
+    # Rotation policy (round 6, this session): the 14 r5 rows the driver
+    # had never verified stay first (VERDICT ask #1), then rows whose
+    # implementation files changed in round 6, then the operators NEW
+    # this round (no driver record exists yet), then rows over the
+    # dedup/similarity/fielded/phrase code touched late in the round,
+    # then the oldest-record rows that still fit.  Every entry past 50
+    # has a prior green driver record on unchanged code AND a fresh
+    # gate-replica run (scripts/check_oracles.py) recorded this round.
     return {
-        # -- r5 rows the driver never saw (replica-verified only) --------
         "collapse_src": _q_collapse_src,
         "tophits_src": _q_tophits_src,
         "stats_nchars": _q_stats_nchars,
@@ -1281,25 +1283,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_after_src": _q_terms_after_src,
         "suggest_s": _q_suggest_s,
         "mlt_doc0": _q_mlt_doc0,
-        # -- rows displaced since r4 (last driver record: r4) ------------
-        "cosine_topk": _q_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "embedding_pairs": _q_embedding_pairs,
-        "media_meta": _q_media_meta,
-        "frame_sample": _q_frame_sample,
-        "image_resize": _q_image_resize,
-        "image_resize_real": _q_image_resize_real,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
-        "customers_no_orders": _q_customers_no_orders,
-        "nations_with_customers": _q_nations_with_customers,
-        "union_nationkeys": _q_union_nationkeys,
-        "order_values_sorted": _q_order_values_sorted,
-        "nation_counts_full_outer": _q_nation_counts_full_outer,
-        "top_event_per_user": _q_top_event_per_user,
-        "hourly_events": _q_hourly_events,
-        "json_props": _q_json_props,
-        # -- rows over code touched in round 6 ----------------------------
         "percolate_hits": _q_percolate,
         "phrase_search": _q_phrase_search,
         "phrase_slop": _q_phrase_slop,
@@ -1316,22 +1299,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": _q_synonym_search,
         "nested_terms_anchor": _q_nested_terms,
         "histo_pipeline_day": _q_histo_pipeline_day,
+        "max_bucket_day": _q_max_bucket_day,
         "phrase_prefix_search": _q_phrase_prefix,
         "dis_max_search": _q_dis_max_search,
         "repetition_stats": _q_repetition_stats,
         "decontam_overlap": _q_decontam_overlap,
+        "fvf_boost": _q_fvf_boost,
+        "random_score_search": _q_random_score,
         "weighted_avg_nchars": _q_weighted_avg,
         "matrix_stats_pair": _q_matrix_stats,
         "fed_dfs_search": _q_fed_dfs_search,
-        "fvf_boost": _q_fvf_boost,
-        "random_score_search": _q_random_score,
-        "max_bucket_day": _q_max_bucket_day,
-        # -- long-green staples (fill to 50) ------------------------------
-        "bool_search": _q_bool_search,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_pairs": _q_embedding_pairs,
         "fielded_search": _q_fielded_search,
+        "fielded_search_and": _q_fielded_search_and,
+        "rescore_phrase": _q_rescore_phrase,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "image_resize_real": _q_image_resize_real,
+        # ---- entries below rank past the driver's 50-row cap ----------
+        "media_meta": _q_media_meta,
+        "frame_sample": _q_frame_sample,
+        "image_resize": _q_image_resize,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "customers_no_orders": _q_customers_no_orders,
+        "nations_with_customers": _q_nations_with_customers,
+        "union_nationkeys": _q_union_nationkeys,
+        "order_values_sorted": _q_order_values_sorted,
+        "nation_counts_full_outer": _q_nation_counts_full_outer,
+        "top_event_per_user": _q_top_event_per_user,
+        "hourly_events": _q_hourly_events,
+        "json_props": _q_json_props,
+        "bool_search": _q_bool_search,
         "facet_counts": _q_facet_counts,
         "search_count": _q_search_count,
-        # ---- entries below rank past the driver's 50-row cap ----------
         "range_search": _q_range_search,
         "sort_recent": _q_sort_recent,
         "highlight_top3": _q_highlight_top3,
@@ -1341,9 +1345,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_dedup": _q_minhash_dedup,
-        "simhash_pairs": _q_simhash_pairs,
         "bm25_or": _q_bm25_or,
         "bm25_and": _q_bm25_and,
         "bm25_page2": _q_bm25_page2,
@@ -1353,12 +1354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boost_search": _q_boost_search,
         "exists_search": _q_exists_search,
         "bucket_metrics_day": _q_bucket_metrics,
-        "rescore_phrase": _q_rescore_phrase,
         "tags_terms": _q_tags_terms,
         "dv_eq_search": _q_dv_eq_search,
         "sig_text": _q_sig_text,
         "tags_missing": _q_tags_missing,
-        "fielded_search_and": _q_fielded_search_and,
         "prefix_search": _q_prefix_search,
         "fuzzy_search": _q_fuzzy_search,
         "stats_agg": _q_stats_agg,

@@ -461,6 +461,56 @@ def main():
     q["tiered_compact_10k"] = round(time.time() - t0, 3)
     tiered_stats = m_t["compactions"][-1]
 
+    # -- round-6 session additions: pipeline aggs, phrase-prefix,
+    # function_score variants (over the bench index), quality +
+    # decontamination ops (over SF_DIR documents)
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        histogram_pipeline,
+        search_field_value_factor,
+        search_random_score,
+    )
+    from hail_elasticsearch_pipelines_spark.operators.quality import (
+        ngram_overlap,
+        repetition_stats,
+    )
+
+    bench_s = IndexSearcher(spark, idx_dir)
+    q["histo_pipeline_dist"] = round(
+        timed(
+            lambda: histogram_pipeline(
+                bench_s, ["the", "term0042"], "warc_ts", "day",
+                derivative=True, moving_avg=3,
+            ).collect()
+        ),
+        3,
+    )
+    q["fvf_dist"] = round(
+        timed(
+            lambda: search_field_value_factor(
+                bench_s, ["the", "term0042"], "doc_len",
+                factor=0.01, modifier="sqrt", k=10,
+            ).collect()
+        ),
+        3,
+    )
+    q["random_score_dist"] = round(
+        timed(
+            lambda: search_random_score(
+                bench_s, ["the", "term0042"], seed=7, k=10
+            ).collect()
+        ),
+        3,
+    )
+    bench_local = LocalSearcher(idx_dir)
+    q["phrase_prefix_local"] = round(
+        timed(
+            lambda: bench_local.search_phrase_prefix(
+                ["the", "term004"], k=10
+            )
+        ),
+        3,
+    )
+
     # -- headline operator queries over SF_DIR testdata -----------------
     docs = _read(spark, "documents")
     toks = docs.select("doc_id", tokenize_col("text").alias("toks"))
@@ -470,6 +520,18 @@ def main():
     )
     q["minhash_dedup_sf"] = round(
         timed(lambda: dd.minhash_dedup_pairs(docs, threshold=0.8).collect()), 3
+    )
+    q["repetition_stats_sf"] = round(
+        timed(lambda: repetition_stats(docs, n=2).count()), 3
+    )
+    q["decontam_sf_hashed"] = round(
+        timed(
+            lambda: ngram_overlap(
+                docs, docs.filter(F.col("doc_id") % 37 == 0),
+                n=13, hashed=True,
+            ).agg(F.sum("n_overlap")).collect()
+        ),
+        3,
     )
     emb = _read(spark, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
