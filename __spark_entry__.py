@@ -603,6 +603,25 @@ def _q_fielded_search_and(spark, sf):
     return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
+_GOPHER_THRESH = dict(
+    min_tokens=30, max_mean_token_len=5.0,
+    max_dup_gram_frac=0.10, max_top_gram_frac=0.08,
+)
+
+
+def _q_gopher_filter(spark, sf):
+    """Composite Gopher-style quality gate: keep/reject per doc with
+    the pinned-order comma-joined failure reasons (token bounds, word
+    shape, symbol ratio, stopword floor, line + n-gram repetition) —
+    thresholds tuned so the corpus splits."""
+    from hail_elasticsearch_pipelines_spark.operators.quality import (
+        gopher_filter,
+    )
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    return gopher_filter(d, **_GOPHER_THRESH)
+
+
 def _q_weighted_avg(spark, sf):
     """ES weighted_avg aggregation: n_chars weighted by fetch_ms over
     the OR match set; docs with a NULL weight are skipped (ES missing
@@ -1303,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix_search": _q_phrase_prefix,
         "dis_max_search": _q_dis_max_search,
         "repetition_stats": _q_repetition_stats,
+        "gopher_filter": _q_gopher_filter,
         "decontam_overlap": _q_decontam_overlap,
         "fvf_boost": _q_fvf_boost,
         "random_score_search": _q_random_score,
@@ -1920,6 +1940,64 @@ SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
        {_micro_sql('coalesce(dup_cnt / n_grams, 0.0)')} AS dup_micro,
        {_micro_sql('coalesce(top_cnt / n_grams, 0.0)')} AS top_micro
 FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+# composite Gopher gate: every rule recomputed in SQL with the exact
+# integer-ratio arithmetic the engine uses, reasons joined in the
+# pinned GOPHER_RULES order (booleans/strings compare directly — no
+# float encoding needed because every ratio is an int/int division
+# identical in both engines)
+_GOPHER_SQL = f"""
+WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM tok WHERE len(toks) >= 2
+), c AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM grams GROUP BY 1, 2
+), rep AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS tot, max(cnt) AS top,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+  FROM c GROUP BY 1
+), m AS (
+  SELECT t.doc_id,
+    len(toks)::BIGINT AS n,
+    CASE WHEN len(toks) > 0 THEN
+      list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
+        / len(toks) ELSE 0.0 END AS mtl,
+    CASE WHEN length(lower(d.text)) > 0 THEN
+      length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'))::DOUBLE
+        / length(lower(d.text)) ELSE 0.0 END AS alnum,
+    len(list_intersect(list_distinct(toks), [{SW}]))::BIGINT AS sw,
+    CASE WHEN len(list_filter(list_transform(string_split(d.text, chr(10)),
+                 x -> trim(x)), x -> x <> '')) > 0 THEN
+      1.0 - len(list_distinct(list_filter(list_transform(
+              string_split(d.text, chr(10)), x -> trim(x)), x -> x <> '')))
+        / len(list_filter(list_transform(string_split(d.text, chr(10)),
+              x -> trim(x)), x -> x <> ''))::DOUBLE
+      ELSE 0.0 END AS dlf,
+    coalesce(dup / tot::DOUBLE, 0.0) AS dupf,
+    coalesce(top / tot::DOUBLE, 0.0) AS topf
+  FROM tok t JOIN documents d USING (doc_id) LEFT JOIN rep USING (doc_id)
+), flags AS (
+  SELECT doc_id,
+    [CASE WHEN n < 30 THEN 'too_few_tokens' END,
+     CASE WHEN n > 100000 THEN 'too_many_tokens' END,
+     CASE WHEN mtl < 3.0 THEN 'mean_token_len_low' END,
+     CASE WHEN mtl > 5.0 THEN 'mean_token_len_high' END,
+     CASE WHEN alnum < 0.6 THEN 'too_symbolic' END,
+     CASE WHEN sw < 2 THEN 'too_few_stopwords' END,
+     CASE WHEN dlf > 0.30 THEN 'dup_lines' END,
+     CASE WHEN dupf > 0.10 THEN 'dup_ngrams' END,
+     CASE WHEN topf > 0.08 THEN 'top_ngram_dominates' END] AS fl
+  FROM m
+)
+SELECT doc_id,
+       len(list_filter(fl, x -> x IS NOT NULL)) = 0 AS keep,
+       len(list_filter(fl, x -> x IS NOT NULL))::BIGINT AS n_failed,
+       coalesce(array_to_string(list_filter(fl, x -> x IS NOT NULL), ','), '') AS reasons
+FROM flags
 """
 
 # decontamination: distinct 13-grams per doc vs the doc_id%37 benchmark
@@ -2693,6 +2771,7 @@ def oracle_sql() -> dict[str, str]:
         "fielded_search_and": _FIELDED_AND_SQL,
         "dis_max_search": _FIELDED_BEST_SQL,
         "repetition_stats": _REPETITION_SQL,
+        "gopher_filter": _GOPHER_SQL,
         "decontam_overlap": _DECONTAM_SQL,
         "weighted_avg_nchars": _WEIGHTED_AVG_SQL,
         "matrix_stats_pair": _MATRIX_STATS_SQL,

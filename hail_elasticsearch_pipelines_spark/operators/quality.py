@@ -170,3 +170,120 @@ def ngram_overlap(
             ).alias("overlap_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# composite Gopher-style quality filter
+# ---------------------------------------------------------------------------
+
+GOPHER_DEFAULTS = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "min_alnum_ratio": 0.6,
+    "min_distinct_stopwords": 2,
+    "max_dup_line_frac": 0.30,
+    "max_dup_gram_frac": 0.20,
+    "max_top_gram_frac": 0.18,
+    "gram_n": 2,
+}
+
+# rule evaluation order is pinned — the reasons column lists failures
+# in this order, comma-joined, so output is deterministic and
+# SQL-replicable
+GOPHER_RULES = (
+    "too_few_tokens",
+    "too_many_tokens",
+    "mean_token_len_low",
+    "mean_token_len_high",
+    "too_symbolic",
+    "too_few_stopwords",
+    "dup_lines",
+    "dup_ngrams",
+    "top_ngram_dominates",
+)
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Composite Gopher-style document quality filter — the standard
+    pre-training keep/reject gate, with per-doc explanations:
+    DataFrame(doc_id, keep, n_failed, reasons) where ``reasons`` is the
+    comma-joined pinned-order list of failed rules (empty string =
+    clean).  Rules (thresholds overridable per call, defaults in
+    GOPHER_DEFAULTS):
+
+      too_few_tokens / too_many_tokens     token-count bounds
+      mean_token_len_low / _high           word-shape bounds
+      too_symbolic                         alnum-char ratio floor
+      too_few_stopwords                    ≥ N distinct stopwords
+      dup_lines                            duplicate-line fraction cap
+      dup_ngrams / top_ngram_dominates     repetition caps (gram_n)
+
+    Everything except the repetition pair is a pure column expression;
+    the repetition metrics join in from repetition_stats (one n-gram
+    count pass) — so the whole filter is one scan + one
+    map-side-combinable aggregation, no Python in the plan."""
+    from ..functions import text_quality as tq
+    from ..functions.tokenize import tokenize_col
+
+    cfg = {**GOPHER_DEFAULTS, **thresholds}
+    unknown = set(thresholds) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown gopher_filter thresholds: {sorted(unknown)}")
+    toks = tokenize_col(text_col)
+    n = F.size(toks)
+    mtl = tq.mean_token_len(text_col)
+    sw_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in tq.EN_STOPWORDS]),
+        )
+    )
+    rep = repetition_stats(df, text_col, id_col, n=int(cfg["gram_n"]))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("_n"),
+        mtl.alias("_mtl"),
+        tq.alnum_ratio(text_col).alias("_alnum"),
+        sw_distinct.alias("_sw"),
+        duplicate_line_fraction(text_col).alias("_dlf"),
+    ).join(rep, "doc_id")
+    fails = {
+        "too_few_tokens": F.col("_n") < int(cfg["min_tokens"]),
+        "too_many_tokens": F.col("_n") > int(cfg["max_tokens"]),
+        "mean_token_len_low": F.col("_mtl") < float(cfg["min_mean_token_len"]),
+        "mean_token_len_high": F.col("_mtl") > float(cfg["max_mean_token_len"]),
+        "too_symbolic": F.col("_alnum") < float(cfg["min_alnum_ratio"]),
+        "too_few_stopwords": F.col("_sw") < int(cfg["min_distinct_stopwords"]),
+        "dup_lines": F.col("_dlf") > float(cfg["max_dup_line_frac"]),
+        "dup_ngrams": F.col("dup_gram_frac") > float(cfg["max_dup_gram_frac"]),
+        "top_ngram_dominates": F.col("top_gram_frac")
+        > float(cfg["max_top_gram_frac"]),
+    }
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                *[
+                    F.when(fails[r], F.lit(r)).otherwise(F.lit(None))
+                    for r in GOPHER_RULES
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    n_failed = sum(
+        (F.when(fails[r], 1).otherwise(0) for r in GOPHER_RULES), F.lit(0)
+    )
+    return base.select(
+        "doc_id",
+        (n_failed == 0).alias("keep"),
+        n_failed.cast("long").alias("n_failed"),
+        reasons.alias("reasons"),
+    )

@@ -130,3 +130,54 @@ def test_ngram_overlap_broadcasts_benchmark(spark):
     bench = spark.createDataFrame(pd.DataFrame({"text": ["a b c d"]}))
     plan = ngram_overlap(docs, bench, n=2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_gopher_filter_rules_and_reasons(spark):
+    from hail_elasticsearch_pipelines_spark.operators.quality import (
+        GOPHER_RULES,
+        gopher_filter,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                # clean: 72 tokens, stopwords present, every bigram unique
+                " ".join(
+                    f"the word{i}a of word{i}b and word{i}c"
+                    for i in range(12)
+                ),
+                "short text",                          # too few tokens
+                " ".join(["spam"] * 80),               # repetitive, no stopwords
+                "a\na\na\n" + " ".join(
+                    f"of token{i:03d} piece" for i in range(20)
+                ),                                     # dup lines
+            ],
+        }
+    )
+    got = {
+        r.doc_id: (r.keep, r.n_failed, r.reasons)
+        for r in gopher_filter(spark.createDataFrame(rows)).collect()
+    }
+    assert got[0] == (True, 0, "")
+    assert not got[1][0] and "too_few_tokens" in got[1][2]
+    assert not got[2][0]
+    r2 = got[2][2].split(",")
+    assert {"too_few_stopwords", "dup_ngrams", "top_ngram_dominates"} <= set(r2)
+    # pinned order: reasons appear in GOPHER_RULES order
+    assert r2 == [r for r in GOPHER_RULES if r in set(r2)]
+    assert not got[3][0] and "dup_lines" in got[3][2]
+    assert got[3][1] == got[3][2].count(",") + 1
+
+
+def test_gopher_filter_threshold_override_and_validation(spark):
+    from hail_elasticsearch_pipelines_spark.operators.quality import (
+        gopher_filter,
+    )
+
+    rows = pd.DataFrame({"doc_id": [0], "text": ["the of and " * 30]})
+    df = spark.createDataFrame(rows)
+    strict = gopher_filter(df, min_tokens=1000).collect()[0]
+    assert not strict.keep and "too_few_tokens" in strict.reasons
+    with pytest.raises(ValueError):
+        gopher_filter(df, nope=1)
