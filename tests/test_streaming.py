@@ -4,6 +4,7 @@ via foreachBatch + extend_index, rank-identical to a batch rebuild."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from hail_elasticsearch_pipelines_spark.operators.index_build import build_index
 from hail_elasticsearch_pipelines_spark.operators.serve import LocalSearcher
@@ -187,3 +188,93 @@ def test_stream_first_seen_urls_stateful(spark, tmp_path):
     got = {r["url"]: r["first_ts"] for r in rows}
     assert len(rows) == 3  # each url exactly once
     assert got == {"a": t0 + 2 * m, "b": t0, "c": t0 + 7 * m}
+
+
+def test_stream_percolate_matches_batch(spark, tmp_path):
+    """Streaming percolation over a file stream must produce EXACTLY
+    the batch percolator's (doc_id, query_id) set, and new files fire
+    new alerts on the next micro-batch."""
+    import os
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from hail_elasticsearch_pipelines_spark.operators.percolate import (
+        percolate,
+    )
+    from hail_elasticsearch_pipelines_spark.streaming.alerts import (
+        stream_percolate,
+    )
+
+    watches = {
+        "cats": "cat AND dog",
+        "exact": '"red panda"',
+        "big": "n_chars:[40 TO *] AND news",
+    }
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    batch1 = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "cat meets dog in the park",
+                "the red panda sleeps",
+                "news " + "x" * 60,
+            ],
+            "n_chars": [25, 20, 65],
+        }
+    )
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    with pytest.raises(ValueError):
+        stream_percolate(spark.createDataFrame(batch1, schema), watches)
+    hits = stream_percolate(stream, watches)
+    q = (
+        hits.writeStream.format("memory")
+        .queryName("alerts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r.doc_id, r.query_id)
+            for r in spark.sql("SELECT * FROM alerts").collect()
+        }
+        exp1 = {
+            (r.doc_id, r.query_id)
+            for r in percolate(
+                spark.createDataFrame(batch1, schema), watches
+            ).collect()
+        }
+        assert got1 == exp1 == {(0, "cats"), (1, "exact"), (2, "big")}
+        # a late-arriving file fires its alerts on the next micro-batch
+        batch2 = pd.DataFrame(
+            {
+                "doc_id": [3],
+                "text": ["another red panda with a dog and a cat"],
+                "n_chars": [40],
+            }
+        )
+        spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+            src + "/b2"
+        )
+        q.processAllAvailable()
+        got2 = {
+            (r.doc_id, r.query_id)
+            for r in spark.sql("SELECT * FROM alerts").collect()
+        }
+        assert got2 == exp1 | {(3, "cats"), (3, "exact")}
+    finally:
+        q.stop()
