@@ -609,6 +609,25 @@ _GOPHER_THRESH = dict(
 )
 
 
+def _q_span_first(spark, sf):
+    """ES span_first: 'row' within the first 10 token positions,
+    scored as one pseudo-term (tf = qualifying occurrences)."""
+    r = _searcher(spark, sf).search_span_first("row", 10, k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_rare_terms(spark, sf):
+    """ES rare_terms: the long-tail n_chars values (doc_count <= 1)
+    among OR matches — exact, (count asc, value asc)."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_rare_terms,
+    )
+
+    return search_rare_terms(
+        _searcher(spark, sf), OR_TERMS, "n_chars", max_doc_count=1, size=50
+    )
+
+
 def _q_gopher_filter(spark, sf):
     """Composite Gopher-style quality gate: keep/reject per doc with
     the pinned-order comma-joined failure reasons (token bounds, word
@@ -1323,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_search": _q_dis_max_search,
         "repetition_stats": _q_repetition_stats,
         "gopher_filter": _q_gopher_filter,
+        "span_first_search": _q_span_first,
+        "rare_terms_fetch": _q_rare_terms,
         "decontam_overlap": _q_decontam_overlap,
         "fvf_boost": _q_fvf_boost,
         "random_score_search": _q_random_score,
@@ -1942,6 +1963,33 @@ SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
 FROM documents d LEFT JOIN p USING (doc_id)
 """
 
+# span_first: 'row' within the first 10 positions (engine positions are
+# 0-based p < 10; the pos CTE is 1-based, so i <= 10)
+_SPAN_FIRST_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {TOK} AS toks FROM documents
+), dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+pos AS (
+  SELECT doc_id, u.t AS term, u.i AS i
+  FROM tok, UNNEST(list_transform(range(1, len(toks) + 1),
+                   i -> struct_pack(t := toks[i], i := i))) AS x(u)
+),
+m AS (
+  SELECT doc_id, count(*)::BIGINT AS tf
+  FROM pos WHERE term = 'row' AND i <= 10 GROUP BY doc_id
+),
+scored AS (
+  SELECT m.doc_id,
+    ln(1.0 + (stats.n_docs - (SELECT count(*) FROM m) + 0.5)
+           / ((SELECT count(*) FROM m) + 0.5))
+    * (2.2 * m.tf) / (m.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS score
+  FROM m JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, {_micro_sql('score')} AS score_micro
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
 # composite Gopher gate: every rule recomputed in SQL with the exact
 # integer-ratio arithmetic the engine uses, reasons joined in the
 # pinned GOPHER_RULES order (booleans/strings compare directly — no
@@ -2481,6 +2529,18 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 )
 
+# rare_terms: exact long tail of n_chars among OR matches
+_RARE_TERMS_SQL = (
+    _DV_MATCH_CTE
+    + """
+SELECT d.n_chars AS value, count(*)::BIGINT AS doc_count
+FROM m JOIN documents d USING (doc_id)
+GROUP BY 1 HAVING count(*) <= 1
+ORDER BY doc_count ASC, value ASC LIMIT 50
+"""
+)
+
+
 # two-field metric aggregations over the OR match set (fetch_ms is the
 # derived nullable stored field: NULL when doc_id % 7 == 0)
 _TWO_FIELD_CTE = (
@@ -2772,6 +2832,8 @@ def oracle_sql() -> dict[str, str]:
         "dis_max_search": _FIELDED_BEST_SQL,
         "repetition_stats": _REPETITION_SQL,
         "gopher_filter": _GOPHER_SQL,
+        "span_first_search": _SPAN_FIRST_SQL,
+        "rare_terms_fetch": _RARE_TERMS_SQL,
         "decontam_overlap": _DECONTAM_SQL,
         "weighted_avg_nchars": _WEIGHTED_AVG_SQL,
         "matrix_stats_pair": _MATRIX_STATS_SQL,

@@ -3415,6 +3415,63 @@ class IndexSearcher:
         finally:
             matches.unpersist()
 
+    def search_span_first(
+        self, term: str, end: int, k: int = 10
+    ) -> DataFrame:
+        """ES ``span_first`` query: the term must occur within the
+        first ``end`` token positions (positions are 0-based, so
+        ``end=3`` admits positions 0-2) — the "title-ish lead matters"
+        query for schemaless corpora.  Scored as one pseudo-term whose
+        tf is the count of qualifying positions and whose df is the
+        number of matching live docs (the search_phrase scoring
+        contract; reuses its back half)."""
+        if int(end) <= 0:
+            raise ValueError("span_first end must be a positive int")
+        if not self.manifest["params"].get("with_positions", True):
+            raise ValueError(
+                "span_first needs positional postings, but this index was "
+                "built with with_positions=False — rebuild with positions"
+            )
+        end_i = int(end)
+        get_deletes = self._segment_deletes_fn()
+
+        def match_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"doc_id": [], "tf": [], "dl": []}
+            if pdf.empty:
+                return pd.DataFrame(out)
+            _check_unique_terms(pdf)
+            dead = get_deletes(pdf["segment"].iloc[0])
+            r = next(pdf.itertuples())
+            d, tf, dl = codecs.decode_postings(bytes(r.blob))
+            if d.size == 0:
+                return pd.DataFrame(out)
+            pos, offs = codecs.decode_position_lists(bytes(r.pos_blob), tf)
+            # per-doc qualifying count: positions ascend within each
+            # slice, and every posted doc has >= 1 position, so a
+            # reduceat over the <end mask counts per slice exactly
+            counts = np.add.reduceat(
+                (pos < end_i).astype(np.int64), offs[:-1]
+            )
+            hit = counts > 0
+            docs, tfs, dls = d[hit], counts[hit], dl[hit]
+            if dead is not None and dead.size and docs.size:
+                keep = ~np.isin(docs, dead, assume_unique=True)
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            return pd.DataFrame({"doc_id": docs, "tf": tfs, "dl": dls})
+
+        rows = self._term_rows([term]).select("segment", "term", "blob", "pos_blob")
+        matches = rows.groupBy("segment").applyInPandas(
+            match_segment,
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType(), False),
+                    T.StructField("tf", T.LongType(), False),
+                    T.StructField("dl", T.LongType(), False),
+                ]
+            ),
+        )
+        return self._score_phrase_matches(matches, k)
+
     def search_phrase_prefix(
         self,
         phrase: list[str],

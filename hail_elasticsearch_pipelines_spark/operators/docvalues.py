@@ -1748,6 +1748,7 @@ def histogram_pipeline(
     interval,
     mode: str = "OR",
     *,
+    dense: bool = False,
     cumulative: bool = False,
     derivative: bool = False,
     moving_avg: int | None = None,
@@ -1785,6 +1786,35 @@ def histogram_pipeline(
     from pyspark.sql.window import Window
 
     h = search_value_histogram(searcher, query, field, interval, mode)
+    if dense:
+        # the ES ``min_doc_count: 0`` shape: fill the bucket spine from
+        # min to max so pipeline metrics see every calendar/numeric
+        # step (a gap-elided derivative silently diffs non-adjacent
+        # buckets); spine cardinality is bounded by the bucket range
+        is_time = isinstance(
+            h.schema["bucket"].dataType, (T.TimestampType, T.DateType)
+        )
+        if is_time:
+            step = {
+                "hour": "INTERVAL 1 HOUR",
+                "day": "INTERVAL 1 DAY",
+                "week": "INTERVAL 7 DAY",   # Monday-aligned stays Monday
+                "month": "INTERVAL 1 MONTH",  # month starts stay starts
+            }[interval]
+            seq = F.expr(f"sequence(lo, hi, {step})")
+        else:
+            seq = F.sequence(F.col("lo"), F.col("hi"), F.lit(int(interval)))
+        spine = (
+            h.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+            .where(F.col("lo").isNotNull())
+            .select(F.explode(seq).alias("bucket"))
+        )
+        h = spine.join(h, "bucket", "left").select(
+            "bucket",
+            F.coalesce(F.col("doc_count"), F.lit(0)).cast("long").alias(
+                "doc_count"
+            ),
+        )
     w = Window.orderBy("bucket")
     if cumulative:
         h = h.withColumn(
@@ -1967,4 +1997,38 @@ def search_matrix_stats(
         var_y.alias("var_y"),
         cov.alias("cov"),
         (cov / F.sqrt(var_x * var_y)).alias("corr"),
+    )
+
+
+def search_rare_terms(
+    searcher: "IndexSearcher",
+    query: "list[str] | str | None",
+    field: str,
+    max_doc_count: int = 1,
+    size: int = 100,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the LONG-TAIL values — buckets
+    whose doc_count is at most ``max_doc_count``, ordered (doc_count
+    asc, value asc), capped at ``size``.  The inverse of the terms agg
+    ("what's unusual", not "what's common"); ES approximates with a
+    CuckooFilter, this computes the exact answer from the same
+    _matched_values front half (one count per value + a HAVING — the
+    post-aggregation filter shrinks the result, never the shuffle).
+    Multi-valued fields count each doc once per distinct value, like
+    the terms agg."""
+    if int(max_doc_count) <= 0:
+        raise DocValueError("rare_terms max_doc_count must be a positive int")
+    mv = _matched_values(searcher, query, field, mode)
+    if isinstance(mv.schema[field].dataType, T.ArrayType):
+        mv = mv.select(
+            F.explode(F.array_distinct(F.col(field))).alias(field)
+        )
+    g = (
+        mv.groupBy(F.col(field).alias("value"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") <= int(max_doc_count))
+    )
+    return g.orderBy(F.col("doc_count").asc(), F.col("value").asc()).limit(
+        int(size)
     )

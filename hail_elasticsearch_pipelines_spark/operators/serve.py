@@ -1468,6 +1468,7 @@ class LocalSearcher:
 
     def histogram_pipeline(
         self, query, field: str, interval, mode: str = "OR", *,
+        dense: bool = False,
         cumulative: bool = False, derivative: bool = False,
         moving_avg: "int | None" = None, serial_diff: "int | None" = None,
         min_doc_count: "int | None" = None,
@@ -1483,6 +1484,30 @@ class LocalSearcher:
         from .docvalues import _SORTABLE, DocValueError
 
         rows = self.search_value_histogram(query, field, interval, mode)
+        if dense and rows:
+            import pandas as pd
+
+            from .docvalues import CALENDAR_UNITS
+
+            if interval in CALENDAR_UNITS:
+                freq = {"hour": "h", "day": "D", "week": "7D", "month": "MS"}[
+                    interval
+                ]
+                present = {pd.Timestamp(b): v for b, v in rows}
+                spine = pd.date_range(
+                    pd.Timestamp(rows[0][0]), pd.Timestamp(rows[-1][0]),
+                    freq=freq,
+                )
+                rows = [
+                    (b.to_pydatetime(), present.get(b, 0)) for b in spine
+                ]
+            else:
+                present = dict(rows)
+                iv = int(interval)
+                rows = [
+                    (b, present.get(b, 0))
+                    for b in range(int(rows[0][0]), int(rows[-1][0]) + 1, iv)
+                ]
         buckets = [r[0] for r in rows]
         c = np.asarray([r[1] for r in rows], dtype=np.int64)
         cols: dict[str, list] = {
@@ -2052,6 +2077,37 @@ class LocalSearcher:
             (val, int(cnt))
             for val, cnt in zip(v[: int(size)].tolist(), c[: int(size)].tolist())
         ]
+
+    def search_rare_terms(
+        self, query, field: str, max_doc_count: int = 1, size: int = 100,
+        mode: str = "OR",
+    ) -> list[tuple]:
+        """ES rare_terms — serving twin of docvalues.search_rare_terms:
+        [(value, doc_count)] with doc_count <= max_doc_count, ordered
+        (doc_count asc, value asc), exact."""
+        from .docvalues import DocValueError
+
+        if int(max_doc_count) <= 0:
+            raise DocValueError(
+                "rare_terms max_doc_count must be a positive int"
+            )
+        ids = self.matched_ids(query, mode)
+        if not ids.size:
+            return []
+        vals = self._dv_lookup(field, np.sort(ids), allow_array=True)[1]
+        if field in self._dv_array_fields:
+            vals = (
+                np.concatenate([np.unique(x) for x in vals])
+                if len(vals)
+                else np.array([], dtype=object)
+            )
+        v, c = np.unique(vals, return_counts=True)
+        keep = c <= int(max_doc_count)
+        out = sorted(
+            zip(v[keep].tolist(), c[keep].tolist()),
+            key=lambda t: (t[1], t[0]),
+        )[: int(size)]
+        return [(val, int(cnt)) for val, cnt in out]
 
     def search_bucket_metrics(
         self, query, bucket_field: str, interval, metric_field: str,
@@ -2624,6 +2680,54 @@ class LocalSearcher:
         scores = idf * w
         d, s = _topk(docs, scores, k)
         return list(zip(d.tolist(), s.tolist()))
+
+    def search_span_first(
+        self, term: str, end: int, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES span_first — serving twin of
+        IndexSearcher.search_span_first, bit-identical (same qualifying
+        count, same pseudo-term scoring)."""
+        from .index_build import BM25_B, BM25_K1
+
+        if int(end) <= 0:
+            raise ValueError("span_first end must be a positive int")
+        if not self.manifest["params"].get("with_positions", True):
+            raise ValueError(
+                "span_first needs positional postings, but this index was "
+                "built with with_positions=False — rebuild with positions"
+            )
+        end_i = int(end)
+        tbl = self._term_rows([term], ["term", "segment", "blob", "pos_blob"])
+        all_docs, all_tf, all_dl = [], [], []
+        for i in range(tbl.num_rows):
+            seg = int(tbl["segment"][i].as_py())
+            d, tf, dl = self._decode_cached(term, seg, tbl["blob"][i])
+            if not d.size:
+                continue
+            pos, offs = self._pos_cached(term, seg, tbl["pos_blob"][i], tf)
+            counts = np.add.reduceat(
+                (pos < end_i).astype(np.int64), offs[:-1]
+            )
+            hit = counts > 0
+            docs, tfs, dls = d[hit], counts[hit], dl[hit]
+            dead = self._deletes.get(seg)
+            if dead is not None and dead.size and docs.size:
+                keep = ~np.isin(docs, dead, assume_unique=True)
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            all_docs.extend(docs.tolist())
+            all_tf.extend(tfs.tolist())
+            all_dl.extend(dls.tolist())
+        if not all_docs:
+            return []
+        docs = np.asarray(all_docs, np.int64)
+        tf = np.asarray(all_tf, np.float64)
+        dl = np.asarray(all_dl, np.float64)
+        idf = bm25_idf(self.n_docs, len(docs))
+        w = ((BM25_K1 + 1.0) * tf) / (
+            tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / self.avgdl)
+        )
+        d_out, s_out = _topk(docs, idf * w, k)
+        return list(zip(d_out.tolist(), s_out.tolist()))
 
     def search_phrase_prefix(
         self,

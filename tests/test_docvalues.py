@@ -534,3 +534,34 @@ class TestNullDocValues:
         assert L.search_field_stats(["the"], "empty_f")["n_hits"] == 0
         assert L.search_percentiles(["the"], "empty_f") == []
         assert [tuple(r) for r in s.search_percentiles(["the"], "empty_f").collect()] == []
+
+
+def test_rare_terms_parity_and_semantics(searchers, spark):
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        DocValueError,
+        search_rare_terms,
+        search_value_terms,
+    )
+
+    s, L = searchers
+    # full bucket counts from the composite agg (big page)
+    allb = {
+        r.value: r.doc_count
+        for r in search_value_terms(s, Q, "doc_len", size=10_000).collect()
+    }
+    for mdc in (1, 2):
+        dist = [
+            (r.value, r.doc_count)
+            for r in search_rare_terms(s, Q, "doc_len", mdc).collect()
+        ]
+        loc = L.search_rare_terms(Q, "doc_len", mdc)
+        assert dist == loc
+        expected = sorted(
+            ((v, c) for v, c in allb.items() if c <= mdc),
+            key=lambda t: (t[1], t[0]),
+        )[:100]
+        assert dist == expected and dist
+    with pytest.raises(DocValueError):
+        search_rare_terms(s, Q, "doc_len", 0)
+    with pytest.raises(DocValueError):
+        L.search_rare_terms(Q, "doc_len", 0)

@@ -401,3 +401,31 @@ def test_phrase_prefix_no_expansion_and_bad_args(searcher, local_searcher):
         searcher.search_phrase_prefix([], k=5)
     with pytest.raises(ValueError):
         local_searcher.search_phrase_prefix([], k=5)
+
+
+def test_span_first_parity_and_bruteforce(searcher, local_searcher, small_oracle):
+    """span_first: term within the first N positions, scored as a
+    pseudo-term (tf = qualifying occurrences)."""
+    oracle, _ = small_oracle
+    for term, end in (("the", 5), ("term0042", 12), ("of", 1)):
+        tfs = {}
+        for d, toks in oracle.doc_tokens.items():
+            c = sum(1 for i, t in enumerate(toks[: end]) if t == term)
+            if c:
+                tfs[d] = c
+        expected = oracle._pseudo_term_topk(tfs, 10)
+        dist = [
+            (r["doc_id"], r["score"])
+            for r in searcher.search_span_first(term, end, k=10).collect()
+        ]
+        loc = local_searcher.search_span_first(term, end, k=10)
+        assert dist == loc == expected, (term, end)
+
+
+def test_span_first_bad_args(searcher, local_searcher):
+    with pytest.raises(ValueError):
+        searcher.search_span_first("the", 0)
+    with pytest.raises(ValueError):
+        local_searcher.search_span_first("the", -1)
+    assert searcher.search_span_first("zzznope", 5).count() == 0
+    assert local_searcher.search_span_first("zzznope", 5) == []

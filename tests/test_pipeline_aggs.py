@@ -200,3 +200,62 @@ def test_pipeline_rejects_bad_args(searchers):
         bucket_stat(s, Q, "warc_ts", "hour", "median")
     with pytest.raises(DocValueError):
         L.bucket_stat(Q, "warc_ts", "hour", "median")
+
+
+def test_dense_buckets_fill_gaps(searchers):
+    """dense=True (ES min_doc_count: 0): the bucket spine is gap-free
+    from min to max, zero-count buckets included, so derivatives diff
+    ADJACENT calendar steps."""
+    s, L = searchers
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        histogram_pipeline,
+    )
+
+    sparse = [
+        tuple(r)
+        for r in histogram_pipeline(s, Q, "warc_ts", "hour").collect()
+    ]
+    dense = [
+        tuple(r)
+        for r in histogram_pipeline(
+            s, Q, "warc_ts", "hour", dense=True, derivative=True
+        ).collect()
+    ]
+    loc = [
+        (_ts(b), n, d)
+        for b, n, d in L.histogram_pipeline(
+            Q, "warc_ts", "hour", dense=True, derivative=True
+        )
+    ]
+    assert dense == loc
+    # spine is hourly-contiguous and covers [min, max]
+    bks = [b for b, _n, _d in dense]
+    assert bks[0] == sparse[0][0] and bks[-1] == sparse[-1][0]
+    for b1, b2 in zip(bks, bks[1:]):
+        assert (b2 - b1).total_seconds() == 3600
+    assert len(dense) >= len(sparse)
+    # zero-filled buckets exist iff the sparse series had gaps
+    zeros = [b for b, n, _d in dense if n == 0]
+    assert (len(dense) > len(sparse)) == bool(zeros)
+    # counts agree with the sparse series on present buckets
+    sp = dict((b, n) for b, n, *_ in sparse)
+    for b, n, _d in dense:
+        assert n == sp.get(b, 0)
+
+
+def test_dense_numeric_buckets(searchers):
+    s, L = searchers
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        histogram_pipeline,
+    )
+
+    dist = [
+        tuple(r)
+        for r in histogram_pipeline(
+            s, Q, "doc_len", 100, dense=True, cumulative=True
+        ).collect()
+    ]
+    loc = L.histogram_pipeline(Q, "doc_len", 100, dense=True, cumulative=True)
+    assert dist == [tuple(r) for r in loc] and dist
+    bks = [b for b, *_ in dist]
+    assert bks == list(range(bks[0], bks[-1] + 1, 100))
