@@ -609,6 +609,38 @@ _GOPHER_THRESH = dict(
 )
 
 
+def _q_multi_terms(spark, sf):
+    """ES multi_terms: compound (source, fetch_ms) buckets over the OR
+    match set; docs with a NULL fetch_ms are skipped (every key source
+    must produce a value)."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_multi_terms,
+    )
+
+    return search_multi_terms(
+        _searcher(spark, sf), OR_TERMS, ["source", "fetch_ms"], size=20
+    )
+
+
+def _q_top_metrics(spark, sf):
+    """ES top_metrics: n_chars + fetch_ms of the 5 most recent matches
+    (sort on warc_ts desc); NULL metrics sentinel-encoded."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_top_metrics,
+    )
+
+    r = search_top_metrics(
+        _searcher(spark, sf), OR_TERMS, "warc_ts",
+        ["n_chars", "fetch_ms"], size=5,
+    )
+    return r.select(
+        "doc_id",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        "n_chars",
+        F.coalesce(F.col("fetch_ms"), F.lit(-1)).cast("long").alias("fetch_l"),
+    )
+
+
 def _q_span_first(spark, sf):
     """ES span_first: 'row' within the first 10 token positions,
     scored as one pseudo-term (tf = qualifying occurrences)."""
@@ -1343,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "gopher_filter": _q_gopher_filter,
         "span_first_search": _q_span_first,
+        "multi_terms_pair": _q_multi_terms,
+        "top_metrics_recent": _q_top_metrics,
         "rare_terms_fetch": _q_rare_terms,
         "decontam_overlap": _q_decontam_overlap,
         "fvf_boost": _q_fvf_boost,
@@ -2529,6 +2563,34 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 )
 
+# multi_terms: compound (source, fetch_ms) buckets; NULL fetch skipped
+_MULTI_TERMS_SQL = (
+    _DV_MATCH_CTE
+    + """
+, fv AS (
+  SELECT m.doc_id, d.source,
+         CASE WHEN d.doc_id % 7 = 0 THEN NULL
+              ELSE (d.doc_id * 37) % 500 + 20 END AS fetch_ms
+  FROM m JOIN documents d USING (doc_id)
+)
+SELECT source, fetch_ms::BIGINT AS fetch_ms, count(*)::BIGINT AS doc_count
+FROM fv WHERE fetch_ms IS NOT NULL AND source IS NOT NULL
+GROUP BY 1, 2 ORDER BY doc_count DESC, source ASC, fetch_ms ASC LIMIT 20
+"""
+)
+
+# top_metrics: metrics of the 5 most recent matches
+_TOP_METRICS_SQL = (
+    _DV_MATCH_CTE
+    + f"""
+SELECT d.doc_id, epoch({_DV_TS})::BIGINT AS ts_epoch, d.n_chars,
+       coalesce(CASE WHEN d.doc_id % 7 = 0 THEN NULL
+                     ELSE (d.doc_id * 37) % 500 + 20 END, -1)::BIGINT AS fetch_l
+FROM m JOIN documents d USING (doc_id)
+ORDER BY ts_epoch DESC, d.doc_id ASC LIMIT 5
+"""
+)
+
 # rare_terms: exact long tail of n_chars among OR matches
 _RARE_TERMS_SQL = (
     _DV_MATCH_CTE
@@ -2833,6 +2895,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "gopher_filter": _GOPHER_SQL,
         "span_first_search": _SPAN_FIRST_SQL,
+        "multi_terms_pair": _MULTI_TERMS_SQL,
+        "top_metrics_recent": _TOP_METRICS_SQL,
         "rare_terms_fetch": _RARE_TERMS_SQL,
         "decontam_overlap": _DECONTAM_SQL,
         "weighted_avg_nchars": _WEIGHTED_AVG_SQL,

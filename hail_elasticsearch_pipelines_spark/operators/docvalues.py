@@ -2032,3 +2032,68 @@ def search_rare_terms(
     return g.orderBy(F.col("doc_count").asc(), F.col("value").asc()).limit(
         int(size)
     )
+
+
+def search_multi_terms(
+    searcher: "IndexSearcher",
+    query: "list[str] | str | None",
+    fields: list[str],
+    size: int = 10,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: compound-key buckets over two or
+    more scalar doc-value fields — DataFrame(<fields...>, doc_count)
+    ordered (doc_count desc, keys asc).  Docs missing ANY key field are
+    skipped (the ES semantics: every source must produce a value).
+    One doclens projection + one count shuffle keyed by the compound."""
+    if len(fields) < 2:
+        raise DocValueError("multi_terms needs at least two fields")
+    dl = doclens_df(searcher)
+    for f in fields:
+        check_scalar(searcher, f, dl)
+    pred = None
+    for f in fields:
+        c = F.col(f).isNotNull()
+        pred = c if pred is None else (pred & c)
+    vals = dl.where(pred).select("doc_id", *fields)
+    g = (
+        matched_ids(searcher, query, mode)
+        .join(vals, "doc_id")
+        .groupBy(*fields)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    order = [F.col("doc_count").desc()] + [F.col(f).asc() for f in fields]
+    return g.orderBy(*order).limit(int(size))
+
+
+def search_top_metrics(
+    searcher: "IndexSearcher",
+    query: "list[str] | str | None",
+    sort_field: str,
+    metric_fields: list[str],
+    ascending: bool = False,
+    size: int = 1,
+    mode: str = "OR",
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: the metric fields of the docs at
+    the top of a field sort — DataFrame(doc_id, <sort_field>,
+    <metrics...>) in sort order.  The metric join happens AFTER the
+    top-k (size rows ⋈ doclens), so it broadcasts; metrics may be NULL
+    (ES returns null metrics for absent fields)."""
+    top = search_sorted(searcher, query, sort_field, ascending, size, mode)
+    dl = doclens_df(searcher)
+    for f in metric_fields:
+        check_field(searcher, f, dl.columns)
+    metrics = dl.select("doc_id", *metric_fields)
+    # inner join is safe: every live doc has a doclens row (absent
+    # METRICS are NULL columns, which the join preserves) — and it lets
+    # the k-row top side broadcast
+    return (
+        F.broadcast(top)
+        .join(metrics, "doc_id", "inner")
+        .select("doc_id", sort_field, *metric_fields)
+        .orderBy(
+            F.col(sort_field).asc() if ascending else F.col(sort_field).desc(),
+            F.col("doc_id").asc(),
+        )
+    )

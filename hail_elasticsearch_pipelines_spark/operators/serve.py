@@ -2078,6 +2078,54 @@ class LocalSearcher:
             for val, cnt in zip(v[: int(size)].tolist(), c[: int(size)].tolist())
         ]
 
+    def search_multi_terms(
+        self, query, fields: list[str], size: int = 10, mode: str = "OR"
+    ) -> list[tuple]:
+        """ES multi_terms — serving twin of
+        docvalues.search_multi_terms: compound-key buckets, docs
+        missing any key field skipped, (count desc, keys asc)."""
+        from .docvalues import DocValueError
+
+        if len(fields) < 2:
+            raise DocValueError("multi_terms needs at least two fields")
+        ids = np.sort(self.matched_ids(query, mode))
+        if not ids.size:
+            return []
+        cols, mask = [], np.ones(len(ids), dtype=bool)
+        for f in fields:
+            present, vals = self._dv_lookup(f, ids)
+            full = np.empty(len(ids), dtype=object)
+            full[present] = vals.tolist() if hasattr(vals, "tolist") else vals
+            mask &= present
+            cols.append(full)
+        from collections import Counter
+
+        keys = Counter(
+            tuple(col[i] for col in cols)
+            for i in range(len(ids))
+            if mask[i]
+        )
+        out = sorted(keys.items(), key=lambda t: (-t[1], t[0]))[: int(size)]
+        return [(*k, int(c)) for k, c in out]
+
+    def search_top_metrics(
+        self, query, sort_field: str, metric_fields: list[str],
+        ascending: bool = False, size: int = 1, mode: str = "OR",
+    ) -> list[tuple]:
+        """ES top_metrics — serving twin of
+        docvalues.search_top_metrics: metric values of the top docs by
+        a field sort; absent metrics are None."""
+        top = self.search_sorted(query, sort_field, ascending, size, mode)
+        out = []
+        for doc, sv in top:
+            docs = np.asarray([doc], np.int64)
+            row = [doc, sv]
+            for f in metric_fields:
+                present, vals = self._dv_lookup(f, docs, allow_array=True)
+                row.append(vals[0] if present[0] else None)
+            out.append(tuple(row))
+        return out
+
     def search_rare_terms(
         self, query, field: str, max_doc_count: int = 1, size: int = 100,
         mode: str = "OR",

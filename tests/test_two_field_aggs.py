@@ -94,3 +94,57 @@ def test_two_field_rejects_bad_fields(spark, two_field_index):
         search_matrix_stats(s, Q, "warc_ts", "views")
     with pytest.raises(DocValueError):
         L.search_matrix_stats(Q, "nope", "views")
+
+
+def test_multi_terms_parity_and_semantics(spark, two_field_index):
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_multi_terms,
+    )
+
+    s, L = IndexSearcher(spark, two_field_index), LocalSearcher(two_field_index)
+    dist = [
+        tuple(r)
+        for r in search_multi_terms(s, Q, ["lang", "stars"], size=8).collect()
+    ]
+    loc = [
+        (a, int(b), int(c)) for a, b, c in L.search_multi_terms(Q, ["lang", "stars"], size=8)
+    ]
+    assert [(a, int(b), int(c)) for a, b, c in dist] == loc and dist
+    # counts descend; ties break by keys ascending
+    counts = [c for *_k, c in dist]
+    assert counts == sorted(counts, reverse=True)
+    # docs with NULL stars are excluded: total bucketed docs < matches
+    total = sum(counts_all for *_x, counts_all in search_multi_terms(
+        s, Q, ["lang", "stars"], size=10_000).collect())
+    assert total < len(L.matched_ids(Q, "OR"))
+    with pytest.raises(DocValueError):
+        search_multi_terms(s, Q, ["stars"])
+    with pytest.raises(DocValueError):
+        L.search_multi_terms(Q, ["stars"])
+
+
+def test_top_metrics_parity(spark, two_field_index):
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_top_metrics,
+    )
+
+    s, L = IndexSearcher(spark, two_field_index), LocalSearcher(two_field_index)
+    dist = [
+        tuple(r)
+        for r in search_top_metrics(
+            s, Q, "views", ["stars", "doc_len"], size=4
+        ).collect()
+    ]
+    loc = [
+        (d, int(v), None if st is None else int(st), int(dl))
+        for d, v, st, dl in L.search_top_metrics(
+            Q, "views", ["stars", "doc_len"], size=4
+        )
+    ]
+    norm = [
+        (d, int(v), None if st is None else int(st), int(dl))
+        for d, v, st, dl in dist
+    ]
+    assert norm == loc and len(norm) == 4
+    views = [v for _d, v, _s, _l in norm]
+    assert views == sorted(views, reverse=True)
