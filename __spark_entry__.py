@@ -836,6 +836,27 @@ def _q_cosine_topk(spark, sf):
     )
 
 
+def _q_ivf_topk(spark, sf):
+    """IVF ANN (FAISS IVF-flat layout on parquet): deterministic
+    spherical k-means coarse quantizer, embeddings partitioned by
+    centroid id, query probes the top-nprobe partitions.  At full
+    probe the result is EXACTLY brute-force cosine_topk (same JVM
+    expression), so the oracle is the cosine SQL twin."""
+    import os
+
+    path = os.path.join(
+        INDEX_ROOT, os.path.basename(os.path.normpath(sf)) + "__ivf"
+    )
+    if not os.path.exists(os.path.join(path, "_centroids.json")):
+        sim.write_ivf_partitioned(
+            _read(spark, sf, "embeddings"), path, n_centroids=8, n_iters=3
+        )
+    r = sim.ann_ivf_topk(spark, path, _query_vec(spark, sf), k=20, nprobe=8)
+    return r.select(
+        F.col("id").alias("vec_id"), _micro(F.col("cosine")).alias("cosine_micro")
+    )
+
+
 def _q_ann_lsh_topk(spark, sf):
     """ANN with LCG-generated hyperplanes: bucket membership (and thus
     the exact candidate set) is reproducible in the DuckDB oracle, so
@@ -1377,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_search": _q_span_first,
         "multi_terms_pair": _q_multi_terms,
         "top_metrics_recent": _q_top_metrics,
+        "ivf_topk": _q_ivf_topk,
         "rare_terms_fetch": _q_rare_terms,
         "decontam_overlap": _q_decontam_overlap,
         "fvf_boost": _q_fvf_boost,
@@ -3115,6 +3137,7 @@ WHERE has_fast AND (has_key OR has_table) AND NOT has_dup
 ORDER BY score DESC, agg.doc_id ASC LIMIT 20
 """,
         "cosine_topk": _COSINE_SQL,
+        "ivf_topk": _COSINE_SQL,
         "media_meta": (
             "SELECT doc_id, octet_length(encode(text))::BIGINT AS size_bytes, "
             "sha256(text) AS sha_hex, CAST(NULL AS VARCHAR) AS mime_guess "

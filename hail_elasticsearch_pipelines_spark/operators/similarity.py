@@ -294,3 +294,153 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF — k-means coarse quantizer (the FAISS IVF-flat layout on parquet)
+# ---------------------------------------------------------------------------
+
+
+def _unit(M: np.ndarray) -> np.ndarray:
+    n = np.sqrt((M * M).sum(axis=1, keepdims=True))
+    n[n == 0] = 1.0
+    return M / n
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic distributed spherical k-means (Lloyd) — the IVF
+    coarse quantizer.  Vectors and centroids are L2-normalized, so
+    cosine assignment is one matmul argmax.  Init comes from the
+    reproducible LCG plane generator (no data-dependent seeding), and
+    each iteration is ONE job: every Arrow batch emits per-centroid
+    partial (sum, count) rows — batches × n_centroids rows, never the
+    vectors — which a tiny grouped combine folds into new centroids.
+    Ties (equal dot) assign to the lowest centroid id; empty centroids
+    keep their previous position.  Returns (n_centroids, dim) float64."""
+    dim = len(df.select(vec_col).head()[0])
+    cents = _unit(_hyperplanes(dim, n_centroids, seed, gen="lcg"))
+    part_schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("vsum", T.ArrayType(T.DoubleType()), False),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+    for _ in range(int(n_iters)):
+        C = cents  # capture per-iteration
+
+        def partials(batches):
+            for pdf in batches:
+                M = _unit(
+                    np.stack(
+                        [np.asarray(v, np.float64) for v in pdf[vec_col]]
+                    )
+                )
+                cid = np.argmax(M @ C.T, axis=1)
+                out = []
+                for c in np.unique(cid):
+                    sel = M[cid == c]
+                    out.append((int(c), sel.sum(axis=0).tolist(), len(sel)))
+                yield pd.DataFrame(out, columns=["cid", "vsum", "cnt"])
+
+        rows = (
+            df.select(vec_col)
+            .mapInPandas(partials, part_schema)
+            .groupBy("cid")
+            .applyInPandas(
+                lambda key, pdf: pd.DataFrame(
+                    [
+                        (
+                            int(key[0]),
+                            np.sum(
+                                np.stack([np.asarray(v) for v in pdf["vsum"]]),
+                                axis=0,
+                            ).tolist(),
+                            int(pdf["cnt"].sum()),
+                        )
+                    ],
+                    columns=["cid", "vsum", "cnt"],
+                ),
+                part_schema,
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            if r["cnt"] > 0:
+                new[r["cid"]] = np.asarray(r["vsum"], np.float64) / r["cnt"]
+        cents = _unit(new)
+    return cents
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """pandas_udf: embedding → nearest-centroid id (normalized dot,
+    ties to the lowest id).  One matmul per batch."""
+    C = np.asarray(centroids, np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ser in batches:
+            M = _unit(np.stack([np.asarray(v, np.float64) for v in ser]))
+            yield pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> np.ndarray:
+    """Train the coarse quantizer, then persist embeddings partitioned
+    by centroid id (`cid=`) with the centroids JSON beside the data —
+    the FAISS IVF-flat layout on parquet.  An ANN query reads only the
+    probed centroids' files (partition pruning), ~nprobe/n_centroids of
+    the corpus at 10^12 vectors."""
+    import json
+    import os
+
+    cents = ivf_train_centroids(df, n_centroids, n_iters, vec_col, seed)
+    df.withColumn("cid", ivf_assign_udf(cents)(F.col(vec_col))).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+    return cents
+
+
+def ann_ivf_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN over a `write_ivf_partitioned` layout: rank centroids by
+    query dot, read the top-``nprobe`` partitions (a PARTITION filter —
+    only those files are scanned), exact cosine top-k inside.  With
+    ``nprobe >= n_centroids`` the result is EXACTLY `cosine_topk` over
+    the whole table (same JVM cosine expression) — the correctness
+    oracle; smaller nprobe trades recall for scan fraction."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cents = np.asarray(json.load(f), np.float64)
+    q = np.asarray(query_vec, np.float64)
+    qn = np.sqrt((q * q).sum())
+    order = np.argsort(-(cents @ (q / (qn if qn else 1.0))), kind="stable")
+    probes = sorted(int(c) for c in order[: int(nprobe)])
+    cand = spark.read.parquet(path).filter(F.col("cid").isin(probes))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

@@ -158,3 +158,53 @@ def test_ann_lcg_planes_match_python(emb_df):
         signs = (planes @ v) > 0
         want = int((signs * (1 << np.arange(n_planes))).sum())
         assert r["b"] == want, r["vec_id"]
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb_df, tmp_path):
+    """nprobe == n_centroids reads everything → EXACTLY cosine_topk
+    (same JVM cosine expression, same ordering)."""
+    df, vecs = emb_df
+    path = str(tmp_path / "ivf_full")
+    cents = sim.write_ivf_partitioned(df, path, n_centroids=8, n_iters=3)
+    assert cents.shape == (8, 16)
+    q = [float(x) for x in vecs[5]]
+    got = [
+        (r["id"], r["cosine"])
+        for r in sim.ann_ivf_topk(spark, path, q, k=12, nprobe=8).collect()
+    ]
+    exact = [
+        (r["id"], r["cosine"])
+        for r in sim.cosine_topk(df, q, k=12).collect()
+    ]
+    assert got == exact and got[0][0] == 5
+
+
+def test_ivf_partial_probe_prunes_and_recalls(spark, emb_df, tmp_path):
+    df, vecs = emb_df
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_partitioned(df, path, n_centroids=8, n_iters=3)
+    q = [float(x) for x in vecs[21]]
+    scan = sim.ann_ivf_topk(spark, path, q, k=10, nprobe=4)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan  # partition filter reached the scan
+    got = {r["id"] for r in scan.collect()}
+    assert 21 in got  # the query's own vector lives in its top centroid
+    exact = set(_brute_topk(vecs.astype(np.float64), np.asarray(q), 10))
+    # isotropic 16-dim noise is the worst case for a coarse quantizer —
+    # half the partitions must still recover >= half the true top-10
+    assert len(exact & got) >= 5
+    # probing fewer centroids scans a subset of the candidates
+    n3 = scan.count()  # nprobe=4
+    n8 = sim.ann_ivf_topk(spark, path, q, k=400, nprobe=8).count()
+    assert n3 <= n8 == 400
+
+
+def test_ivf_training_deterministic(spark, emb_df):
+    df, _vecs = emb_df
+    a = sim.ivf_train_centroids(df, n_centroids=4, n_iters=2, seed=7)
+    b = sim.ivf_train_centroids(df, n_centroids=4, n_iters=2, seed=7)
+    assert np.array_equal(a, b)
+    c = sim.ivf_train_centroids(df, n_centroids=4, n_iters=2, seed=8)
+    assert not np.array_equal(a, c)
+    # centroids are unit-norm (spherical k-means)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
