@@ -1407,13 +1407,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats_pair": _q_matrix_stats,
         "fed_dfs_search": _q_fed_dfs_search,
         "minhash_dedup": _q_minhash_dedup,
-        "simhash_pairs": _q_simhash_pairs,
         "fielded_search": _q_fielded_search,
         "fielded_search_and": _q_fielded_search_and,
         "rescore_phrase": _q_rescore_phrase,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_pairs": _q_simhash_pairs,
         "embedding_pairs": _q_embedding_pairs,
         "image_resize_real": _q_image_resize_real,
         # ---- entries below rank past the driver's 50-row cap ----------
