@@ -544,6 +544,25 @@ def has_wildcards(node) -> bool:
     return any(has_wildcards(p) for p in node.parts)
 
 
+def facet_atom_tokens(node) -> list[str]:
+    """Sorted facet tokens (`__field_value__`) appearing anywhere in
+    the AST — the field-existence check behind _validate/query."""
+    out: set[str] = set()
+
+    def walk(n):
+        if isinstance(n, Term):
+            if n.filter and n.term.startswith("__") and n.term.endswith("__"):
+                out.add(n.term)
+        elif isinstance(n, Not):
+            walk(n.part)
+        elif not isinstance(n, (RangeTerm, PhraseTerm, NestedTerm)):
+            for p in n.parts:
+                walk(p)
+
+    walk(node)
+    return sorted(out)
+
+
 def positive_terms(node) -> list[str]:
     """Sorted positive (non-negated) terms — the scoring terms."""
     out: set[str] = set()

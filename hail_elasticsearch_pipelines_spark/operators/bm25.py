@@ -3181,6 +3181,61 @@ class IndexSearcher:
             .orderBy("doc_id")
         )
 
+    def validate_query(self, query: str, expand: bool = True) -> dict:
+        """ES ``_validate/query`` analog: parse (and optionally expand)
+        a boolean query string against THIS index's field manifest
+        without executing it — {"valid": bool, "error": str | None,
+        "explanation": str | None} where the explanation is the parsed
+        AST repr (the ES rewrite string analog).  Catches unknown
+        fields, malformed syntax, pure-negation shapes, and expansion
+        overflows the same way the search paths would, but driver-side
+        and job-free."""
+        from ..functions import boolquery as bq
+
+        from ..functions.boolquery import QueryParseError
+
+        try:
+            ast = bq.parse(
+                query,
+                analyzed_fields=set(analyzed_fields_of(self.manifest)),
+                dv_fields=dv_filter_fields_of(self.manifest),
+            )
+            # facet atoms parse open-vocabulary; check their FIELDS
+            # against the manifest (ES rejects queries on unmapped
+            # fields in strict mappings — and an unknown facet here is
+            # always a typo, the build never indexed it)
+            known = {
+                f
+                for f, spec in (self.manifest["params"].get("fields") or {}).items()
+                if isinstance(spec, dict) and spec.get("facet")
+            } | {"dlen"}
+            for tok in bq.facet_atom_tokens(ast):
+                if not any(tok.startswith(f"__{f}_") for f in known):
+                    raise QueryParseError(
+                        f"facet atom {tok!r} names no indexed facet field "
+                        f"(known: {sorted(known)})"
+                    )
+            if expand and bq.has_wildcards(ast):
+                ast = bq.expand_wildcards(
+                    ast, self.expand_prefix, self.expand_fuzzy
+                )
+            return {"valid": True, "error": None, "explanation": repr(ast)}
+        except Exception as e:  # noqa: BLE001 — the API reports, never raises
+            return {"valid": False, "error": str(e), "explanation": None}
+
+    @staticmethod
+    def analyze(text: str) -> list[dict]:
+        """ES ``_analyze`` analog: run the index analyzer over a string
+        and return the token stream — [{"token", "position"}], the
+        exact normalization every indexed document went through (shared
+        pure function, so what you see is what got indexed)."""
+        from ..functions.tokenize import py_tokenize
+
+        return [
+            {"token": t, "position": i}
+            for i, t in enumerate(py_tokenize(text))
+        ]
+
     def index_stats(self) -> dict:
         """ES ``_stats``/``_cat/indices`` analog: the pinned snapshot's
         health/size facts, straight from the manifest (no jobs) —

@@ -251,3 +251,23 @@ def test_expire_documents(spark, fresh_index):
     L = LocalSearcher(out)
     assert not set(L.matched_ids(None).tolist()) & expect
     assert L.n_docs == pre.n_docs - len(expect)
+
+
+def test_validate_query_and_analyze(spark, small_index):
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import IndexSearcher
+
+    s = IndexSearcher(spark, small_index[0])
+    ok = s.validate_query("the AND (term0042 OR term0099) AND NOT of")
+    assert ok["valid"] and ok["error"] is None and "term0042" in ok["explanation"]
+    bad = s.validate_query("the AND lang:en AND nosuchfield:x")
+    assert not bad["valid"] and "nosuchfield" in bad["error"]
+    assert s.validate_query("the AND lang:en")["valid"]
+    neg = s.validate_query("the AND (")
+    assert not neg["valid"]
+    toks = s.analyze("The quick-Brown FOX!")
+    assert toks == [
+        {"token": "the", "position": 0},
+        {"token": "quick", "position": 1},
+        {"token": "brown", "position": 2},
+        {"token": "fox", "position": 3},
+    ]
