@@ -828,6 +828,33 @@ def _query_vec(spark, sf) -> list[float]:
     return [float(x) for x in row[0]]
 
 
+def _q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval: BM25 top-40 ⊕ cosine top-40, Reciprocal Rank
+    Fusion (rank_constant 60) — the ES rrf retriever; embedding ids
+    align with the index's dense doc ids."""
+    from hail_elasticsearch_pipelines_spark.operators.hybrid import (
+        hybrid_rrf_search,
+    )
+
+    r = hybrid_rrf_search(
+        _searcher(spark, sf), OR_TERMS, _read(spark, sf, "embeddings"),
+        _query_vec(spark, sf), k=15, window=40,
+    )
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
+
+
+def _q_pinned_search(spark, sf):
+    """ES pinned query: ids [7, 999999, 3] promoted in order (the dead
+    id is skipped), organic OR matches follow without duplicates."""
+    from hail_elasticsearch_pipelines_spark.operators.hybrid import (
+        search_pinned,
+    )
+
+    return search_pinned(
+        _searcher(spark, sf), [7, 999999, 3], OR_TERMS, k=15
+    )
+
+
 def _q_cosine_topk(spark, sf):
     e = _read(spark, sf, "embeddings")
     r = sim.cosine_topk(e, _query_vec(spark, sf), k=20)
@@ -1399,6 +1426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_terms_pair": _q_multi_terms,
         "top_metrics_recent": _q_top_metrics,
         "ivf_topk": _q_ivf_topk,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "pinned_search": _q_pinned_search,
         "rare_terms_fetch": _q_rare_terms,
         "decontam_overlap": _q_decontam_overlap,
         "fvf_boost": _q_fvf_boost,
@@ -2018,6 +2047,62 @@ SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
        {_micro_sql('coalesce(top_cnt / n_grams, 0.0)')} AS top_micro
 FROM documents d LEFT JOIN p USING (doc_id)
 """
+
+# hybrid RRF: BM25 top-40 ⊕ cosine top-40, 1/(60+rank) fusion — ranks
+# from the exact (score desc, id asc) orderings both engines share
+_HYBRID_RRF_SQL = (
+    _BM25_CTES
+    + """
+, qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0)
+, cos AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> e.embedding[i]::DOUBLE * qv.v[i]::DOUBLE))
+    / (sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in e.embedding]))
+       * sqrt(list_sum([(x::DOUBLE) * (x::DOUBLE) for x in qv.v]))) AS cosine
+  FROM embeddings e CROSS JOIN qv
+)
+, b AS (
+  SELECT doc_id, rn FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM agg) WHERE rn <= 40
+)
+, v AS (
+  SELECT vec_id, rn FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM cos) WHERE rn <= 40
+)
+, f AS (
+  SELECT coalesce(b.doc_id, v.vec_id) AS doc_id,
+         coalesce(1.0 / (60 + b.rn), 0.0)
+         + coalesce(1.0 / (60 + v.rn), 0.0) AS score
+  FROM b FULL OUTER JOIN v ON b.doc_id = v.vec_id
+)
+SELECT doc_id, {micro} AS score_micro
+FROM f ORDER BY score DESC, doc_id ASC LIMIT 15
+""".format(micro=_micro_sql("score"))
+)
+
+# pinned query: live promoted ids first in order, organic after
+_PINNED_SQL = (
+    _BM25_CTES
+    + """
+, org AS (
+  SELECT doc_id, rn FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM agg) WHERE rn <= 17 AND doc_id NOT IN (7, 3)
+)
+, seq AS (
+  SELECT 7::BIGINT AS doc_id, 0 AS grp, 1 AS ord, TRUE AS pinned
+  UNION ALL
+  SELECT 3::BIGINT, 0, 2, TRUE
+  UNION ALL
+  SELECT doc_id, 1, rn, FALSE FROM org
+)
+SELECT doc_id, row_number() OVER (ORDER BY grp, ord) AS rank, pinned
+FROM seq ORDER BY rank LIMIT 15
+"""
+)
 
 # span_first: 'row' within the first 10 positions (engine positions are
 # 0-based p < 10; the pos CTE is 1-based, so i <= 10)
@@ -2917,6 +3002,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "gopher_filter": _GOPHER_SQL,
         "span_first_search": _SPAN_FIRST_SQL,
+        "hybrid_rrf": _HYBRID_RRF_SQL,
+        "pinned_search": _PINNED_SQL,
         "multi_terms_pair": _MULTI_TERMS_SQL,
         "top_metrics_recent": _TOP_METRICS_SQL,
         "rare_terms_fetch": _RARE_TERMS_SQL,

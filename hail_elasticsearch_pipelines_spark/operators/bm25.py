@@ -3181,6 +3181,34 @@ class IndexSearcher:
             .orderBy("doc_id")
         )
 
+    def live_doc_ids(self, ids: "list[int]") -> set:
+        """Subset of ``ids`` that are LIVE documents at this searcher's
+        pinned generation/epoch: present in doclens (isin pushes into
+        the scan) and not tombstoned.  Bounded by |ids| — the existence
+        primitive behind the pinned query and get-by-id shapes."""
+        from .docvalues import _seg_params
+
+        want = sorted({int(i) for i in ids})
+        if not want:
+            return set()
+        present = {
+            int(r["doc_id"])
+            for r in self.spark.read.parquet(self._doclens_path)
+            .select("doc_id")
+            .where(F.col("doc_id").isin(want))
+            .collect()
+        }
+        if not present:
+            return present
+        dpp, seg_group = _seg_params(self.manifest)
+        get_deletes = self._segment_deletes_fn()
+        live = set()
+        for d in present:
+            dead = get_deletes((d // dpp) // seg_group)
+            if dead is None or not dead.size or d not in dead:
+                live.add(d)
+        return live
+
     def validate_query(self, query: str, expand: bool = True) -> dict:
         """ES ``_validate/query`` analog: parse (and optionally expand)
         a boolean query string against THIS index's field manifest
