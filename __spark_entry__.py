@@ -855,6 +855,17 @@ def _q_pinned_search(spark, sf):
     )
 
 
+def _q_mget(spark, sf):
+    """ES _mget: stored fields for requested ids, request order, dead
+    ids report found=false with NULL fields."""
+    r = _searcher(spark, sf).mget([7, 999999, 3, 42])
+    return r.select(
+        "doc_id", "found", "source", "n_chars",
+        F.when(F.col("found"), F.coalesce(F.col("fetch_ms"), F.lit(-1)))
+        .cast("long").alias("fetch_l"),
+    )
+
+
 def _q_cosine_topk(spark, sf):
     e = _read(spark, sf, "embeddings")
     r = sim.cosine_topk(e, _query_vec(spark, sf), k=20)
@@ -1428,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "hybrid_rrf": _q_hybrid_rrf,
         "pinned_search": _q_pinned_search,
+        "mget_docs": _q_mget,
         "rare_terms_fetch": _q_rare_terms,
         "decontam_overlap": _q_decontam_overlap,
         "fvf_boost": _q_fvf_boost,
@@ -2103,6 +2115,17 @@ SELECT doc_id, row_number() OVER (ORDER BY grp, ord) AS rank, pinned
 FROM seq ORDER BY rank LIMIT 15
 """
 )
+
+# _mget: request ids vs the documents table (NULL fields when missing)
+_MGET_SQL = """
+WITH req(doc_id) AS (VALUES (7), (999999), (3), (42))
+SELECT r.doc_id, d.doc_id IS NOT NULL AS found, d.source, d.n_chars,
+       CASE WHEN d.doc_id IS NULL THEN NULL
+            WHEN d.doc_id % 7 = 0 THEN -1
+            ELSE (d.doc_id * 37) % 500 + 20 END::BIGINT AS fetch_l
+FROM req r LEFT JOIN documents d USING (doc_id)
+"""
+
 
 # span_first: 'row' within the first 10 positions (engine positions are
 # 0-based p < 10; the pos CTE is 1-based, so i <= 10)
@@ -3004,6 +3027,7 @@ def oracle_sql() -> dict[str, str]:
         "span_first_search": _SPAN_FIRST_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "pinned_search": _PINNED_SQL,
+        "mget_docs": _MGET_SQL,
         "multi_terms_pair": _MULTI_TERMS_SQL,
         "top_metrics_recent": _TOP_METRICS_SQL,
         "rare_terms_fetch": _RARE_TERMS_SQL,

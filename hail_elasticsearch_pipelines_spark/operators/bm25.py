@@ -3400,6 +3400,38 @@ class IndexSearcher:
             .limit(int(size))
         )
 
+    def mget(self, ids: "list[int]") -> DataFrame:
+        """ES ``_mget`` / get-by-id: one row per REQUESTED id —
+        (doc_id, found, url, <stored fields...>), request order, dead
+        or unknown ids report found=false with NULL fields (the ES
+        docs-array contract).  The isin predicate pushes into the
+        doc_id-ordered doclens scan, so row-group stats prune the doc
+        store to the files holding the hits."""
+        want = list(dict.fromkeys(int(i) for i in ids))
+        if not want:
+            raise ValueError("mget needs at least one id")
+        live = self.live_doc_ids(want)
+        doclens = self.spark.read.parquet(self._doclens_path)
+        fetched = [
+            c for c in doclens.columns if c not in ("doc_id", "doc_len")
+        ]
+        found = (
+            F.col("doc_id").isin(sorted(live)) if live else F.lit(False)
+        )
+        req = self.spark.createDataFrame([(i,) for i in want], "doc_id long")
+        if live:
+            rows = doclens.where(
+                F.col("doc_id").isin(sorted(live))
+            ).select("doc_id", *fetched)
+            req = req.join(rows, "doc_id", "left")
+        else:
+            for c in fetched:
+                req = req.withColumn(c, F.lit(None))
+        order = F.array(*[F.lit(i) for i in want])
+        return req.select("doc_id", found.alias("found"), *fetched).orderBy(
+            F.array_position(order, F.col("doc_id"))
+        )
+
     def with_source(
         self, results: DataFrame, max_collect: int = 10_000
     ) -> DataFrame:

@@ -110,3 +110,29 @@ def test_live_doc_ids_respects_tombstones(spark, small_index, tmp_path):
     delete_by_query(spark, work, ["term0042"], mode="OR")
     s2 = IndexSearcher(spark, work)
     assert s2.live_doc_ids(victims) == set()
+
+
+def test_mget_request_order_and_found(spark, small_index, tmp_path):
+    import shutil
+
+    from hail_elasticsearch_pipelines_spark.plans.maintenance import (
+        delete_by_query,
+    )
+
+    work = str(tmp_path / "idx_mget")
+    shutil.copytree(small_index[0], work)
+    s = IndexSearcher(spark, work)
+    victims = [int(r["doc_id"]) for r in s.search(["term0042"], "OR", k=2).collect()]
+    ids = [5, victims[0], 10**9, 0]
+    got = s.mget(ids).collect()
+    assert [r["doc_id"] for r in got] == ids  # request order, dups deduped
+    assert [r["found"] for r in got] == [True, True, False, True]
+    assert got[2]["url"] is None and got[0]["url"] is not None
+    # tombstoned docs report found=false with NULL fields
+    delete_by_query(spark, work, ["term0042"], mode="OR")
+    s2 = IndexSearcher(spark, work)
+    got2 = s2.mget(ids).collect()
+    assert [r["found"] for r in got2] == [5 not in victims, False, False, True]
+    assert got2[1]["url"] is None
+    with pytest.raises(ValueError):
+        s.mget([])
