@@ -536,6 +536,28 @@ def main():
     emb = _read(spark, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     q["cosine_topk_sf"] = round(timed(lambda: sim.cosine_topk(emb, qvec, k=20).collect()), 3)
+    # IVF layout: train + write once (timed separately), then the probe
+    ivf_path = f"{BENCH_DIR}/ivf_{CPUS}"
+    t0 = time.time()
+    sim.write_ivf_partitioned(emb, ivf_path, n_centroids=16, n_iters=3)
+    q["ivf_build_sf"] = round(time.time() - t0, 3)
+    q["ivf_probe4_sf"] = round(
+        timed(lambda: sim.ann_ivf_topk(spark, ivf_path, qvec, k=20, nprobe=4).collect()),
+        3,
+    )
+    # hybrid RRF: BM25 leg over the bench index + cosine leg over sf embeddings
+    from hail_elasticsearch_pipelines_spark.operators.hybrid import (
+        hybrid_rrf_search,
+    )
+
+    q["hybrid_rrf_sf"] = round(
+        timed(
+            lambda: hybrid_rrf_search(
+                bench_s, ["the", "term0042"], emb, qvec, k=10, window=40
+            ).collect()
+        ),
+        3,
+    )
     li = _read(spark, "lineitem")
     q["pricing_summary_sf"] = round(
         timed(
