@@ -1882,3 +1882,100 @@ def expire_documents(
     return delete_by_query(
         spark, index_dir, f"{field}:[* TO {bound}}}", mode="BOOL"
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot / restore (the ES _snapshot repository analog)
+# ---------------------------------------------------------------------------
+
+
+def _link_tree(src: str, dst: str) -> int:
+    """Mirror ``src`` into ``dst`` with HARDLINKS (copy fallback across
+    devices).  Safe because published index files are immutable —
+    maintenance only ever writes NEW files / NEW generation dirs."""
+    n = 0
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        troot = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(troot, exist_ok=True)
+        for fn in files:
+            s = os.path.join(root, fn)
+            t = os.path.join(troot, fn)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+            n += 1
+    return n
+
+
+def snapshot_index(index_dir: str, snap_dir: str) -> dict:
+    """ES ``_snapshot`` analog: a point-in-time copy of the index under
+    the single-writer maintenance lock, so the captured
+    (generation pointers, deletes epoch) pair is one consistent
+    publish.  Data files HARDLINK (metadata-only — published parquet /
+    sidecar files are immutable; later extends append NEW files into
+    the ORIGINAL dirs, which a snapshot's separate directory never
+    sees), the manifest and completion marker copy, and any crash
+    intent markers ride along so a restored index repairs itself
+    exactly as the source would have."""
+    if os.path.exists(snap_dir) and os.listdir(snap_dir):
+        raise ValueError(f"snapshot target {snap_dir!r} exists and is not empty")
+    with _maintenance_lock(index_dir):
+        manifest = _load_manifest(index_dir)
+        os.makedirs(snap_dir, exist_ok=True)
+        linked = 0
+        for name in layout.TABLES:
+            src = layout.table_path(index_dir, name, manifest)
+            if not os.path.isdir(src):
+                continue
+            rel = manifest.get("tables", {}).get(name, name)
+            linked += _link_tree(src, os.path.join(snap_dir, rel))
+        for fn in os.listdir(index_dir):
+            p = os.path.join(index_dir, fn)
+            if os.path.isfile(p) and (
+                fn in ("manifest.json", "_INDEX_PUBLISHED")
+                or fn.startswith("_EXTEND_INTENT")
+            ):
+                shutil.copy2(p, os.path.join(snap_dir, fn))
+    return {"files_linked": linked, "snapshot": snap_dir}
+
+
+def restore_snapshot(snap_dir: str, index_dir: str) -> dict:
+    """Restore a snapshot INTO an index directory as a normal
+    generation publish: every snapshot table links into a fresh
+    ``<table>-g<G+1>`` dir, then ONE atomic manifest replace flips the
+    pointers and adopts the snapshot's globals/params/epoch — pinned
+    searchers keep serving the pre-restore state until ``reload()``,
+    exactly like any other maintenance op, and the next op's GC sweeps
+    the replaced generations."""
+    snap = _load_manifest(snap_dir)
+    with _maintenance_lock(index_dir):
+        try:
+            cur_gen = int(_load_manifest(index_dir).get("generation", 0))
+        except FileNotFoundError:
+            cur_gen = 0
+        gen = cur_gen + 1
+        import json
+
+        new_manifest = json.loads(json.dumps(snap))  # deep copy
+        tables = {}
+        linked = 0
+        for name in layout.TABLES:
+            src = os.path.join(
+                snap_dir, snap.get("tables", {}).get(name, name)
+            )
+            if not os.path.isdir(src):
+                continue
+            rel = f"{name}-g{gen}"
+            linked += _link_tree(src, os.path.join(index_dir, rel))
+            tables[name] = rel
+        for name in layout.TABLES:
+            tables.setdefault(name, snap.get("tables", {}).get(name, name))
+        new_manifest["tables"] = tables
+        new_manifest["generation"] = gen
+        layout.save_manifest_atomic(index_dir, new_manifest)
+        marker = os.path.join(snap_dir, "_INDEX_PUBLISHED")
+        if os.path.exists(marker):
+            shutil.copy2(marker, os.path.join(index_dir, "_INDEX_PUBLISHED"))
+    return {"files_linked": linked, "generation": gen}
