@@ -93,6 +93,8 @@ def _docs_as_pages(docs: DataFrame) -> DataFrame:
         .otherwise((F.col("doc_id") * 37) % 500 + 20)
         .cast("long")
         .alias("fetch_ms"),
+        # small per-doc requirement count for the ES terms_set query
+        (F.col("doc_id") % 3 + 1).cast("long").alias("req_m"),
         # multi-valued stored field (ES keyword array — page tags);
         # every 11th doc is untagged (empty array == missing per ES)
         F.when(
@@ -154,7 +156,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         if (
             m.get("format_version") != INDEX_FORMAT_VERSION
             or params.get("text_fields") != ["title"]
-            or not {"source", "n_chars", "fetch_ms", "tags"}
+            or not {"source", "n_chars", "fetch_ms", "tags", "req_m"}
             <= set(params.get("stored_fields") or ())
             or not (params.get("fields") or {}).get("links", {}).get("nested")
         ):
@@ -671,6 +673,18 @@ def _q_gopher_filter(spark, sf):
 
     d = _read(spark, sf, "documents").select("doc_id", "text")
     return gopher_filter(d, **_GOPHER_THRESH)
+
+
+def _q_terms_set(spark, sf):
+    """ES terms_set: per-doc required count from the req_m doc value
+    (1 + doc_id % 3) — a doc matches when it holds at least that many
+    of the three query terms, scored by the disjunctive sum."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        search_terms_set,
+    )
+
+    r = search_terms_set(_searcher(spark, sf), OR_TERMS, "req_m", k=20)
+    return r.select("doc_id", _micro(F.col("score")).alias("score_micro"))
 
 
 def _q_weighted_avg(spark, sf):
@@ -1440,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "pinned_search": _q_pinned_search,
         "mget_docs": _q_mget,
+        "terms_set_search": _q_terms_set,
         "rare_terms_fetch": _q_rare_terms,
         "decontam_overlap": _q_decontam_overlap,
         "fvf_boost": _q_fvf_boost,
@@ -2125,6 +2140,15 @@ SELECT r.doc_id, d.doc_id IS NOT NULL AS found, d.source, d.n_chars,
             ELSE (d.doc_id * 37) % 500 + 20 END::BIGINT AS fetch_l
 FROM req r LEFT JOIN documents d USING (doc_id)
 """
+
+
+# terms_set: per-doc HAVING count >= 1 + doc_id % 3 over the OR scoring
+_TERMS_SET_SQL = _bm25_sql(["fast", "key", "table"], "OR", 20).replace(
+    "SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id ",
+    "SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY doc_id "
+    "HAVING count(*) >= 1 + doc_id % 3",
+)
+assert "HAVING count(*) >= 1 + doc_id % 3" in _TERMS_SET_SQL
 
 
 # span_first: 'row' within the first 10 positions (engine positions are
@@ -3028,6 +3052,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "pinned_search": _PINNED_SQL,
         "mget_docs": _MGET_SQL,
+        "terms_set_search": _TERMS_SET_SQL,
         "multi_terms_pair": _MULTI_TERMS_SQL,
         "top_metrics_recent": _TOP_METRICS_SQL,
         "rare_terms_fetch": _RARE_TERMS_SQL,

@@ -2097,3 +2097,102 @@ def search_top_metrics(
             F.col("doc_id").asc(),
         )
     )
+
+
+def search_terms_set(
+    searcher: "IndexSearcher",
+    terms: list[str],
+    m_field: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``terms_set`` query: a doc matches when it contains at least
+    ``m(doc)`` of the query terms, where the REQUIRED count comes from
+    the doc's own ``m_field`` doc value (the
+    minimum_should_match_field contract) — the per-doc-threshold
+    variant of minimum_should_match.  Docs missing the field never
+    match (per ES); values are clamped to ≥1 (a 0-requirement would
+    make the query unbounded match_all).  Matching docs score as the
+    standard disjunctive sum over the terms they hold.
+
+    Plan: the terms' posting rows cogroup with the segment's
+    NULL-filtered (doc_id, m) doclens slice; per segment the union
+    membership pass yields scores AND match counts in one sweep
+    (exhaustive — per-doc thresholds break score-monotone pruning
+    bounds), per-segment top-k."""
+    from .bm25 import (
+        RESULT_SCHEMA,
+        _check_unique_terms,
+        _topk,
+        bm25_idf,
+        bm25_tf_weight,
+        field_avgdl_map,
+    )
+
+    qterms = sorted(set(terms))
+    spark = searcher.spark
+    if not qterms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    dl = doclens_df(searcher)
+    check_scalar(searcher, m_field, dl)
+    if isinstance(dl.schema[m_field].dataType, (T.TimestampType, T.DateType)):
+        raise DocValueError("terms_set needs a numeric requirement field")
+    rows = _scoring_rows(searcher, qterms, "OR")
+    if rows is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    dpp, seg_group = _seg_params(searcher.manifest)
+    vals = dl.where(F.col(m_field).isNotNull()).select(
+        segment_expr(F.col("doc_id"), dpp, seg_group).alias("segment"),
+        "doc_id",
+        F.col(m_field).alias("value"),
+    )
+    n_docs = searcher.n_docs
+    avgdl = field_avgdl_map(searcher.manifest, qterms)
+    get_deletes = searcher._segment_deletes_fn()
+
+    def score_segment(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        _check_unique_terms(left)
+        dead = get_deletes(int(key[0]))
+        idf = {
+            t: bm25_idf(n_docs, int(d))
+            for t, d in zip(left["term"], left["df_global"])
+        }
+        postings = {
+            r.term: codecs.decode_postings(bytes(r.blob))
+            for r in left.itertuples()
+        }
+        present = [t for t in qterms if t in postings]
+        if not present:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        from functools import reduce
+
+        all_docs = reduce(np.union1d, (postings[t][0] for t in present))
+        scores = np.zeros(all_docs.size, np.float64)
+        nmatch = np.zeros(all_docs.size, np.int64)
+        for t in present:
+            d, tf, dlen = postings[t]
+            idx = np.searchsorted(all_docs, d)
+            from .bm25 import _adl
+
+            scores[idx] += idf[t] * bm25_tf_weight(tf, dlen, _adl(avgdl, t))
+            nmatch[idx] += 1
+        ok, m = _value_lookup(right, "value", all_docs)
+        need = np.maximum(dv_float(m), 1.0)
+        keep = ok.copy()
+        keep[ok] &= nmatch[ok] >= need
+        docs, scores = all_docs[keep], scores[keep]
+        if dead is not None and dead.size and docs.size:
+            alive = ~np.isin(docs, dead, assume_unique=True)
+            docs, scores = docs[alive], scores[alive]
+        docs, scores = _topk(docs, scores, int(k))
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    partials = (
+        rows.groupBy("segment")
+        .cogroup(vals.groupBy("segment"))
+        .applyInPandas(score_segment, RESULT_SCHEMA)
+    )
+    return partials.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        int(k)
+    )

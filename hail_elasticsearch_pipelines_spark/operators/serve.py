@@ -2126,6 +2126,62 @@ class LocalSearcher:
             out.append(tuple(row))
         return out
 
+    def search_terms_set(
+        self, terms: list[str], m_field: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES terms_set — serving twin of docvalues.search_terms_set,
+        bit-identical: per-doc required count from the doc's own
+        ``m_field`` value (clamped ≥1; docs missing the field never
+        match), disjunctive-sum scoring over held terms."""
+        from functools import reduce
+
+        from .bm25 import _adl, _mask_deleted, bm25_tf_weight
+        from .docvalues import DocValueError, dv_float
+
+        qterms = sorted(set(terms))
+        if not qterms:
+            return []
+        dfs = self.global_dfs(qterms)
+        if not dfs:
+            return []
+        idf = {t: bm25_idf(self.n_docs, d) for t, d in dfs.items()}
+        avgdl = field_avgdl_map(self.manifest, qterms)
+        rows = self._rows_for(qterms)
+        acc_d = np.array([], np.int64)
+        acc_s = np.array([], np.float64)
+        for seg in sorted({s for m in rows.values() for s in m}):
+            postings = {
+                t: self._decode_cached(t, seg, rows[t][seg].blob)
+                for t in qterms
+                if seg in rows.get(t, {})
+            }
+            postings = _mask_deleted(postings, self._deletes.get(seg))
+            present = [t for t in qterms if t in postings]
+            if not present:
+                continue
+            all_docs = reduce(np.union1d, (postings[t][0] for t in present))
+            if not all_docs.size:
+                continue
+            scores = np.zeros(all_docs.size, np.float64)
+            nmatch = np.zeros(all_docs.size, np.int64)
+            for t in present:
+                d, tf, dlen = postings[t]
+                idx = np.searchsorted(all_docs, d)
+                scores[idx] += idf[t] * bm25_tf_weight(tf, dlen, _adl(avgdl, t))
+                nmatch[idx] += 1
+            ok, m = self._dv_lookup(m_field, all_docs)
+            if np.issubdtype(m.dtype, np.datetime64):
+                raise DocValueError("terms_set needs a numeric requirement field")
+            keep = ok.copy()
+            keep[ok] &= nmatch[ok] >= np.maximum(dv_float(m), 1.0)
+            if keep.any():
+                acc_d, acc_s = _topk(
+                    np.concatenate([acc_d, all_docs[keep]]),
+                    np.concatenate([acc_s, scores[keep]]),
+                    k,
+                )
+        return list(zip(acc_d.tolist(), acc_s.tolist()))
+
     def search_rare_terms(
         self, query, field: str, max_doc_count: int = 1, size: int = 100,
         mode: str = "OR",

@@ -148,3 +148,48 @@ def test_top_metrics_parity(spark, two_field_index):
     assert norm == loc and len(norm) == 4
     views = [v for _d, v, _s, _l in norm]
     assert views == sorted(views, reverse=True)
+
+
+def test_terms_set_parity_and_semantics(spark, two_field_index):
+    """terms_set: per-doc required count from the stars field (clamped
+    >= 1); docs missing stars never match; survivors score as the
+    disjunctive sum."""
+    from hail_elasticsearch_pipelines_spark.operators.docvalues import (
+        DocValueError,
+        search_terms_set,
+    )
+
+    s, L = IndexSearcher(spark, two_field_index), LocalSearcher(two_field_index)
+    terms = ["the", "of", "term0042"]
+    # small requirement field: stars % 4 isn't storable — use stars
+    # directly with tiny values via a threshold query instead: build a
+    # parity check against brute force over the exhaustive union
+    dist = [
+        (r.doc_id, r.score)
+        for r in search_terms_set(s, terms, "stars", k=300).collect()
+    ]
+    loc = L.search_terms_set(terms, "stars", k=300)
+    assert dist == loc
+    # brute force: nmatch >= max(stars, 1), missing stars excluded
+    full = L.search(sorted(set(terms)), "OR", k=L.n_docs, algo="exhaustive")
+    docs = np.array([d for d, _ in full], np.int64)
+    order = np.argsort(docs)
+    docs_sorted = docs[order]
+    present, stars = L._dv_lookup("stars", docs_sorted)
+    nmatch = np.zeros(len(docs_sorted), np.int64)
+    for t in set(terms):
+        ids = {d for d, _ in L.search([t], "OR", k=L.n_docs, algo="exhaustive")}
+        nmatch += np.isin(docs_sorted, sorted(ids))
+    need = np.maximum(stars.astype(float), 1.0)
+    keep = present.copy()
+    keep[present] &= nmatch[present] >= need
+    expected_ids = set(docs_sorted[keep].tolist())
+    assert {d for d, _ in dist} == expected_ids
+    # scores equal the plain OR scores for the survivors
+    plain = dict(full)
+    for d, sc in dist:
+        assert sc == plain[d]
+    with pytest.raises(DocValueError):
+        search_terms_set(s, terms, "warc_ts").collect()
+    with pytest.raises(DocValueError):
+        L.search_terms_set(terms, "warc_ts")
