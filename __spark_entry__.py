@@ -1427,7 +1427,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_s": _q_suggest_s,
         "mlt_doc0": _q_mlt_doc0,
         "percolate_hits": _q_percolate,
-        "phrase_search": _q_phrase_search,
         "phrase_slop": _q_phrase_slop,
         "bool_phrase_search": _q_bool_phrase,
         "filters_agg": _q_filters_agg,
@@ -1464,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fed_dfs_search": _q_fed_dfs_search,
         "minhash_dedup": _q_minhash_dedup,
         "fielded_search": _q_fielded_search,
+        "phrase_search": _q_phrase_search,
         "fielded_search_and": _q_fielded_search_and,
         "rescore_phrase": _q_rescore_phrase,
         "cosine_topk": _q_cosine_topk,
