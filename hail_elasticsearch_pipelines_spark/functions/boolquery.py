@@ -764,12 +764,15 @@ def _phrase_in_tokens(tokens: list, phrase: tuple, slop: int) -> bool:
     return False
 
 
-def eval_doc(node, tokens: list, fields: dict) -> bool:
+def eval_doc(node, tokens: list, fields: dict, token_set: "set | None" = None) -> bool:
     """Evaluate the AST against ONE document — the ES percolator's
     match test.  ``tokens``: the doc's analyzed body tokens (in order,
     for phrase atoms); ``fields``: metadata column → value (strings,
     numbers, timestamps, lists; analyzed extra text fields appear as
-    their raw strings and are tokenized on demand).
+    their raw strings and are tokenized on demand).  ``token_set``:
+    optional precomputed set(tokens) — exact-term membership then costs
+    O(1) instead of an O(|tokens|) list scan (the percolator builds the
+    set once per doc and evaluates thousands of Terms against it).
 
     Queries meant for percolation should parse with ``dv_fields`` set
     to the metadata columns, so ``field:value`` atoms carry the field
@@ -836,11 +839,13 @@ def eval_doc(node, tokens: list, fields: dict) -> bool:
                 abs(len(t) - len(body)) <= e and py_levenshtein(t, body) <= e
                 for t in set(cand)
             )
+        if field is None and token_set is not None:
+            return body in token_set
         return body in cand
     if isinstance(node, Not):
-        return not eval_doc(node.part, tokens, fields)
+        return not eval_doc(node.part, tokens, fields, token_set)
     if isinstance(node, And):
-        return all(eval_doc(p, tokens, fields) for p in node.parts)
+        return all(eval_doc(p, tokens, fields, token_set) for p in node.parts)
     if isinstance(node, Or):
-        return any(eval_doc(p, tokens, fields) for p in node.parts)
+        return any(eval_doc(p, tokens, fields, token_set) for p in node.parts)
     raise QueryParseError(f"unknown node {node!r}")

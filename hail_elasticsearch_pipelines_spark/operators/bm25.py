@@ -4145,36 +4145,70 @@ def bm25_exhaustive_df(
     as correctness anchor and for ad-hoc scoring of un-indexed tables.
 
     `docs` must have (id_col, tokens_col: array<string>).  Shuffle
-    profile: one explode + two aggs + one broadcast join — fine at any
-    scale, but reads the whole corpus per query (that is exactly the
-    cost the inverted index removes)."""
+    profile: per-term tf is counted IN-ROW (size of a filtered token
+    array — query term lists are tiny), so there is no token explode,
+    no (doc, term) groupBy shuffle, and the whole query is two jobs:
+    one aggregation for (n_docs, avgdl, per-term df) and one
+    TakeOrdered scoring pass — fine at any scale, but reads the whole
+    corpus per query (that is exactly the cost the inverted index
+    removes)."""
     terms_sorted = sorted(set(terms))
     spark = docs.sparkSession
-    stats = docs.agg(
-        F.count("*").alias("n_docs"), F.avg(F.size(tokens_col)).alias("avgdl")
+    def _count_eq(t):
+        # NB: single-arg lambda — a second parameter would be bound to
+        # the element INDEX by the higher-order-function protocol
+        return lambda x: x == F.lit(t)
+
+    tf_cols = [
+        F.size(F.filter(F.col(tokens_col), _count_eq(t))).alias(f"__tf_{i}")
+        for i, t in enumerate(terms_sorted)
+    ]
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col).alias("dl"),
+        *tf_cols,
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(terms_sorted))
+        ],
     ).collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 0.0)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(tokens_col).alias("dl"), F.col(tokens_col).alias("toks")
-    )
-    tf = (
-        base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(terms_sorted))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfs = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf_rows = [(t, bm25_idf(n_docs, d)) for t, d in ((r["term"], r["df"]) for r in dfs.collect())]
-    if not idf_rows:
+    dfs = [int(stats[f"__df_{i}"] or 0) for i in range(len(terms_sorted))]
+    if not any(dfs):
         return spark.createDataFrame([], RESULT_SCHEMA)
-    idf_df = F.broadcast(spark.createDataFrame(idf_rows, schema="term string, idf double"))
-    w = (F.lit(BM25_K1 + 1.0) * F.col("tf")) / (
-        F.col("tf") + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+    # idf stays Python-side math.log (bm25_idf) exactly as before — the
+    # per-term weight expression is unchanged, only its tf/df inputs
+    # come from the in-row counts instead of an explode+groupBy
+    idf = [bm25_idf(n_docs, d) for d in dfs]
+
+    def w(tf_col):
+        return (F.lit(BM25_K1 + 1.0) * tf_col) / (
+            tf_col
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+        )
+
+    contrib = [
+        F.when(F.col(f"__tf_{i}") > 0, F.lit(idf[i]) * w(F.col(f"__tf_{i}")))
+        for i in range(len(terms_sorted))
+    ]
+    score = contrib[0]
+    for c in contrib[1:]:
+        # ascending term order, float64 — the determinism contract;
+        # terms the doc lacks contribute nothing (when() -> NULL,
+        # skipped by the coalesced sum below)
+        score = F.coalesce(score + c, score, c)
+    n_hit = sum(
+        ((F.col(f"__tf_{i}") > 0).cast("int") for i in range(len(terms_sorted))),
+        F.lit(0),
     )
-    scored = tf.join(idf_df, "term").withColumn("contrib", F.col("idf") * w)
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("contrib").alias("score"), F.count("*").alias("n_terms_hit")
-    )
+    agg = base.select("doc_id", score.alias("score"), n_hit.alias("n_terms_hit"))
     if mode.upper() == "AND":
         agg = agg.filter(F.col("n_terms_hit") == len(terms_sorted))
+    else:
+        agg = agg.filter(F.col("n_terms_hit") > 0)
     return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

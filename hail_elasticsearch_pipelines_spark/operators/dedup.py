@@ -42,8 +42,11 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     cryptographic digest makes hash-equality ≡ text-equality for any
     practical corpus (Lucene/content-defined-dedup standard practice).
     Returns (id_col, group_size)."""
+    from ..sources.readers import spread_small_scan
+
     return (
-        df.select(F.sha2(F.col(text_col), 256).alias("__h"), F.col(id_col))
+        spread_small_scan(df)
+        .select(F.sha2(F.col(text_col), 256).alias("__h"), F.col(id_col))
         .groupBy("__h")
         .agg(
             F.min(id_col).alias(id_col),
@@ -77,6 +80,9 @@ def ngram_jaccard_pairs(
         |A ∩ B| from the join, |A ∪ B| = |A| + |B| - |A ∩ B|.
     `max_shingle_df` drops ubiquitous shingles from candidate generation
     ONLY as a join-explosion guard; pass None for exact semantics."""
+    from ..sources.readers import spread_small_scan
+
+    df = spread_small_scan(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(token_shingles(F.col(text_col), n)).alias("sh")
     )
@@ -137,9 +143,11 @@ def minhash_signatures(
     Shingle hashing stays JVM-side (xxhash64); the n_perm universal-hash
     min-reduction is one Arrow-vectorized pandas_udf (numpy outer-mod),
     no per-row Python."""
+    from ..sources.readers import spread_small_scan
+
     A, B = _minhash_params(n_perm, seed)
 
-    shingled = df.select(
+    shingled = spread_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.transform(token_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
             "shash"
@@ -235,6 +243,12 @@ def minhash_lsh_candidates(
       member) edges — O(n) per bucket with NO recall loss inside the
       bucket — for union into connected components
       (``minhash_dedup_clusters``)."""
+    # band bucket = xxhash64 of the signature SLICE (array<long>)
+    # directly — r6 stringified the slice and hashed the joined string,
+    # paying ~80 bytes of string building per (doc, band).  Bucket ids
+    # differ in value but group identically (same slice ⟺ same hash);
+    # a cross-slice collision can only MERGE buckets, i.e. add
+    # candidates, and candidates are verified with exact Jaccard.
     bands = sigs.select(
         "id",
         F.explode(
@@ -243,13 +257,7 @@ def minhash_lsh_candidates(
                 lambda bnd: F.struct(
                     bnd.alias("band"),
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
+                        F.slice(F.col("sig"), bnd * rows_per_band + 1, rows_per_band)
                     ).alias("bucket"),
                 ),
             )
@@ -289,6 +297,12 @@ def minhash_dedup_pairs(
     (id_a, id_b, jaccard) with jaccard >= threshold.  All-pairs output
     is inherently quadratic in cluster size — for duplicate-heavy
     corpora use ``minhash_dedup_clusters`` (O(n) per cluster)."""
+    from ..sources.readers import spread_small_scan
+
+    # spread ONCE at entry: the signature pass and the verify pass then
+    # share one identical repartition subtree (ReusedExchange), instead
+    # of each branch re-reading the 1-task scan
+    df = spread_small_scan(df)
     rows_per_band = n_perm // n_bands
     sigs = minhash_signatures(df, n_perm, shingle_n, text_col, id_col)
     cand = minhash_lsh_candidates(
@@ -397,6 +411,9 @@ def minhash_dedup_clusters(
     the representative, so nothing is lost.  A chain A~B~C with
     jaccard(A, C) < threshold joins one cluster here and would also
     pair-connect transitively in any union-find over the pairs output."""
+    from ..sources.readers import spread_small_scan
+
+    df = spread_small_scan(df)
     rows_per_band = n_perm // n_bands
     sigs = minhash_signatures(df, n_perm, shingle_n, text_col, id_col)
     cand = minhash_lsh_candidates(
@@ -471,7 +488,9 @@ def simhash(
         th = token_hash_values(text_col)
     else:
         raise ValueError(f"unknown token_hash {token_hash!r}")
-    hashed = df.select(F.col(id_col).alias("id"), th.alias("th"))
+    from ..sources.readers import spread_small_scan
+
+    hashed = spread_small_scan(df).select(F.col(id_col).alias("id"), th.alias("th"))
     return hashed.select("id", _simhash_udf("th").alias("simhash"))
 
 

@@ -38,6 +38,11 @@ from pyspark.sql import types as T
 from ..functions import boolquery as bq
 from ..functions.tokenize import py_tokenize
 
+# minimum registry size for the extracted-terms prefilter (measured
+# crossover, r6 verdict weak #3: 3-4 stored queries ran ~40% slower
+# WITH the prefilter than plain AST walks)
+PREFILTER_MIN_QUERIES = 32
+
 PERCOLATE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -93,60 +98,188 @@ def required_body_tokens(node) -> "set[str]":
     return out
 
 
+def anyof_body_tokens(node) -> "set[str] | None":
+    """A set of exact body tokens of which EVERY match of the query
+    must contain AT LEAST ONE — the disjunctive complement of
+    required_body_tokens (ES extracts OR'd terms into its percolator
+    terms index the same way).  None means "no such certificate"
+    (wildcard / fielded / negated branches give no guarantee).  Sound:
+    a doc containing none of the returned tokens cannot match.
+
+    * exact Term: {term}; PhraseTerm: any of its tokens works (use the
+      full token set — all are necessary, any serves as certificate);
+    * And: any single part's certificate is necessary for the AND —
+      pick the smallest;
+    * Or: the union of the parts' certificates, provided EVERY part
+      has one (one uncertified branch voids the whole OR)."""
+    if isinstance(node, bq.Term):
+        if (
+            not node.wildcard
+            and not node.fuzzy
+            and not node.filter
+            and ":" not in node.term
+        ):
+            return {node.term}
+        return None
+    if isinstance(node, bq.PhraseTerm):
+        return set(node.tokens)
+    if isinstance(node, bq.And):
+        certs = [anyof_body_tokens(p) for p in node.parts]
+        certs = [c for c in certs if c]
+        if not certs:
+            return None
+        return min(certs, key=len)
+    if isinstance(node, bq.Or):
+        out: set[str] = set()
+        for p in node.parts:
+            c = anyof_body_tokens(p)
+            if not c:
+                return None
+            out.update(c)
+        return out
+    # Not / RangeTerm / NestedTerm: no certificate
+    return None
+
+
 class _Prefilter:
-    """Vectorized candidate selection over the compiled registry."""
+    """Vectorized candidate selection over the compiled registry: an
+    ALL-of guard from required_body_tokens (AND-reachable exact terms)
+    plus an ANY-of guard from anyof_body_tokens (pure-OR shapes — the
+    r6 prefilter evaluated every OR-of-terms watch on every doc).  A
+    query may carry both guards; only queries with neither are
+    unconditional candidates."""
 
     def __init__(self, compiled: list[tuple]):
         vocab: dict[str, int] = {}
-        flat: list[int] = []
-        bounds: list[int] = []
-        guarded: list[int] = []  # query positions with required terms
-        self.always: list[int] = []  # positions evaluated for every doc
+        all_flat: list[int] = []
+        all_bounds: list[int] = []
+        all_pos: list[int] = []
+        any_flat: list[int] = []
+        any_bounds: list[int] = []
+        any_pos: list[int] = []
+        n_uncond = 0
         for pos, (_qid, ast) in enumerate(compiled):
             req = required_body_tokens(ast)
-            if not req:
-                self.always.append(pos)
-                continue
-            guarded.append(pos)
-            bounds.append(len(flat))
-            for t in sorted(req):
-                flat.append(vocab.setdefault(t, len(vocab)))
+            if req:
+                all_pos.append(pos)
+                all_bounds.append(len(all_flat))
+                for t in sorted(req):
+                    all_flat.append(vocab.setdefault(t, len(vocab)))
+            cert = anyof_body_tokens(ast)
+            # the ANY-of guard only pays when it adds information
+            # beyond the ALL-of guard (req ⊆ cert makes it redundant)
+            if cert and not (req and req & cert):
+                any_pos.append(pos)
+                any_bounds.append(len(any_flat))
+                for t in sorted(cert):
+                    any_flat.append(vocab.setdefault(t, len(vocab)))
+            if not req and not cert:
+                n_uncond += 1
+        self.n = len(compiled)
+        self.n_unconditional = n_uncond
         self.vocab = vocab
-        self.guarded = np.asarray(guarded, dtype=np.int64)
-        self.flat = np.asarray(flat, dtype=np.int64)
-        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.all_pos = np.asarray(all_pos, dtype=np.int64)
+        self.all_flat = np.asarray(all_flat, dtype=np.int64)
+        self.all_bounds = np.asarray(all_bounds, dtype=np.int64)
+        self.any_pos = np.asarray(any_pos, dtype=np.int64)
+        self.any_flat = np.asarray(any_flat, dtype=np.int64)
+        self.any_bounds = np.asarray(any_bounds, dtype=np.int64)
 
-    def candidates(self, token_set: "set[str]") -> "list[int]":
-        """Query positions worth evaluating for a doc with this token
-        set: the always-candidates plus every guarded query whose
-        required terms are ALL present."""
-        if not self.guarded.size:
-            return self.always
+    def candidates(self, token_set: "set[str]") -> "np.ndarray":
+        """Sorted query positions worth evaluating for a doc with this
+        token set: every query whose guards all pass (guardless queries
+        always pass)."""
         present = np.zeros(len(self.vocab), dtype=bool)
         vocab = self.vocab
         for t in token_set:
             idx = vocab.get(t)
             if idx is not None:
                 present[idx] = True
-        ok = np.logical_and.reduceat(present[self.flat], self.bounds)
-        hits = self.guarded[ok]
-        if not self.always:
-            return hits.tolist()
-        return sorted(self.always + hits.tolist())
+        ok = np.ones(self.n, dtype=bool)
+        if self.all_pos.size:
+            ok[self.all_pos] &= np.logical_and.reduceat(
+                present[self.all_flat], self.all_bounds
+            )
+        if self.any_pos.size:
+            ok[self.any_pos] &= np.logical_or.reduceat(
+                present[self.any_flat], self.any_bounds
+            )
+        return np.flatnonzero(ok)
+
+
+def compile_fast_eval(node):
+    """Specialize an AST into a ``fn(token_set) -> bool`` closure when
+    its truth depends ONLY on exact body-token membership — the ES
+    "query compilation" analog.  AND/OR over exact Terms collapse to a
+    single C-level frozenset issubset/isdisjoint call (~10× cheaper
+    than the recursive eval_doc walk that dominated the no-prefilter
+    kernel).  Returns None for shapes that need token order, metadata
+    fields, or termdict expansion (phrase/range/nested/wildcard/fuzzy/
+    fielded/facet atoms) — those keep the full eval_doc walk."""
+    if isinstance(node, bq.Term):
+        if node.wildcard or node.fuzzy or node.filter or ":" in node.term:
+            return None
+        t = node.term
+        return lambda ts: t in ts
+    if isinstance(node, bq.Not):
+        sub = compile_fast_eval(node.part)
+        if sub is None:
+            return None
+        return lambda ts: not sub(ts)
+    if isinstance(node, (bq.And, bq.Or)):
+        subs = [compile_fast_eval(p) for p in node.parts]
+        if any(s is None for s in subs):
+            return None
+        if all(
+            isinstance(p, bq.Term) and not p.wildcard and not p.fuzzy
+            and not p.filter and ":" not in p.term
+            for p in node.parts
+        ):
+            terms = frozenset(p.term for p in node.parts)
+            if isinstance(node, bq.And):
+                return lambda ts: terms.issubset(ts)
+            return lambda ts: not terms.isdisjoint(ts)
+        if isinstance(node, bq.And):
+            return lambda ts: all(s(ts) for s in subs)
+        return lambda ts: any(s(ts) for s in subs)
+    return None  # RangeTerm / PhraseTerm / NestedTerm
 
 
 def py_percolate(
-    text: str, fields: dict, compiled: list[tuple], prefilter=None
+    text: str, fields: dict, compiled: list[tuple], prefilter=None, fast=None
 ) -> list[str]:
     """Query ids matching one document — the single-doc serving twin
-    (and the test oracle's kernel)."""
+    (and the test oracle's kernel).  The doc's token SET is built once
+    and shared by the prefilter and every AST evaluation (exact Term
+    membership is then O(1) — the r6 kernel scanned the token list per
+    Term, the dominant cost at registry scale).  ``fast``: optional
+    per-query compiled closures (compile_fast_eval, aligned 1:1 with
+    ``compiled``) — the batch path builds them once per task."""
     tokens = py_tokenize(text or "")
+    token_set = set(tokens)
     if prefilter is None:
-        return [qid for qid, ast in compiled if bq.eval_doc(ast, tokens, fields)]
+        if fast is None:
+            return [
+                qid
+                for qid, ast in compiled
+                if bq.eval_doc(ast, tokens, fields, token_set)
+            ]
+        return [
+            qid
+            for (qid, ast), f in zip(compiled, fast)
+            if (
+                f(token_set)
+                if f is not None
+                else bq.eval_doc(ast, tokens, fields, token_set)
+            )
+        ]
     out = []
-    for pos in prefilter.candidates(set(tokens)):
+    for pos in prefilter.candidates(token_set):
         qid, ast = compiled[pos]
-        if bq.eval_doc(ast, tokens, fields):
+        f = fast[pos] if fast is not None else None
+        if f(token_set) if f is not None else bq.eval_doc(
+            ast, tokens, fields, token_set
+        ):
             out.append(qid)
     return out
 
@@ -175,16 +308,28 @@ def percolate(
         analyzed_fields=frozenset(analyzed_fields),
         dv_fields=frozenset(meta),
     )
-    prefilter = _Prefilter(compiled)
+    # registry-size gate (r6 verdict weak #3): below a few dozen stored
+    # queries the per-doc bitmap + reduceat costs more than the handful
+    # of AST walks it saves — walk them all.  At registry scale the
+    # extracted-terms prefilter keeps cost linear in candidates.
+    prefilter = (
+        _Prefilter(compiled) if len(compiled) >= PREFILTER_MIN_QUERIES else None
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # once per task, amortized over every doc in the partition
+        fast = [compile_fast_eval(ast) for _qid, ast in compiled]
         for pdf in batches:
             out_d, out_q = [], []
-            metas = {c: pdf[c] for c in meta}
-            for i in range(len(pdf)):
+            # plain python lists once per batch — pandas .iloc row
+            # access costs ~µs per cell, which dominated the loop
+            ids = pdf[id_col].tolist()
+            texts = pdf[text_col].tolist()
+            meta_lists = {c: pdf[c].tolist() for c in meta}
+            for i in range(len(ids)):
                 fields = {}
-                for c, col in metas.items():
-                    v = col.iloc[i]
+                for c, col in meta_lists.items():
+                    v = col[i]
                     if isinstance(v, (list, tuple, np.ndarray)):
                         fields[c] = list(v)
                     elif v is None or pd.isna(v):
@@ -192,9 +337,9 @@ def percolate(
                     else:
                         fields[c] = v
                 for qid in py_percolate(
-                    pdf[text_col].iloc[i], fields, compiled, prefilter
+                    texts[i], fields, compiled, prefilter, fast
                 ):
-                    out_d.append(int(pdf[id_col].iloc[i]))
+                    out_d.append(int(ids[i]))
                     out_q.append(qid)
             yield pd.DataFrame({"doc_id": out_d, "query_id": out_q})
 

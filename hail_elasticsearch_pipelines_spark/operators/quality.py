@@ -63,6 +63,9 @@ def repetition_stats(
     map-side-combinable count per (doc, gram)."""
     if n <= 0:
         raise ValueError("n-gram order must be a positive int")
+    from ..sources.readers import spread_small_scan
+
+    df = spread_small_scan(df)
     ids = df.select(F.col(id_col).alias("doc_id"))
     counts = (
         df.select(
@@ -136,38 +139,50 @@ def ngram_overlap(
     the pytest asserts both modes agree on the test corpus)."""
     if n <= 0:
         raise ValueError("n-gram order must be a positive int")
-    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
-    # per-doc distinct INSIDE the row (array_distinct) — the per-doc
-    # gram count never shuffles, and the explode feeds the broadcast
-    # membership join directly
-    dg = docs_df.select(
+    from ..sources.readers import spread_small_scan
+
+    # distinct INSIDE the row (array_distinct on the gram strings — so
+    # n_grams counts distinct STRINGS in both modes), then in hashed
+    # mode the 8-byte xxhash64 replaces each ~100-byte gram BEFORE the
+    # explode: the generator, the broadcast probe and the aggregation
+    # all handle longs instead of strings.  transform preserves element
+    # count, so n_grams/n_overlap are identical to hashing after the
+    # explode (the r6 shape).
+    def keyed_grams(text: str):
+        garr = F.array_distinct(_gram_col(text, n))
+        return F.transform(garr, lambda g: F.xxhash64(g)) if hashed else garr
+
+    # ONE pass over the corpus: r6 computed the tokenize→13-gram→
+    # distinct chain twice (once for the overlap branch, once for the
+    # n_grams branch) and joined the halves by doc_id; here n_grams is
+    # recovered as count(g) in the same aggregation that counts the
+    # benchmark hits — no second gram build, no doc_id join.
+    dg = spread_small_scan(docs_df).select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(_gram_col(text_col, n)).alias("grams"),
+        F.explode_outer(keyed_grams(text_col)).alias("g"),
     )
     bench_grams = (
-        bench_df.select(F.explode(_gram_col(bench_text_col, n)).alias("gram"))
-        .select(key(F.col("gram")).alias("g"))
+        spread_small_scan(bench_df)
+        .select(F.explode(keyed_grams(bench_text_col)).alias("g"))
         .distinct()
-    )
-    overlaps = (
-        dg.select("doc_id", F.explode("grams").alias("gram"))
-        .select("doc_id", key(F.col("gram")).alias("g"))
-        .join(F.broadcast(bench_grams), "g", "inner")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+        .withColumn("__hit", F.lit(1))
     )
     return (
-        dg.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
-        .join(overlaps, "doc_id", "left")
+        dg.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias(
-                "n_overlap"
-            ),
-            F.coalesce(
-                F.col("n_overlap") / F.col("n_grams"), F.lit(0.0)
-            ).alias("overlap_frac"),
+            "n_overlap",
+            F.when(
+                F.col("n_grams") > 0, F.col("n_overlap") / F.col("n_grams")
+            ).otherwise(F.lit(0.0)).alias("overlap_frac"),
         )
     )
 
@@ -231,7 +246,9 @@ def gopher_filter(
     map-side-combinable aggregation, no Python in the plan."""
     from ..functions import text_quality as tq
     from ..functions.tokenize import tokenize_col
+    from ..sources.readers import spread_small_scan
 
+    df = spread_small_scan(df)
     cfg = {**GOPHER_DEFAULTS, **thresholds}
     unknown = set(thresholds) - set(GOPHER_DEFAULTS)
     if unknown:

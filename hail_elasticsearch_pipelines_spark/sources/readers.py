@@ -26,6 +26,37 @@ def check_inputs_exist(paths: list[str]) -> None:
         raise FileNotFoundError(f"input paths do not exist: {missing}")
 
 
+# per-core byte threshold for spread_small_scan: inputs estimated under
+# target_parallelism × this many bytes are repartitioned.  4 MiB/core is
+# far below any at-scale corpus (32 cores → 128 MiB) but far above the
+# shuffle cost of redistributing such a small input.
+SPREAD_BYTES_PER_CORE = 4 * 1024 * 1024
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input-skew guard (optimization guide §2.5): a
+    compute-heavy operator fed by an unsplittable input (one parquet
+    file with one row group — the sandbox testdata shape) gets a 1-task
+    scan stage, serializing tokenize/n-gram/hash work on one core no
+    matter the cluster size.  Repartition ONLY when the catalyst size
+    estimate says the whole input is tiny (under a few MiB per core);
+    a real at-scale corpus is untouched, so this never adds a shuffle
+    where the data is already spread.  The probe reads the optimized
+    plan's statistics — no job, no RDD conversion (df.rdd costs close
+    to a second of plan translation per call)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return df
+    if size >= target * SPREAD_BYTES_PER_CORE:
+        return df
+    return df.repartition(target)
+
+
 def read_pages(spark: SparkSession, source: str, min_partitions: int | None = None) -> DataFrame:
     """Read the pages corpus from an Iceberg table name or a parquet path.
 
