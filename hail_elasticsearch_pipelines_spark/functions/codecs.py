@@ -698,11 +698,10 @@ def decode_block(blob: bytes, offset: int) -> tuple[np.ndarray, np.ndarray, np.n
     return docs, (tfs1.astype(np.int64) + 1), dls, offset
 
 
-def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
-    """Full decode → (doc_ids int64 ascending, tfs int64, dls|None)."""
+def _decode_postings_blocks(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Block-at-a-time full decode (legacy varint codec path, and the
+    reference implementation the batched decoder is tested against)."""
     empty = np.array([], dtype=np.int64)
-    if not blob:
-        return empty, empty, None
     (n,), off = varint_decode(blob, 1, 1)
     (n_blocks,), off = varint_decode(blob, 1, off)
     docs_parts, tf_parts, dl_parts = [], [], []
@@ -719,6 +718,137 @@ def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray | N
         np.concatenate(tf_parts),
         np.concatenate(dl_parts) if dl_parts else None,
     )
+
+
+def _read_varint(arr: np.ndarray, pos: int) -> tuple[int, int]:
+    val = 0
+    shift = 0
+    while True:
+        b = int(arr[pos])
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if b < 0x80:
+            return val, pos
+        shift += 7
+
+
+def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Full decode → (doc_ids int64 ascending, tfs int64, dls|None).
+
+    Batched: one cheap python pass collects every PFor chunk's
+    (count, width, offset) descriptor, then all chunks of EQUAL WIDTH
+    unpack in one vectorized numpy pass.  The block-at-a-time decoder
+    paid ~8 µs of fixed numpy overhead per 128-value chunk (3 chunks ×
+    n_blocks per blob), which dominated warm-up and exhaustive decode
+    of stopword lists; batching cuts the numpy call count from
+    O(chunks) to O(distinct widths).  Values are bit-identical to
+    _decode_postings_blocks (asserted by the codecs round-trip and
+    property tests)."""
+    empty = np.array([], dtype=np.int64)
+    if not blob:
+        return empty, empty, None
+    version = blob[0]
+    if (version & 0x03) != _VERSION_PFOR:
+        return _decode_postings_blocks(blob)
+    has_dls = bool(version & _FLAG_DLS)
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    _n, pos = _read_varint(arr, 1)
+    n_blocks, pos = _read_varint(arr, pos)
+    if not n_blocks:
+        return empty, empty, None
+    ns = 3 if has_dls else 2
+    counts = np.empty(n_blocks, dtype=np.int64)
+    firsts = np.empty(n_blocks, dtype=np.int64)
+    n_chunks = n_blocks * ns
+    ch_cnt = np.empty(n_chunks, dtype=np.int64)
+    ch_w = np.empty(n_chunks, dtype=np.int64)
+    ch_off = np.empty(n_chunks, dtype=np.int64)
+    exc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    ci = 0
+    for b in range(n_blocks):
+        c, pos = _read_varint(arr, pos)
+        f, pos = _read_varint(arr, pos)
+        counts[b] = c
+        firsts[b] = f
+        for cnt in (c - 1, c, c)[:ns]:
+            w = int(arr[pos])
+            pos += 1
+            n_exc, pos = _read_varint(arr, pos)
+            ch_cnt[ci] = cnt
+            ch_w[ci] = w
+            ch_off[ci] = pos
+            pos += (cnt * w + 7) >> 3
+            if n_exc:
+                inter, pos = varint_decode(blob, 2 * n_exc, pos)
+                exc[ci] = (inter[0::2].astype(np.int64), inter[1::2])
+            ci += 1
+    val_start = np.zeros(n_chunks + 1, dtype=np.int64)
+    np.cumsum(ch_cnt, out=val_start[1:])
+    out_vals = np.zeros(int(val_start[-1]), dtype=np.uint64)
+
+    def _seg_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Flat fancy index covering [starts[j], starts[j]+lens[j])."""
+        total = int(lens.sum())
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        return np.repeat(starts, lens) + within
+
+    for w in np.unique(ch_w):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.flatnonzero((ch_w == w) & (ch_cnt > 0))
+        if not sel.size:
+            continue
+        cnts = ch_cnt[sel]
+        nbytes = (cnts * w + 7) >> 3
+        bpos = np.zeros(len(sel) + 1, dtype=np.int64)
+        np.cumsum(nbytes, out=bpos[1:])
+        cat = arr[_seg_index(ch_off[sel], nbytes)]
+        bits = np.unpackbits(cat, bitorder="little")
+        lens = cnts * w
+        bidx = _seg_index(8 * bpos[:-1], lens)
+        vb = bits[bidx].reshape(-1, w).astype(np.uint64)
+        powers = np.uint64(1) << np.arange(w, dtype=np.uint64)
+        vals = (vb * powers).sum(axis=1)
+        out_vals[_seg_index(val_start[sel], cnts)] = vals
+    for k, (idx, highs) in exc.items():
+        seg = out_vals[val_start[k]:val_start[k + 1]]
+        seg[idx] |= highs << np.uint64(ch_w[k])
+    total_docs = int(counts.sum())
+    dstart = np.zeros(n_blocks + 1, dtype=np.int64)
+    np.cumsum(counts, out=dstart[1:])
+    stride = np.arange(n_blocks, dtype=np.int64) * ns
+    # gaps, gathered in block order, as int64 (gap+1 = doc delta)
+    gaps_all = out_vals[
+        _seg_index(val_start[stride], counts - 1)
+    ].astype(np.int64)
+    # per-block gap totals via cumsum differences (robust to c=1 blocks)
+    gcum = np.zeros(gaps_all.size + 1, dtype=np.int64)
+    np.cumsum(gaps_all, out=gcum[1:])
+    gb = np.zeros(n_blocks + 1, dtype=np.int64)
+    np.cumsum(counts - 1, out=gb[1:])
+    last = firsts + (gcum[gb[1:]] - gcum[gb[:-1]]) + (counts - 1)
+    # docs = one global cumsum of deltas, with each block's first doc
+    # injected as a delta against the previous block's last doc
+    deltas = np.empty(total_docs, dtype=np.int64)
+    mask = np.ones(total_docs, dtype=bool)
+    mask[dstart[:-1]] = False
+    deltas[mask] = gaps_all + 1
+    deltas[dstart[0]] = firsts[0]
+    if n_blocks > 1:
+        deltas[dstart[1:-1]] = firsts[1:] - last[:-1]
+    docs = np.cumsum(deltas)
+    tfs = out_vals[_seg_index(val_start[stride + 1], counts)].astype(
+        np.int64
+    ) + 1
+    dls = (
+        out_vals[_seg_index(val_start[stride + 2], counts)].astype(np.int64)
+        if has_dls
+        else None
+    )
+    return docs, tfs, dls
 
 
 # ------------------------------------------------------- generic stream

@@ -814,6 +814,49 @@ def _check_unique_terms(pdf: pd.DataFrame) -> None:
         )
 
 
+def _per_segment_apply(rows: DataFrame, fn, schema) -> DataFrame:
+    """Per-segment pandas kernel WITHOUT per-group Arrow machinery:
+    hash-partition by segment, sort within partitions, and stream each
+    partition's batches through ONE mapInPandas, flushing the kernel on
+    segment boundaries (the same move `_merge_bucket` makes for the
+    build-side merge).  ``groupBy("segment").applyInPandas`` costs
+    ~2-3 ms of Arrow/pandas setup per GROUP — pure machinery that
+    dominated the plain distributed path on many-segment indexes (a
+    10^3-segment probe spent ~2.5 s in it with a no-op kernel).
+    Memory stays O(largest segment's rows), exactly applyInPandas'
+    envelope.  Output row SET is identical; every caller aggregates or
+    sorts downstream, so ordering differences cannot surface."""
+
+    def flush(buf):
+        pdf = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+        return fn(pdf.reset_index(drop=True))
+
+    def gen(batches):
+        buf: list[pd.DataFrame] = []
+        cur = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for seg, grp in pdf.groupby("segment", sort=True):
+                if cur is not None and seg != cur:
+                    out = flush(buf)
+                    if len(out):
+                        yield out
+                    buf = []
+                cur = seg
+                buf.append(grp)
+        if buf:
+            out = flush(buf)
+            if len(out):
+                yield out
+
+    return (
+        rows.repartition("segment")
+        .sortWithinPartitions("segment")
+        .mapInPandas(gen, schema=schema)
+    )
+
+
 def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """k best by (score desc, doc_id asc)."""
     if docs.size == 0:
@@ -1528,9 +1571,7 @@ class IndexSearcher:
             )
             if pruned is not None:
                 return pruned
-        per_segment = rows.groupBy("segment").applyInPandas(
-            score_segment, schema=RESULT_SCHEMA
-        )
+        per_segment = _per_segment_apply(rows, score_segment, RESULT_SCHEMA)
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # auto-mode bail-out: attempt the probe only when at least this
@@ -1632,9 +1673,10 @@ class IndexSearcher:
         n_probe = min(max(n_probe, min(n_min, cap)), cap)
         probe_segs = order[:n_probe]
         probe = (
-            rows.filter(F.col("segment").isin(probe_segs))
-            .groupBy("segment")
-            .applyInPandas(score_segment, schema=RESULT_SCHEMA)
+            _per_segment_apply(
+                rows.filter(F.col("segment").isin(probe_segs)),
+                score_segment, RESULT_SCHEMA,
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
             .collect()
@@ -1648,10 +1690,9 @@ class IndexSearcher:
         self.last_segments_skipped = len(segs) - n_probe - len(survivors)
         probe_df = self.spark.createDataFrame(probe, RESULT_SCHEMA)
         if survivors:
-            rest = (
-                rows.filter(F.col("segment").isin(survivors))
-                .groupBy("segment")
-                .applyInPandas(score_segment, schema=RESULT_SCHEMA)
+            rest = _per_segment_apply(
+                rows.filter(F.col("segment").isin(survivors)),
+                score_segment, RESULT_SCHEMA,
             )
             probe_df = probe_df.unionByName(rest)
         return probe_df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1825,9 +1866,7 @@ class IndexSearcher:
             d, s = _topk(cand, scores, k)
             return pd.DataFrame({"doc_id": d, "score": s})
 
-        per_segment = rows.groupBy("segment").applyInPandas(
-            score_segment, schema=RESULT_SCHEMA
-        )
+        per_segment = _per_segment_apply(rows, score_segment, RESULT_SCHEMA)
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_fielded(
@@ -1923,9 +1962,7 @@ class IndexSearcher:
             )
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        per_segment = rows.groupBy("segment").applyInPandas(
-            score_segment, schema=RESULT_SCHEMA
-        )
+        per_segment = _per_segment_apply(rows, score_segment, RESULT_SCHEMA)
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     DEFAULT_MAX_EXPANSIONS = 128
@@ -2236,9 +2273,7 @@ class IndexSearcher:
                 out, columns=["field", "value", "doc_count"]
             )
 
-        per_segment = rows.groupBy("segment").applyInPandas(
-            facet_segment, schema=FACET_RESULT_SCHEMA
-        )
+        per_segment = _per_segment_apply(rows, facet_segment, FACET_RESULT_SCHEMA)
         return (
             per_segment.groupBy("field", "value")
             .agg(F.sum("doc_count").alias("doc_count"))
@@ -2311,9 +2346,7 @@ class IndexSearcher:
                 columns=cols,
             )
 
-        partials = rows.groupBy("segment").applyInPandas(
-            stats_segment, schema=STATS_PARTIAL_SCHEMA
-        )
+        partials = _per_segment_apply(rows, stats_segment, STATS_PARTIAL_SCHEMA)
         return partials.agg(
             F.sum("n").alias("n_hits"),
             F.min("min_dl").alias("min_dl"),
@@ -2361,9 +2394,7 @@ class IndexSearcher:
             b, c = np.unique(dls // interval * interval, return_counts=True)
             return pd.DataFrame({"bucket": b, "doc_count": c})
 
-        partials = rows.groupBy("segment").applyInPandas(
-            hist_segment, schema=HISTOGRAM_SCHEMA
-        )
+        partials = _per_segment_apply(rows, hist_segment, HISTOGRAM_SCHEMA)
         return (
             partials.groupBy("bucket")
             .agg(F.sum("doc_count").alias("doc_count"))
@@ -2552,9 +2583,7 @@ class IndexSearcher:
             docs, scores = _topk(docs, scores, k)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
-        per_segment = rows.groupBy("segment").applyInPandas(
-            page_segment, schema=RESULT_SCHEMA
-        )
+        per_segment = _per_segment_apply(rows, page_segment, RESULT_SCHEMA)
         return per_segment.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_count(
@@ -2627,9 +2656,7 @@ class IndexSearcher:
                 matches = matches[~np.isin(matches, dead, assume_unique=True)]
             return pd.DataFrame({"n": [int(matches.size)]})
 
-        per_segment = rows.groupBy("segment").applyInPandas(
-            count_segment, schema=count_schema
-        )
+        per_segment = _per_segment_apply(rows, count_segment, count_schema)
         return per_segment.agg(
             F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_hits")
         )
@@ -2893,8 +2920,7 @@ class IndexSearcher:
                 return pd.DataFrame({"name": names, "n": ns})
 
             agg = (
-                rows.groupBy("segment")
-                .applyInPandas(count_segment, "name string, n long")
+                _per_segment_apply(rows, count_segment, "name string, n long")
                 .groupBy("name")
                 .agg(F.sum("n").alias("doc_count"))
             )
@@ -3575,9 +3601,10 @@ class IndexSearcher:
             return pd.DataFrame({"doc_id": docs, "tf": tfs, "dl": dls})
 
         rows = self._term_rows([term]).select("segment", "term", "blob", "pos_blob")
-        matches = rows.groupBy("segment").applyInPandas(
+        matches = _per_segment_apply(
+            rows,
             match_segment,
-            schema=T.StructType(
+            T.StructType(
                 [
                     T.StructField("doc_id", T.LongType(), False),
                     T.StructField("tf", T.LongType(), False),
@@ -3675,9 +3702,10 @@ class IndexSearcher:
         rows = self._term_rows(terms_sorted).select(
             "segment", "term", "blob", "pos_blob"
         )
-        return rows.groupBy("segment").applyInPandas(
+        return _per_segment_apply(
+            rows,
             match_segment,
-            schema=T.StructType(
+            T.StructType(
                 [
                     T.StructField("doc_id", T.LongType(), False),
                     T.StructField("tf", T.LongType(), False),
@@ -3755,8 +3783,7 @@ class IndexSearcher:
             return pd.DataFrame({"key": keys, "n": ns})
 
         agg = (
-            rows.groupBy("segment")
-            .applyInPandas(count_segment, "key string, n long")
+            _per_segment_apply(rows, count_segment, "key string, n long")
             .groupBy("key")
             .agg(F.sum("n").alias("doc_count"))
         )
@@ -3995,9 +4022,7 @@ class IndexSearcher:
                 )
 
             parts.append(
-                rows.groupBy("segment").applyInPandas(
-                    score_segment, schema=result_schema
-                )
+                _per_segment_apply(rows, score_segment, result_schema)
             )
 
         if phrase_specs:
@@ -4082,9 +4107,10 @@ class IndexSearcher:
         rows = self._term_rows(all_terms).select(
             "segment", "term", "blob", "pos_blob"
         )
-        matches = rows.groupBy("segment").applyInPandas(
+        matches = _per_segment_apply(
+            rows,
             match_segment,
-            schema=T.StructType(
+            T.StructType(
                 [
                     T.StructField("query_id", T.StringType(), False),
                     T.StructField("doc_id", T.LongType(), False),

@@ -560,7 +560,8 @@ def build_partials(
     This is the UDAF shape the reference never needed (SURVEY §2.9 U5):
     doc range → (term, postings blob) rows."""
     spark = docs.sparkSession
-    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
     if facet_fields is None:
         facet_fields = DEFAULT_FACET_FIELDS
     facet_cols = [f for f in facet_fields if f in docs.columns]

@@ -356,6 +356,18 @@ class IndexBuildPipeline:
     def _stage_partials(self, globals_: dict) -> None:
         self.docs_per_part = globals_["docs_per_part"]
         docs = self.spark.read.parquet(self._p("stages", "docs"))
+        # shuffle-partition count for the partial build: hashing ~1.5×
+        # as many part keys as partitions lands 2-3 parts on some tasks
+        # and 1 on others (synthetic-key skew, guide §2.5) — the 2-3×
+        # stragglers gate the stage.  One part per partition up to 4×
+        # the core count spreads them evenly; a 10^6-part corpus caps
+        # at 4× parallelism (each task then merges many parts, which
+        # the part-boundary flush in build_partials handles).
+        par = self.spark.sparkContext.defaultParallelism
+        n_parts_total = int(globals_.get("n_parts") or 0)
+        build_partitions = (
+            min(n_parts_total, max(par * 4, 16)) if n_parts_total else None
+        )
         for chunk_id, lo, hi in self._chunk_ranges(globals_["n_docs"]):
             cpath = self._p("stages", "partials", f"chunk={chunk_id}")
             fp = _fingerprint(["partials", self.params_fp, chunk_id, lo, hi])
@@ -364,6 +376,7 @@ class IndexBuildPipeline:
             chunk_docs = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
             partials = ib.build_partials(
                 chunk_docs, self.docs_per_part, self.seg_group,
+                num_partitions=build_partitions,
                 with_positions=self.with_positions,
                 facet_fields=self.facet_fields,
                 dlen_buckets=self.dlen_buckets,
@@ -456,11 +469,19 @@ class IndexBuildPipeline:
 
         postings = self.spark.read.parquet(final)
         _write_termdict(self.spark, self.out)
+        # n_terms comes from the termdict just written (one row per
+        # (term_bucket, term); the bucket is a function of the term, so
+        # row count == distinct terms) — a metadata-only parquet count
+        # instead of a countDistinct over the postings' term strings.
+        # The remaining aggregate reads only (df, n_bytes, segment):
+        # column pruning keeps term/blob bytes out of the metrics scan.
+        n_terms = self.spark.read.parquet(
+            os.path.join(self.out, "termdict")
+        ).count()
         metrics_row = postings.agg(
             F.sum("df").alias("postings_emitted"),
             F.sum("n_bytes").alias("bytes_compressed"),
             F.count("*").alias("posting_rows"),
-            F.countDistinct("term").alias("n_terms"),
             F.countDistinct("segment").alias("n_segments"),
         ).collect()[0]
         manifest = {
@@ -491,7 +512,7 @@ class IndexBuildPipeline:
                 "postings_emitted": int(metrics_row["postings_emitted"] or 0),
                 "bytes_compressed": int(metrics_row["bytes_compressed"] or 0),
                 "posting_rows": int(metrics_row["posting_rows"]),
-                "n_terms": int(metrics_row["n_terms"]),
+                "n_terms": int(n_terms),
                 "n_segments": int(metrics_row["n_segments"]),
             },
             "bm25": {"k1": ib.BM25_K1, "b": ib.BM25_B},
