@@ -832,12 +832,11 @@ def eval_doc(node, tokens: list, fields: dict, token_set: "set | None" = None) -
         if node.wildcard:
             return any(t.startswith(body) for t in cand)
         if node.fuzzy:
-            from ..operators.bm25 import py_levenshtein
+            from ..operators.bm25 import py_levenshtein_within
 
             e = node.fuzzy
             return any(
-                abs(len(t) - len(body)) <= e and py_levenshtein(t, body) <= e
-                for t in set(cand)
+                py_levenshtein_within(t, body, e) for t in set(cand)
             )
         if field is None and token_set is not None:
             return body in token_set

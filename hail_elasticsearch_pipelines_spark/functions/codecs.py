@@ -111,10 +111,35 @@ def _pack_bits(vals: np.ndarray, width: int) -> bytes:
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
 
 
+def _gather_packed(
+    arr_pad: np.ndarray, vbit: np.ndarray, width: int
+) -> np.ndarray:
+    """Read ``len(vbit)`` little-endian ``width``-bit values whose bit
+    positions are ``vbit``, from a zero-padded uint8 buffer, via an
+    8-byte sliding-window gather + shift — ~8 B of index per VALUE
+    where the unpackbits path cost ~9 B per BIT.  Valid for width <=
+    56 (value + 7 shift bits fit one u64 window) and width == 64
+    (byte-aligned, shift 0)."""
+    sw = np.lib.stride_tricks.sliding_window_view(arr_pad, 8)
+    g = sw[vbit >> 3]
+    u = np.ascontiguousarray(g).view("<u8").ravel()
+    u >>= (vbit & 7).astype(np.uint64)
+    if width < 64:
+        u &= (np.uint64(1) << np.uint64(width)) - np.uint64(1)
+    return u
+
+
 def _unpack_bits(buf: bytes, count: int, width: int, offset: int = 0) -> tuple[np.ndarray, int]:
     if width == 0 or count == 0:
         return np.zeros(count, dtype=np.uint64), offset
     nbytes = (count * width + 7) // 8
+    if width <= 56 or width == 64:
+        raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=offset)
+        arr_pad = np.empty(nbytes + 8, dtype=np.uint8)
+        arr_pad[:nbytes] = raw
+        arr_pad[nbytes:] = 0
+        vbit = np.arange(count, dtype=np.int64) * width
+        return _gather_packed(arr_pad, vbit, width), offset + nbytes
     raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=offset)
     bits = np.unpackbits(raw, bitorder="little")[: count * width].reshape(count, width)
     powers = (np.uint64(1) << np.arange(width, dtype=np.uint64))
@@ -732,6 +757,52 @@ def _read_varint(arr: np.ndarray, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+def _seg_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat fancy index covering [starts[j], starts[j]+lens[j])."""
+    total = int(lens.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    return np.repeat(starts, lens) + within
+
+
+def _unpack_chunks_batched(
+    arr: np.ndarray,
+    ch_cnt: np.ndarray,
+    ch_w: np.ndarray,
+    ch_off: np.ndarray,
+    exc: "dict[int, tuple[np.ndarray, np.ndarray]]",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack many PFor chunks in O(distinct widths) vectorized passes
+    (shared by decode_postings and decode_stream).  Returns
+    (val_start offsets, flat uint64 values in chunk order)."""
+    n_chunks = len(ch_cnt)
+    val_start = np.zeros(n_chunks + 1, dtype=np.int64)
+    np.cumsum(ch_cnt, out=val_start[1:])
+    out_vals = np.zeros(int(val_start[-1]), dtype=np.uint64)
+    arr_pad = np.empty(len(arr) + 8, dtype=np.uint8)
+    arr_pad[:len(arr)] = arr
+    arr_pad[len(arr):] = 0
+    for w in np.unique(ch_w):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.flatnonzero((ch_w == w) & (ch_cnt > 0))
+        if not sel.size:
+            continue
+        cnts = ch_cnt[sel]
+        # per-value bit positions: chunk start (byte-aligned) + j*w
+        within = _seg_index(np.zeros(len(sel), dtype=np.int64), cnts)
+        vbit = np.repeat(8 * ch_off[sel], cnts) + within * w
+        out_vals[_seg_index(val_start[sel], cnts)] = _gather_packed(
+            arr_pad, vbit, w
+        )
+    for k, (idx, highs) in exc.items():
+        seg = out_vals[val_start[k]:val_start[k + 1]]
+        seg[idx] |= highs << np.uint64(ch_w[k])
+    return val_start, out_vals
+
+
 def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
     """Full decode → (doc_ids int64 ascending, tfs int64, dls|None).
 
@@ -782,44 +853,27 @@ def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray | N
                 inter, pos = varint_decode(blob, 2 * n_exc, pos)
                 exc[ci] = (inter[0::2].astype(np.int64), inter[1::2])
             ci += 1
-    val_start = np.zeros(n_chunks + 1, dtype=np.int64)
-    np.cumsum(ch_cnt, out=val_start[1:])
-    out_vals = np.zeros(int(val_start[-1]), dtype=np.uint64)
+    val_start, out_vals = _unpack_chunks_batched(arr, ch_cnt, ch_w, ch_off, exc)
+    return _assemble_postings(out_vals, val_start, 0, counts, firsts, ns, has_dls)
 
-    def _seg_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-        """Flat fancy index covering [starts[j], starts[j]+lens[j])."""
-        total = int(lens.sum())
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(lens) - lens, lens
-        )
-        return np.repeat(starts, lens) + within
 
-    for w in np.unique(ch_w):
-        w = int(w)
-        if w == 0:
-            continue
-        sel = np.flatnonzero((ch_w == w) & (ch_cnt > 0))
-        if not sel.size:
-            continue
-        cnts = ch_cnt[sel]
-        nbytes = (cnts * w + 7) >> 3
-        bpos = np.zeros(len(sel) + 1, dtype=np.int64)
-        np.cumsum(nbytes, out=bpos[1:])
-        cat = arr[_seg_index(ch_off[sel], nbytes)]
-        bits = np.unpackbits(cat, bitorder="little")
-        lens = cnts * w
-        bidx = _seg_index(8 * bpos[:-1], lens)
-        vb = bits[bidx].reshape(-1, w).astype(np.uint64)
-        powers = np.uint64(1) << np.arange(w, dtype=np.uint64)
-        vals = (vb * powers).sum(axis=1)
-        out_vals[_seg_index(val_start[sel], cnts)] = vals
-    for k, (idx, highs) in exc.items():
-        seg = out_vals[val_start[k]:val_start[k + 1]]
-        seg[idx] |= highs << np.uint64(ch_w[k])
+def _assemble_postings(
+    out_vals: np.ndarray,
+    val_start: np.ndarray,
+    ci0: int,
+    counts: np.ndarray,
+    firsts: np.ndarray,
+    ns: int,
+    has_dls: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Rebuild (docs, tfs, dls) from unpacked chunk values.  ``ci0`` is
+    the blob's first chunk index in the (possibly shared) chunk table —
+    decode_postings passes 0, decode_postings_many each blob's base."""
+    n_blocks = len(counts)
     total_docs = int(counts.sum())
     dstart = np.zeros(n_blocks + 1, dtype=np.int64)
     np.cumsum(counts, out=dstart[1:])
-    stride = np.arange(n_blocks, dtype=np.int64) * ns
+    stride = ci0 + np.arange(n_blocks, dtype=np.int64) * ns
     # gaps, gathered in block order, as int64 (gap+1 = doc delta)
     gaps_all = out_vals[
         _seg_index(val_start[stride], counts - 1)
@@ -851,6 +905,107 @@ def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray | N
     return docs, tfs, dls
 
 
+def _parse_postings_chunks(blob, arr, base, ch_cnt, ch_w, ch_off, exc, ci):
+    """Append one PFor blob's block/chunk descriptors to the shared
+    chunk table (offsets shifted by ``base``).  Returns
+    (counts, firsts, ns, has_dls, next_ci)."""
+    version = blob[0]
+    has_dls = bool(version & _FLAG_DLS)
+    ns = 3 if has_dls else 2
+    _n, pos = _read_varint(arr, 1)
+    n_blocks, pos = _read_varint(arr, pos)
+    counts = np.empty(n_blocks, dtype=np.int64)
+    firsts = np.empty(n_blocks, dtype=np.int64)
+    for b in range(n_blocks):
+        c, pos = _read_varint(arr, pos)
+        f, pos = _read_varint(arr, pos)
+        counts[b] = c
+        firsts[b] = f
+        for cnt in (c - 1, c, c)[:ns]:
+            w = int(arr[pos])
+            pos += 1
+            n_exc, pos = _read_varint(arr, pos)
+            ch_cnt.append(cnt)
+            ch_w.append(w)
+            ch_off.append(base + pos)
+            pos += (cnt * w + 7) >> 3
+            if n_exc:
+                inter, pos = varint_decode(blob, 2 * n_exc, pos)
+                exc[ci] = (inter[0::2].astype(np.int64), inter[1::2])
+            ci += 1
+    return counts, firsts, ns, has_dls, ci
+
+
+# decode_postings_many batch bound: the width-group unpack builds a
+# per-BIT gather index (8 B per bit), so one batch is capped at ~2 MiB
+# of encoded bytes (~130 MiB of transient index) — large enough to
+# amortize the fixed numpy overhead ~100×, small enough to stay cache-
+# friendly (an UNBOUNDED batch over a warm-up's 3.5k blobs allocated
+# multi-GB temporaries and ran 3× slower than per-blob decode).
+_MANY_BATCH_BYTES = 2 * 1024 * 1024
+
+
+def decode_postings_many(
+    blobs: "list[bytes]",
+) -> "list[tuple[np.ndarray, np.ndarray, np.ndarray | None]]":
+    """Decode MANY posting blobs with shared width-grouped unpack
+    passes over bounded-size batches — the warm-up path decodes
+    thousands of small blobs, where per-blob fixed numpy overhead
+    dominated decode_postings.  Output i is bit-identical to
+    decode_postings(blobs[i])."""
+    if len(blobs) > 1:
+        sizes = [len(b) if b else 0 for b in blobs]
+        if sum(sizes) > _MANY_BATCH_BYTES:
+            out_all: list = []
+            lo, acc = 0, 0
+            for i, sz in enumerate(sizes):
+                if acc and acc + sz > _MANY_BATCH_BYTES:
+                    out_all.extend(decode_postings_many(blobs[lo:i]))
+                    lo, acc = i, 0
+                acc += sz
+            out_all.extend(decode_postings_many(blobs[lo:]))
+            return out_all
+    out: list = [None] * len(blobs)
+    ch_cnt: list[int] = []
+    ch_w: list[int] = []
+    ch_off: list[int] = []
+    exc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    metas: list = []
+    parts: list[np.ndarray] = []
+    base = 0
+    ci = 0
+    for bi, blob in enumerate(blobs):
+        if not blob or (blob[0] & 0x03) != _VERSION_PFOR:
+            out[bi] = decode_postings(blob)
+            continue
+        arr_b = np.frombuffer(blob, dtype=np.uint8)
+        ci0 = ci
+        counts, firsts, ns, has_dls, ci = _parse_postings_chunks(
+            blob, arr_b, base, ch_cnt, ch_w, ch_off, exc, ci
+        )
+        if not len(counts):
+            e = np.array([], dtype=np.int64)
+            out[bi] = (e, e, None)
+            continue
+        metas.append((bi, ci0, counts, firsts, ns, has_dls))
+        parts.append(arr_b)
+        base += len(blob)
+    if parts:
+        big = np.concatenate(parts)
+        val_start, out_vals = _unpack_chunks_batched(
+            big,
+            np.asarray(ch_cnt, dtype=np.int64),
+            np.asarray(ch_w, dtype=np.int64),
+            np.asarray(ch_off, dtype=np.int64),
+            exc,
+        )
+        for bi, ci0, counts, firsts, ns, has_dls in metas:
+            out[bi] = _assemble_postings(
+                out_vals, val_start, ci0, counts, firsts, ns, has_dls
+            )
+    return out
+
+
 # ------------------------------------------------------- generic stream
 # (used for position lists: delta-encoded uint64 streams, PFor-chunked
 # so decode stays vectorized — the per-value varint decode loop would
@@ -870,17 +1025,44 @@ def encode_stream(vals: np.ndarray, block_size: int = BLOCK_SIZE) -> bytes:
 
 
 def decode_stream(blob: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
-    """Inverse of encode_stream → (values, next_offset)."""
-    (n,), offset = varint_decode(blob, 1, offset)
-    n = int(n)
-    out = np.empty(n, dtype=np.uint64)
+    """Inverse of encode_stream → (values, next_offset).  Batched like
+    decode_postings: chunk descriptors are parsed in one cheap python
+    pass, then all equal-width chunks unpack in single vectorized numpy
+    passes (the chunk-at-a-time loop paid ~8 µs of fixed numpy overhead
+    per 128-value chunk — the dominant cost of position decode for
+    stopword phrase queries)."""
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    n, pos = _read_varint(arr, offset)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), pos
+    ch_cnt_l: list[int] = []
+    ch_w_l: list[int] = []
+    ch_off_l: list[int] = []
+    exc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     done = 0
+    ci = 0
     while done < n:
-        (cnt,), offset = varint_decode(blob, 1, offset)
-        vals, offset = _decode_pfor_chunk(blob, int(cnt), offset)
-        out[done : done + int(cnt)] = vals
-        done += int(cnt)
-    return out, offset
+        cnt, pos = _read_varint(arr, pos)
+        w = int(arr[pos])
+        pos += 1
+        n_exc, pos = _read_varint(arr, pos)
+        ch_cnt_l.append(cnt)
+        ch_w_l.append(w)
+        ch_off_l.append(pos)
+        pos += (cnt * w + 7) >> 3
+        if n_exc:
+            inter, pos = varint_decode(blob, 2 * n_exc, pos)
+            exc[ci] = (inter[0::2].astype(np.int64), inter[1::2])
+        done += cnt
+        ci += 1
+    _vs, out = _unpack_chunks_batched(
+        arr,
+        np.asarray(ch_cnt_l, dtype=np.int64),
+        np.asarray(ch_w_l, dtype=np.int64),
+        np.asarray(ch_off_l, dtype=np.int64),
+        exc,
+    )
+    return out, pos
 
 
 def merge_streams(parts: list[bytes]) -> bytes:

@@ -484,6 +484,39 @@ def py_levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def py_levenshtein_within(a: str, b: str, k: int) -> bool:
+    """True iff ``py_levenshtein(a, b) <= k`` — same answer, without
+    the full O(|a|·|b|) python DP on the hot path.  Fuzzy expansion
+    runs this against every length-pruned termdict candidate (10^5
+    calls per query on a web-scale vocabulary), where the DP's ~25 µs
+    per pair dominated the whole suggest/fuzzy path.  k=1 (the ES
+    default and by far the common case) reduces to C-level prefix scan
+    + slice comparisons; k>=2 falls back to the DP."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if a == b:
+        return True
+    if k <= 0:
+        return False
+    if k == 1:
+        if la == lb:
+            # exactly one substitution: skip the first mismatch, the
+            # remainders must be equal
+            i = 0
+            while a[i] == b[i]:
+                i += 1
+            return a[i + 1:] == b[i + 1:]
+        if la < lb:
+            a, b, la, lb = b, a, lb, la
+        # one insertion into b: skip a's extra char at first mismatch
+        i = 0
+        while i < lb and a[i] == b[i]:
+            i += 1
+        return a[i + 1:] == b[i:]
+    return py_levenshtein(a, b) <= k
+
+
 _PREFIX_RE = re.compile(r"^(?:[a-z0-9]+:)?[a-z0-9]+$")
 
 

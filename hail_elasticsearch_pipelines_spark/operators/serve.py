@@ -590,7 +590,7 @@ class LocalSearcher:
             _PREFIX_RE,
             FuzzyExpansionError,
             prefix_term_range,
-            py_levenshtein,
+            py_levenshtein_within,
         )
 
         if not _PREFIX_RE.match(term):
@@ -631,7 +631,7 @@ class LocalSearcher:
                 tb = t
             if abs(len(tb) - len(body)) > max_edits:
                 continue
-            if py_levenshtein(tb, body) <= max_edits:
+            if py_levenshtein_within(tb, body, max_edits):
                 out.add(t)
                 if len(out) > max_expansions:
                     raise FuzzyExpansionError(
@@ -945,22 +945,42 @@ class LocalSearcher:
         from the termdict (tiny scan); stopwords, which dominate cold
         latency, rank first by construction.  Returns the number of
         terms warmed."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         src = self._termdict if self._termdict is not None else self._postings
         tbl = src.to_table(columns=["term", "df"])
-        terms = tbl.column("term").to_pylist()
-        dfs = tbl.column("df").to_numpy(zero_copy_only=False)
-        agg: dict[str, int] = {}
-        for t, d in zip(terms, dfs):
-            if t.startswith("__"):
-                continue  # facet tokens filter, they never score
-            agg[t] = agg.get(t, 0) + int(d)
-        top = sorted(agg, key=lambda t: (-agg[t], t))[: max(0, n)]
+        # arrow-side aggregation: filter facet tokens, sum df per term —
+        # the python dict loop over a web-scale vocabulary cost ~0.6 s
+        tbl = tbl.filter(
+            pc.invert(pc.starts_with(tbl.column("term"), "__"))
+        )
+        agg_t = pa.table(
+            {"term": tbl.column("term"), "df": tbl.column("df")}
+        ).group_by("term").aggregate([("df", "sum")])
+        order = pc.sort_indices(
+            agg_t,
+            sort_keys=[("df_sum", "descending"), ("term", "ascending")],
+        )[: max(0, n)]
+        top = pc.take(agg_t.column("term"), order).to_pylist()
         if not top:
             return 0
         rows = self._rows_for(sorted(top))
-        for t, seg_map in rows.items():
-            for seg, r in seg_map.items():
-                self._decode_cached(t, int(seg), r.blob)
+        # batch decode: one width-grouped unpack across every warmed
+        # blob instead of per-blob decode (thousands of small blobs)
+        todo = [
+            (t, int(seg), r.blob)
+            for t, seg_map in rows.items()
+            for seg, r in seg_map.items()
+            if (t, int(seg)) not in self._cache
+        ]
+        blobs = [
+            b.as_py() if hasattr(b, "as_py") else b for _t, _s, b in todo
+        ]
+        for (t, seg, _b), decoded in zip(
+            todo, codecs.decode_postings_many(blobs)
+        ):
+            self._cache_put(t, seg, decoded)
         return len(top)
 
     def search_count(self, query: list[str] | str, mode: str = "OR") -> int:

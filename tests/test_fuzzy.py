@@ -126,3 +126,27 @@ def test_fuzzy_parse_shapes():
     # empty fuzzy expansion -> no-match term
     expanded = bq.expand_wildcards(bq.parse("foo~"), None, lambda t, e: [])
     assert expanded.term == bq.NO_MATCH_TERM
+
+
+def test_levenshtein_within_matches_full_dp():
+    """r7 optimization: the banded <=k membership check used by fuzzy
+    expansion must agree with the full DP for every k the query
+    language allows (0, 1, 2) — exhaustively over short strings."""
+    import itertools
+
+    from hail_elasticsearch_pipelines_spark.operators.bm25 import (
+        py_levenshtein,
+        py_levenshtein_within,
+    )
+
+    alpha = "ab1"
+    words = [
+        "".join(w)
+        for n in range(0, 5)
+        for w in itertools.product(alpha, repeat=n)
+    ]
+    for a in words:
+        for b in words:
+            d = py_levenshtein(a, b)
+            for k in (0, 1, 2):
+                assert py_levenshtein_within(a, b, k) == (d <= k), (a, b, k)
