@@ -46,21 +46,49 @@ _load_manifest = layout.load_manifest
 _save_manifest = layout.save_manifest_atomic
 
 
-def _postings_metrics(postings: DataFrame) -> dict:
-    row = postings.agg(
+def _postings_metrics(postings: DataFrame, n_terms: "int | None" = None) -> dict:
+    """Manifest metrics over a postings table.  ``n_terms`` may be
+    passed by callers that hold a termdict consistent with the table
+    (one row per (term_bucket, term), bucket a function of the term, so
+    its row count == distinct terms) — that turns the most expensive
+    part, a countDistinct shuffle of the term STRINGS over the whole
+    index, into a metadata-only parquet count; the remaining aggregate
+    reads only (df, n_bytes, segment) thanks to column pruning."""
+    aggs = [
         F.sum("df").alias("postings_emitted"),
         F.sum("n_bytes").alias("bytes_compressed"),
         F.count("*").alias("posting_rows"),
-        F.countDistinct("term").alias("n_terms"),
         F.countDistinct("segment").alias("n_segments"),
-    ).collect()[0]
+    ]
+    if n_terms is None:
+        aggs.append(F.countDistinct("term").alias("n_terms"))
+    row = postings.agg(*aggs).collect()[0]
     return {
         "postings_emitted": int(row["postings_emitted"] or 0),
         "bytes_compressed": int(row["bytes_compressed"] or 0),
         "posting_rows": int(row["posting_rows"]),
-        "n_terms": int(row["n_terms"]),
+        "n_terms": int(row["n_terms"]) if n_terms is None else int(n_terms),
         "n_segments": int(row["n_segments"]),
     }
+
+
+def _termdict_row_count(
+    spark: SparkSession, index_dir: str, manifest: dict,
+    flips: "dict[str, str] | None" = None,
+) -> "int | None":
+    """Row count of the termdict the NEXT manifest will publish (the
+    just-written generation when flipped, else the current one) — a
+    metadata-only parquet count, or None when the index predates the
+    termdict table."""
+    rel = (flips or {}).get("termdict")
+    path = (
+        os.path.join(index_dir, rel)
+        if rel
+        else layout.table_path(index_dir, "termdict", manifest)
+    )
+    if not os.path.exists(path):
+        return None
+    return int(spark.read.parquet(path).count())
 
 
 def _segment_col(doc_id_col, dpp: int, seg_group: int):
@@ -804,7 +832,12 @@ def _extend_index_locked(
     manifest["metrics"] = {
         "docs_indexed": g["n_docs"],
         "n_tombstones": n_tombstones,
-        **_postings_metrics(spark.read.parquet(postings_path)),
+        **_postings_metrics(
+            spark.read.parquet(postings_path),
+            n_terms=_termdict_row_count(
+                spark, index_dir, manifest, table_flips
+            ),
+        ),
     }
     if table_flips:
         layout.flip_tables(manifest, table_flips)
@@ -1093,9 +1126,20 @@ def _update_facet_field_locked(
     pruned = spark.read.parquet(postings_path).filter(
         F.col("term_bucket").isin(buckets)
     )
-    rewritten = pruned.drop("term_bucket").select(*cols).mapInPandas(
-        rewrite, schema=ib.POSTINGS_SCHEMA
+    # only the facet tokens' rows cross the Python boundary (guide §4:
+    # pass only what the function needs) — every other row of the
+    # affected buckets is hash-cohabitation and flows JVM-side straight
+    # into the generation write, instead of round-tripping its blob
+    # bytes through Arrow for an identity re-emit
+    to_py = pruned.filter(F.col("term").isin(all_terms))
+    passthrough = (
+        pruned.filter(~F.col("term").isin(all_terms))
+        .drop("term_bucket")
+        .select(*cols)
     )
+    rewritten = to_py.drop("term_bucket").select(*cols).mapInPandas(
+        rewrite, schema=ib.POSTINGS_SCHEMA
+    ).unionByName(passthrough)
 
     # rows that need CREATING (a new facet value in a segment with no
     # postings row for it yet): anti-join the resolved batch against
@@ -1551,7 +1595,10 @@ def _compact_index_tiered_locked(
         "n_tombstones": 0 if has_deletes else int(
             manifest.get("metrics", {}).get("n_tombstones", 0)
         ),
-        **_postings_metrics(spark.read.parquet(new_postings_path)),
+        **_postings_metrics(
+            spark.read.parquet(new_postings_path),
+            n_terms=_termdict_row_count(spark, index_dir, manifest, flips),
+        ),
     }
     manifest.setdefault("compactions", []).append(
         {
@@ -1676,7 +1723,10 @@ def _compact_index_locked(spark: SparkSession, index_dir: str, factor: int = 2) 
     manifest["metrics"] = {
         "docs_indexed": manifest["globals"]["n_docs"],
         "n_tombstones": 0,
-        **_postings_metrics(spark.read.parquet(new_postings_path)),
+        **_postings_metrics(
+            spark.read.parquet(new_postings_path),
+            n_terms=_termdict_row_count(spark, index_dir, manifest, flips),
+        ),
     }
     manifest.setdefault("compactions", []).append(
         {"factor": factor, "tombstones_dropped": n_stripped}
@@ -1814,7 +1864,10 @@ def _delete_by_query_locked(
     manifest["metrics"] = {
         "docs_indexed": g["n_docs"],
         "n_tombstones": n_tombstones,
-        **_postings_metrics(spark.read.parquet(postings_path)),
+        **_postings_metrics(
+            spark.read.parquet(postings_path),
+            n_terms=_termdict_row_count(spark, index_dir, manifest),
+        ),
     }
     manifest.setdefault("extensions", []).append(
         {
