@@ -396,17 +396,13 @@ def docs_with_ids_fused(
     return ided.select(*keep).withColumn("doc_len", token_count_col("text"))
 
 
-def corpus_stats(
-    docs: DataFrame, text_fields: tuple[str, ...] | list[str] = ()
-) -> dict:
-    """Corpus globals in ONE aggregation job — includes the validation
-    gate's inputs (empty-doc count, approx distinct texts) so the
-    pre-publish checks cost no extra scan.  ``text_fields``: extra
-    analyzed fields whose per-field token totals ride the same pass
-    (``field_stats`` — the per-field avgdl source for BM25F scoring)."""
-    tf_cols = [f for f in text_fields if f in docs.columns]
-    row = docs.agg(
-        F.count("*").alias("n_docs"),
+def corpus_stats_aggs(tf_cols: list[str]) -> list:
+    """The corpus-globals aggregate expressions — shared by the
+    standalone corpus_stats job and the Observation that rides the
+    docs-stage WRITE (same expressions → same values, one less full
+    corpus scan per build)."""
+    return [
+        F.count(F.lit(1)).alias("n_docs"),
         F.sum("doc_len").alias("total_tokens"),
         F.sum(
             F.when(F.coalesce(F.col("doc_len"), F.lit(0)) <= 0, 1).otherwise(0)
@@ -418,7 +414,10 @@ def corpus_stats(
             ).alias(f"__ft_{f}")
             for f in tf_cols
         ],
-    ).collect()[0]
+    ]
+
+
+def corpus_stats_from_row(row, tf_cols: list[str]) -> dict:
     n = int(row["n_docs"])
     total = int(row["total_tokens"] or 0)
     out = {
@@ -433,6 +432,19 @@ def corpus_stats(
             f: {"total_tokens": int(row[f"__ft_{f}"] or 0)} for f in tf_cols
         }
     return out
+
+
+def corpus_stats(
+    docs: DataFrame, text_fields: tuple[str, ...] | list[str] = ()
+) -> dict:
+    """Corpus globals in ONE aggregation job — includes the validation
+    gate's inputs (empty-doc count, approx distinct texts) so the
+    pre-publish checks cost no extra scan.  ``text_fields``: extra
+    analyzed fields whose per-field token totals ride the same pass
+    (``field_stats`` — the per-field avgdl source for BM25F scoring)."""
+    tf_cols = [f for f in text_fields if f in docs.columns]
+    row = docs.agg(*corpus_stats_aggs(tf_cols)).collect()[0]
+    return corpus_stats_from_row(row, tf_cols)
 
 
 def _build_partial_index(

@@ -50,11 +50,8 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (id, cosine) ordered desc, ties by
     id asc.  One scan, no shuffle except the final top-k (TakeOrdered)."""
-    from ..sources.readers import spread_small_scan
-
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))
-    df = spread_small_scan(df)
     out = df.select(
         F.col(id_col).alias("id"),
         (_dot_with_literal(F.col(vec_col), list(map(float, query_vec))) / (_norm(F.col(vec_col)) * F.lit(qn))).alias(

@@ -682,10 +682,18 @@ def _extend_index_locked(
         "doc_id", F.col("doc_id") + F.lit(id_base)
     )
     docs_path = os.path.join(index_dir, "stages", f"docs_ext_{id_base}")
-    docs.write.mode("overwrite").parquet(docs_path)
+    # batch globals ride the write as observation metrics (same
+    # aggregates as corpus_stats) — one less scan of the staged batch
+    from pyspark.sql import Observation
+
+    tf_cols = [f for f in text_fields if f in docs.columns]
+    obs = Observation(f"extend_stats_{id_base}")
+    docs.observe(obs, *ib.corpus_stats_aggs(tf_cols)).write.mode(
+        "overwrite"
+    ).parquet(docs_path)
+    new_stats = ib.corpus_stats_from_row(obs.get, tf_cols)
     spark.catalog.clearCache()  # free assign_dense_ids' persist
     docs = spark.read.parquet(docs_path)
-    new_stats = ib.corpus_stats(docs, text_fields=text_fields)
     if new_stats["n_docs"] == 0 and n_killed == 0:
         return manifest
     # pre-append validation gate on the BATCH (same thresholds/typed

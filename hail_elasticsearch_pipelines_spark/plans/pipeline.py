@@ -317,10 +317,18 @@ class IndexBuildPipeline:
                 pages, self.lang_filter, meta_cols=self.meta_cols
             )
             docs = ib.docs_with_ids_fused(extracted, meta_cols=self.meta_cols)
-        docs.write.mode("overwrite").parquet(path)
+        # corpus globals ride the WRITE job as observation metrics
+        # (same aggregate expressions as corpus_stats → same values),
+        # saving the separate full-corpus stats scan per build
+        from pyspark.sql import Observation
+
+        tf_cols = [f for f in self.text_fields if f in docs.columns]
+        obs = Observation("corpus_stats")
+        docs.observe(obs, *ib.corpus_stats_aggs(tf_cols)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        globals_ = ib.corpus_stats_from_row(obs.get, tf_cols)
         self.spark.catalog.clearCache()  # free assign_dense_ids' persist
-        docs = self.spark.read.parquet(path)
-        globals_ = ib.corpus_stats(docs, text_fields=self.text_fields)
         if self.docs_per_part is None:
             self.docs_per_part = max(
                 1,
