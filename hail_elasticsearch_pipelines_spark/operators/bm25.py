@@ -4205,12 +4205,13 @@ def bm25_exhaustive_df(
 
     `docs` must have (id_col, tokens_col: array<string>).  Shuffle
     profile: per-term tf is counted IN-ROW (size of a filtered token
-    array — query term lists are tiny), so there is no token explode,
-    no (doc, term) groupBy shuffle, and the whole query is two jobs:
-    one aggregation for (n_docs, avgdl, per-term df) and one
-    TakeOrdered scoring pass — fine at any scale, but reads the whole
-    corpus per query (that is exactly the cost the inverted index
-    removes)."""
+    array — query term lists are tiny), so there is no token explode
+    and no (doc, term) groupBy shuffle; the narrow (id, dl, tf…)
+    projection (~tens of bytes/row) is persisted for the call so the
+    stats aggregation and the TakeOrdered scoring pass tokenize the
+    corpus exactly once.  Executes eagerly (returns a materialized
+    top-k frame) — fine at any scale, but reads the whole corpus per
+    query (that is exactly the cost the inverted index removes)."""
     terms_sorted = sorted(set(terms))
     spark = docs.sparkSession
     def _count_eq(t):
@@ -4227,47 +4228,63 @@ def bm25_exhaustive_df(
         F.size(tokens_col).alias("dl"),
         *tf_cols,
     )
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+    # the tokenize feeding `base` is the dominant cost and would run
+    # once for the stats job and again for the scoring job — persist
+    # the narrow (id, dl, per-term tf) projection for the call's
+    # duration so the corpus text is tokenized exactly once.  This is
+    # an intra-call intermediate (computed fresh every invocation),
+    # released before returning.
+    base = base.persist()
+    try:
+        stats = base.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+                for i in range(len(terms_sorted))
+            ],
+        ).collect()[0]
+        n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 0.0)
+        dfs = [int(stats[f"__df_{i}"] or 0) for i in range(len(terms_sorted))]
+        if not any(dfs):
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        # idf stays Python-side math.log (bm25_idf) exactly as before —
+        # the per-term weight expression is unchanged, only its tf/df
+        # inputs come from the in-row counts instead of an explode+groupBy
+        idf = [bm25_idf(n_docs, d) for d in dfs]
+
+        def w(tf_col):
+            return (F.lit(BM25_K1 + 1.0) * tf_col) / (
+                tf_col
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+            )
+
+        contrib = [
+            F.when(F.col(f"__tf_{i}") > 0, F.lit(idf[i]) * w(F.col(f"__tf_{i}")))
             for i in range(len(terms_sorted))
-        ],
-    ).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"] or 0.0)
-    dfs = [int(stats[f"__df_{i}"] or 0) for i in range(len(terms_sorted))]
-    if not any(dfs):
-        return spark.createDataFrame([], RESULT_SCHEMA)
-    # idf stays Python-side math.log (bm25_idf) exactly as before — the
-    # per-term weight expression is unchanged, only its tf/df inputs
-    # come from the in-row counts instead of an explode+groupBy
-    idf = [bm25_idf(n_docs, d) for d in dfs]
-
-    def w(tf_col):
-        return (F.lit(BM25_K1 + 1.0) * tf_col) / (
-            tf_col
-            + F.lit(BM25_K1)
-            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+        ]
+        score = contrib[0]
+        for c in contrib[1:]:
+            # ascending term order, float64 — the determinism contract;
+            # terms the doc lacks contribute nothing (when() -> NULL,
+            # skipped by the coalesced sum below)
+            score = F.coalesce(score + c, score, c)
+        n_hit = sum(
+            ((F.col(f"__tf_{i}") > 0).cast("int") for i in range(len(terms_sorted))),
+            F.lit(0),
         )
-
-    contrib = [
-        F.when(F.col(f"__tf_{i}") > 0, F.lit(idf[i]) * w(F.col(f"__tf_{i}")))
-        for i in range(len(terms_sorted))
-    ]
-    score = contrib[0]
-    for c in contrib[1:]:
-        # ascending term order, float64 — the determinism contract;
-        # terms the doc lacks contribute nothing (when() -> NULL,
-        # skipped by the coalesced sum below)
-        score = F.coalesce(score + c, score, c)
-    n_hit = sum(
-        ((F.col(f"__tf_{i}") > 0).cast("int") for i in range(len(terms_sorted))),
-        F.lit(0),
-    )
-    agg = base.select("doc_id", score.alias("score"), n_hit.alias("n_terms_hit"))
-    if mode.upper() == "AND":
-        agg = agg.filter(F.col("n_terms_hit") == len(terms_sorted))
-    else:
-        agg = agg.filter(F.col("n_terms_hit") > 0)
-    return agg.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        agg = base.select("doc_id", score.alias("score"), n_hit.alias("n_terms_hit"))
+        if mode.upper() == "AND":
+            agg = agg.filter(F.col("n_terms_hit") == len(terms_sorted))
+        else:
+            agg = agg.filter(F.col("n_terms_hit") > 0)
+        rows = (
+            agg.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(rows, RESULT_SCHEMA)
