@@ -145,14 +145,22 @@ def minhash_signatures(
     no per-row Python."""
     from ..sources.readers import spread_small_scan
 
-    A, B = _minhash_params(n_perm, seed)
-
     shingled = spread_small_scan(df).select(
         F.col(id_col).alias("id"),
         F.transform(token_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias(
             "shash"
         ),
     )
+    return _sigs_from_hashed_shingles(shingled, n_perm, seed)
+
+
+def _sigs_from_hashed_shingles(
+    shingled: DataFrame, n_perm: int, seed: int, col: str = "shash"
+) -> DataFrame:
+    """(id, sig) from a pre-built (id, hashed-shingle array) frame —
+    lets minhash_dedup_pairs share ONE shingle materialization between
+    the signature pass and the verification pass."""
+    A, B = _minhash_params(n_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -168,7 +176,7 @@ def minhash_signatures(
                 out.append(hv.min(axis=0).astype(np.int64))
             yield pd.Series(out)
 
-    return shingled.select("id", sig_udf("shash").alias("sig"))
+    return shingled.select("id", sig_udf(col).alias("sig"))
 
 
 def _cap_hot_buckets(
@@ -299,26 +307,26 @@ def minhash_dedup_pairs(
     corpora use ``minhash_dedup_clusters`` (O(n) per cluster)."""
     from ..sources.readers import spread_small_scan
 
-    # spread ONCE at entry: the signature pass and the verify pass then
-    # share one identical repartition subtree (ReusedExchange), instead
-    # of each branch re-reading the 1-task scan
     df = spread_small_scan(df)
     rows_per_band = n_perm // n_bands
-    sigs = minhash_signatures(df, n_perm, shingle_n, text_col, id_col)
-    cand = minhash_lsh_candidates(
-        sigs, n_bands, rows_per_band, max_bucket_df=max_bucket_df
-    )
     # verify with HASHED (int64) shingles, not the strings: Jaccard is
     # a set statistic, so xxhash64'ing each shingle preserves it exactly
     # up to hash collisions (~n²·2⁻⁶⁴ per pair — negligible) while the
     # candidate join shuffles 8 bytes per shingle instead of ~30-50B of
     # text, a ~5x cut in the verify stage's shuffle weight on near-dup-
-    # heavy corpora.
+    # heavy corpora.  The hashed-shingle frame is materialized ONCE
+    # (localCheckpoint — executor-local blocks, freed when the returned
+    # frame is GC'd) and feeds BOTH the signature pass and the verify
+    # join; r6 recomputed the tokenize→shingle→hash chain for each.
     sh = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             token_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("sh"),
+    ).localCheckpoint()
+    sigs = _sigs_from_hashed_shingles(sh, n_perm, seed=7, col="sh")
+    cand = minhash_lsh_candidates(
+        sigs, n_bands, rows_per_band, max_bucket_df=max_bucket_df
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -415,15 +423,16 @@ def minhash_dedup_clusters(
 
     df = spread_small_scan(df)
     rows_per_band = n_perm // n_bands
-    sigs = minhash_signatures(df, n_perm, shingle_n, text_col, id_col)
-    cand = minhash_lsh_candidates(
-        sigs, n_bands, rows_per_band, mode="star"
-    )
+    # shared hashed-shingle materialization (see minhash_dedup_pairs)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             token_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("sh"),
+    ).localCheckpoint()
+    sigs = _sigs_from_hashed_shingles(sh, n_perm, seed=7, col="sh")
+    cand = minhash_lsh_candidates(
+        sigs, n_bands, rows_per_band, mode="star"
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
