@@ -592,30 +592,47 @@ def build_partials(
         facet_exprs.append(dlen_bucket_token_col(F.col("doc_len")))
     if facet_exprs:
         toks = F.concat(toks, F.array(*facet_exprs))
-    tokenized = docs.select(
-        "doc_id", "doc_len", toks.alias("tokens"), part_col
-    )
-    # extra analyzed fields (ES multi-field mapping): each contributes a
-    # SECOND row per doc whose doc_len is the FIELD's token count and
-    # whose tokens are field-prefixed — _build_partial_index bakes that
-    # per-row length into the field terms' blobs, giving every field its
-    # own BM25 length norm while body postings stay byte-identical
-    for f in text_field_cols:
-        ftoks = F.coalesce(
-            field_term_col(f, tokenize_col(F.col(f))),
-            F.array().cast("array<string>"),
+    if not text_field_cols:
+        # the exchange carries TEXT; tokenization happens AFTER it (the
+        # projection sits above the shuffle), so the token arrays (~3×
+        # the text bytes) never cross the network — r6's plan had the
+        # tokenize below the exchange, shuffling the expanded arrays
+        pre = (
+            docs.select("doc_id", "doc_len", "text", *facet_cols, part_col)
+            .repartition(num_partitions, "part")
+            .sortWithinPartitions("doc_id")
         )
-        tokenized = tokenized.unionByName(
-            docs.select("doc_id", ftoks.alias("tokens"), part_col).select(
-                "doc_id",
-                F.size("tokens").cast("int").alias("doc_len"),
-                "tokens",
-                "part",
+        tokenized = pre.select(
+            "doc_id", "doc_len", toks.alias("tokens"), "part"
+        )
+    else:
+        # extra analyzed fields (ES multi-field mapping): each
+        # contributes a SECOND row per doc whose doc_len is the FIELD's
+        # token count and whose tokens are field-prefixed —
+        # _build_partial_index bakes that per-row length into the field
+        # terms' blobs, giving every field its own BM25 length norm
+        # while body postings stay byte-identical.  The union's
+        # branches need homogeneous schemas, so this path tokenizes
+        # before the exchange (token arrays ride the shuffle).
+        tokenized = docs.select(
+            "doc_id", "doc_len", toks.alias("tokens"), part_col
+        )
+        for f in text_field_cols:
+            ftoks = F.coalesce(
+                field_term_col(f, tokenize_col(F.col(f))),
+                F.array().cast("array<string>"),
             )
-        )
-    tokenized = tokenized.repartition(
-        num_partitions, "part"
-    ).sortWithinPartitions("doc_id")
+            tokenized = tokenized.unionByName(
+                docs.select("doc_id", ftoks.alias("tokens"), part_col).select(
+                    "doc_id",
+                    F.size("tokens").cast("int").alias("doc_len"),
+                    "tokens",
+                    "part",
+                )
+            )
+        tokenized = tokenized.repartition(
+            num_partitions, "part"
+        ).sortWithinPartitions("doc_id")
 
     def gen(batches):
         buf: list[pd.DataFrame] = []
