@@ -678,6 +678,11 @@ def _extend_index_locked(
         finally:
             to_kill.unpersist()
 
+    # persist the batch before id assignment: repartitionByRange's
+    # boundary-sampling job would otherwise recompute the whole
+    # normalize + anti-join lineage a second time.  Batches are
+    # increment-sized (never the full corpus), so the cache is bounded.
+    fresh = fresh.persist()
     docs = ib.docs_with_ids(fresh, meta_cols=meta_cols).withColumn(
         "doc_id", F.col("doc_id") + F.lit(id_base)
     )
@@ -692,7 +697,7 @@ def _extend_index_locked(
         "overwrite"
     ).parquet(docs_path)
     new_stats = ib.corpus_stats_from_row(obs.get, tf_cols)
-    spark.catalog.clearCache()  # free assign_dense_ids' persist
+    spark.catalog.clearCache()  # free assign_dense_ids' + batch persist
     docs = spark.read.parquet(docs_path)
     if new_stats["n_docs"] == 0 and n_killed == 0:
         return manifest
